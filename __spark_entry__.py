@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one implemented operator from SURVEY.md §2
+(or a north-star extension), expressed Spark-first over the driver's
+parquet tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Column names/aliases match exactly between the two — the driver's
+compare sorts columns by name and value-hashes.
+
+Determinism notes:
+- content hashes are md5 (identical across Spark/DuckDB);
+- float aggregates are rounded (sums to 2dp, ratios/cosines to 6dp)
+  so IEEE summation-order noise can't flip the value hash;
+- cohort buckets use the reference's 7-hex-char rule
+  (import_events.py:114; SURVEY §7 trap 1).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.functions.core import cohort_bucket, sample_cohort
+from fxa_activity_metrics_spark.sources.testdata import read_table
+from fxa_activity_metrics_spark.operators import dedup, similarity, textstats
+from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
+from fxa_activity_metrics_spark.operators.summaries import (
+    daily_activity_per_device,
+    multi_device_users_join,
+    multi_device_users_window,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (day, uid, device): the activity-event shape. The
+    synthetic `events` table plays the raw activity log; event_type
+    plays device_id."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("device"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/P4/F2 — DISTINCT daily device projection
+    (calculate_daily_summary.py:54-65)."""
+    ev = _events_daily(spark, sf_dir)
+    return daily_activity_per_device(
+        ev, device_col="device", user_col="uid", day_col="day", extra_cols=()
+    )
+
+
+def q_multi_device_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the 7-day multi-device self range join
+    (calculate_daily_summary.py:92-105), join formulation."""
+    da = q_daily_activity(spark, sf_dir)
+    return multi_device_users_join(da, 7, device_col="device")
+
+
+def q_multi_device_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, window formulation — must equal the join form (SURVEY §2.5)."""
+    da = q_daily_activity(spark, sf_dir)
+    return multi_device_users_window(da, 7, device_col="device")
+
+
+def q_cohort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F3/F4/F7 — deterministic cohort sampling with the 7-hex-char
+    rule (import_events.py:114)."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.select(F.md5(F.col("user_id").cast("string")).alias("hex_id")).distinct()
+    return ids.select(
+        "hex_id", cohort_bucket("hex_id").alias("cohort")
+    ).filter(sample_cohort("hex_id", 10))
+
+
+def q_flow_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3 shape — sessionization: begin event anchors the session
+    (one per entity, earliest wins — import_flow_events.py:109-149),
+    enriched by aggregates over a 1-day grace window and a
+    semi-join completion flag (import_flow_events.py:157-190)."""
+    ev = _t(spark, sf_dir, "events")
+    begins = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("begin_time"))
+        .withColumnRenamed("user_id", "flow_id")
+    )
+    joined = ev.join(
+        begins,
+        on=[
+            ev["user_id"] == begins["flow_id"],
+            ev["ts"] >= begins["begin_time"],
+            ev["ts"] < begins["begin_time"] + F.expr("INTERVAL 1 DAY"),
+        ],
+    )
+    return joined.groupBy("flow_id", "begin_time").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.max(F.col("event_type") == "purchase"), F.lit(False)).alias(
+            "completed"
+        ),
+        F.max("props").alias("props_max"),
+    )
+
+
+def q_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 — flow.continued / flow.experiment parsing
+    (import_flow_events.py:244,273-274) over synthesized type strings."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.concat(
+            F.lit("flow.experiment.exp"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".cohort"),
+            (F.col("user_id") % 3).cast("string"),
+        ).alias("tstr"),
+        F.concat(
+            F.lit("flow.continued."), F.md5(F.col("user_id").cast("string"))
+        ).alias("cstr"),
+    ).distinct()
+    return base.select(
+        "user_id",
+        F.split_part(F.col("tstr"), F.lit("."), F.lit(3)).alias("experiment"),
+        F.split_part(F.col("tstr"), F.lit("."), F.lit(4)).alias("cohort"),
+        F.substring("cstr", 16, 64).alias("continued_from"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F10 — epoch↔timestamp, date truncation, interval
+    arithmetic (import_events.py:113,118-119,135)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", F.unix_timestamp("ts").alias("epoch_s")
+    )
+    ts2 = F.timestamp_seconds(F.col("epoch_s"))
+    day = F.to_date(ts2)
+    return base.select(
+        "event_id",
+        "epoch_s",
+        ts2.alias("ts_utc"),
+        day.alias("day"),
+        F.date_add(day, 1).alias("next_day"),
+        F.date_sub(day, 7).alias("week_ago"),
+        F.add_months(day, -3).alias("retention_cutoff"),
+    )
+
+
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A1 — retention keyed off the table's max day, not wall-clock
+    (import_events.py:133-136; SURVEY §7 trap 6)."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    max_day = ev.agg(F.max("day").alias("max_day"))
+    return (
+        ev.crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") >= F.date_sub(F.col("max_day"), 7))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — MAX(day)+1 incremental offset
+    (calculate_daily_summary.py:117-120)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.date_add(F.max(F.to_date("ts")), 1).alias("next_day"))
+
+
+def q_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P7 — populated-day discovery (import_events.py:179-186)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(F.to_date("ts").alias("day")).distinct()
+
+
+def _dec(col: str) -> F.Column:
+    """Money column → exact DECIMAL(18,2): decimal aggregation is
+    associative-exact, so Spark and DuckDB agree bit-for-bit no matter
+    the partial-aggregation order (double sums don't)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-shape scan-heavy aggregate (the engine's flagship/bench
+    query): grouped sums over lineitem with a pushed-down date
+    filter. Money math in exact decimals, surfaced as doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-shape fact-fact equi-join + aggregation (orders ⋈ lineitem),
+    AQE-planned; the reference's enrichment joins (J2-J7) at TPC-H
+    shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(li.filter(F.col("l_shipdate") > cutoff), orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("_rev")
+        )
+        .filter(F.col("_rev") > F.lit("1000.00").cast("decimal(18,2)"))
+        .select(
+            "o_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue")
+        )
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims: customer ⋈ orders ⋈ lineitem ⋈
+    nation ⋈ region — small sides broadcast, one shuffle on the fact
+    keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit("1.00").cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+
+
+def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    return dedup.jaccard_pairs(docs, threshold=0.7, candidates=cands)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (recall < 1 by design); the
+    driver records a rows-only check, and tests assert recall ≥ 0.4
+    vs the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries_df, k=5, n_planes=4)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column → Arrow-batched mapInPandas
+    byte stats; oracle checks the same digests SQL-side."""
+    docs = attach_blob(_t(spark, sf_dir, "documents"))
+    return blob_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "daily_activity_per_device": q_daily_activity,
+        "multi_device_users_join": q_multi_device_join,
+        "multi_device_users_window": q_multi_device_window,
+        "cohort_sample": q_cohort_sample,
+        "flow_sessionize": q_flow_sessionize,
+        "parse_functions": q_parse_functions,
+        "scalar_functions": q_scalar_functions,
+        "retention_filter": q_retention_filter,
+        "high_water_mark": q_high_water_mark,
+        "partition_discovery": q_partition_discovery,
+        "pricing_summary": q_pricing_summary,
+        "order_revenue": q_order_revenue,
+        "nation_revenue": q_nation_revenue,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_dedup": q_jaccard_dedup,
+        "simhash": q_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "token_histogram": q_token_histogram,
+        "blob_stats": q_blob_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "daily_activity_per_device": """
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid,
+                   event_type AS device
+            FROM events
+        """,
+        "multi_device_users_join": _MDU_SQL,
+        "multi_device_users_window": _MDU_SQL,
+        "cohort_sample": """
+            WITH ids AS (
+              SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hex_id FROM events
+            ), b AS (
+              SELECT hex_id,
+                     ('0x' || substring(hex_id, 1, 7))::BIGINT % 100 AS cohort
+              FROM ids
+            )
+            SELECT hex_id, cohort FROM b WHERE cohort < 10
+        """,
+        "flow_sessionize": """
+            WITH begins AS (
+              SELECT user_id AS flow_id, min(ts) AS begin_time
+              FROM events WHERE event_type = 'signup' GROUP BY 1
+            )
+            SELECT b.flow_id, b.begin_time,
+                   max(e.event_id) AS last_event_id,
+                   count(*) AS n_events,
+                   coalesce(max(e.event_type = 'purchase'), false) AS completed,
+                   max(e.props) AS props_max
+            FROM begins b
+            JOIN events e ON e.user_id = b.flow_id
+                 AND e.ts >= b.begin_time
+                 AND e.ts < b.begin_time + INTERVAL 1 DAY
+            GROUP BY 1, 2
+        """,
+        "parse_functions": """
+            WITH base AS (
+              SELECT DISTINCT user_id,
+                'flow.experiment.exp' || CAST(user_id % 5 AS VARCHAR)
+                  || '.cohort' || CAST(user_id % 3 AS VARCHAR) AS tstr,
+                'flow.continued.' || md5(CAST(user_id AS VARCHAR)) AS cstr
+              FROM events
+            )
+            SELECT user_id,
+                   split_part(tstr, '.', 3) AS experiment,
+                   split_part(tstr, '.', 4) AS cohort,
+                   substring(cstr, 16, 64) AS continued_from
+            FROM base
+        """,
+        "scalar_functions": """
+            WITH base AS (
+              SELECT event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+              FROM events
+            )
+            SELECT event_id, epoch_s,
+                   make_timestamp(epoch_s * 1000000) AS ts_utc,
+                   CAST(make_timestamp(epoch_s * 1000000) AS DATE) AS day,
+                   CAST(make_timestamp(epoch_s * 1000000) AS DATE) + 1 AS next_day,
+                   CAST(make_timestamp(epoch_s * 1000000) AS DATE) - 7 AS week_ago,
+                   CAST(CAST(make_timestamp(epoch_s * 1000000) AS DATE)
+                        - INTERVAL 3 MONTH AS DATE) AS retention_cutoff
+            FROM base
+        """,
+        "retention_filter": """
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+            FROM events
+            WHERE CAST(ts AS DATE) >=
+                  (SELECT max(CAST(ts AS DATE)) FROM events) - 7
+            GROUP BY 1
+        """,
+        "high_water_mark": """
+            SELECT max(CAST(ts AS DATE)) + 1 AS next_day FROM events
+        """,
+        "partition_discovery": """
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "order_revenue": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2
+            HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST('1.00' AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(18,2))))
+                   > CAST('1000.00' AS DECIMAL(18,2))
+        """,
+        "nation_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": _LSH_PAIRS_SQL + "\nSELECT id_a, id_b FROM pairs",
+        "jaccard_dedup": _LSH_PAIRS_SQL
+        + """
+            , scored AS (
+              SELECT p.id_a, p.id_b,
+                     CASE WHEN len(list_distinct(ta.sh || tb.sh)) > 0
+                          THEN CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                               / CAST(len(list_distinct(ta.sh || tb.sh)) AS DOUBLE)
+                          ELSE 0.0 END AS jaccard
+              FROM pairs p
+              JOIN toks ta ON ta.doc_id = p.id_a
+              JOIN toks tb ON tb.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM scored WHERE jaccard >= 0.7
+        """,
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id AS id, """ + _TOKS + """ AS sh FROM documents
+            )
+            SELECT id,
+                   CAST(list_sum(list_transform(range(0, 32), b ->
+                     CASE WHEN 2 * len(list_filter(sh, t ->
+                            CAST(floor((('0x' || substring(md5(t), 1, 8))::BIGINT)
+                                 / power(2, b)) AS BIGINT) % 2 = 1))
+                          > len(sh)
+                          THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                   AS simhash
+            FROM toks
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+            ), c AS (
+              SELECT vec_id AS nid, embedding AS ce FROM embeddings
+            ), scored AS (
+              SELECT qid, nid,
+                     list_sum(list_transform(range(1, 1 + len(qe)),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, 1 + len(qe)),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, 1 + len(ce)),
+                          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))
+                     AS cos
+              FROM q, c WHERE qid <> nid
+            ), ranked AS (
+              SELECT qid AS query_id, nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, nid ASC) AS rank,
+                     round(cos, 6) AS cosine
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_chars,
+                     len(tk) AS n_tokens,
+                     len(list_distinct(tk)) AS uniq,
+                     len(list_intersect(list_distinct(tk),
+                         ['the','a','of','and','to','in','is'])) AS n_stop,
+                     length(regexp_replace(
+                       (SELECT text FROM documents d WHERE d.doc_id = s0.doc_id),
+                       '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+              FROM t s0
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN
+                     CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+                     ELSE 0.0 END, 6) AS avg_token_len,
+                   round(CASE WHEN n_chars > 0 THEN
+                     CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN uniq > 0 THEN
+                     CAST(n_stop AS DOUBLE) / uniq ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN
+                     CAST(uniq AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS uniq_token_ratio,
+                   round(
+                     least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN
+                         CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5, 1.0)) * 0.2
+                     + least((CASE WHEN uniq > 0 THEN
+                         CAST(n_stop AS DOUBLE) / uniq ELSE 0.0 END) * 4, 1.0) * 0.2
+                     + (CASE WHEN n_tokens > 0 THEN
+                         CAST(uniq AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.2,
+                   6) AS quality_score
+            FROM s
+        """,
+        "language_id": _LANG_SQL,
+        "fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_transform(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       x -> lower(x)), ' ')) AS fp
+              FROM documents
+            )
+            SELECT doc_id, fp AS fingerprint,
+                   ('0x' || substring(fp, 1, 8))::BIGINT AS fp_bucket32
+            FROM t
+        """,
+        "token_histogram": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS token FROM documents)
+            GROUP BY token
+        """,
+        "blob_stats": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS blob_md5
+            FROM documents
+        """,
+        # ann_lsh: intentionally no oracle — approximate operator,
+        # rows-only check; recall vs brute force asserted in tests.
+    }
+
+
+_MDU_SQL = """
+    WITH da AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid,
+             event_type AS device
+      FROM events
+    )
+    SELECT DISTINCT p.day, p.uid, p.device AS device_now, q.device AS device_prev
+    FROM da p JOIN da q
+      ON p.uid = q.uid AND p.device <> q.device
+     AND q.day <= p.day AND q.day >= p.day - 7
+"""
+
+_LSH_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+             t -> t <> '')) AS sh
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(sh, t ->
+                 md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+      FROM toks
+    ), bands AS (
+      SELECT doc_id, b AS band_idx,
+             sig[b * 2 + 1] || '|' || sig[b * 2 + 2] AS band_key
+      FROM sigs, unnest([0, 1, 2, 3]) AS u(b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+_LANG_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                           x -> x <> '')) AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein'])) AS hits_de,
+        len(list_intersect(tk, ['the','a','of','and','to','in','is'])) AS hits_en,
+        len(list_intersect(tk, ['el','la','los','y','es','una','que'])) AS hits_es,
+        len(list_intersect(tk, ['le','la','les','et','est','une','que'])) AS hits_fr
+      FROM t
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+"""

@@ -1,0 +1,127 @@
+"""Daily summaries: device activity + multi-device users.
+
+Reference: calculate_daily_summary.py.
+
+`daily_activity_per_device` (:54-65) — DISTINCT projection of
+(day, uid, device_id, service, ua_*) from activity events with a
+non-empty device_id.
+
+`daily_multi_device_users` (:92-105) — the reference's crown-jewel
+query: users seen on a second device within the previous 7 days.
+Implemented BOTH ways (SURVEY §2.5); tests assert equality:
+
+- join form: self equi-join on uid with theta residuals (device !=
+  device, day in [day-7, day]) + DISTINCT — Spark plans a sort-merge
+  or shuffled-hash join on the uid equi-key, AQE handles power-user
+  skew;
+- window form: per-uid 7-day sliding `rangeBetween` collecting the
+  trailing device set — ONE shuffle on uid and no join, the preferred
+  plan at 100 TB where the self-join would shuffle the table twice
+  and explode on skewed uids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SECONDS_PER_DAY = 86400
+
+
+def daily_activity_per_device(
+    events: DataFrame,
+    device_col: str = "device_id",
+    user_col: str = "uid",
+    day_col: str = "day",
+    extra_cols: tuple[str, ...] = ("service", "ua_browser", "ua_version", "ua_os"),
+) -> DataFrame:
+    """DISTINCT (day, uid, device_id, extras) for rows with a device.
+
+    Empty string — not NULL — marks a missing device
+    (calculate_daily_summary.py:61); the filter preserves that
+    semantic exactly (SURVEY §2.2 P4).
+    """
+    return (
+        events.filter(F.col(device_col) != "")
+        .select(day_col, user_col, device_col, *extra_cols)
+        .distinct()
+    )
+
+
+def multi_device_users_join(
+    activity: DataFrame,
+    lookback_days: int = 7,
+    day_col: str = "day",
+    user_col: str = "uid",
+    device_col: str = "device_id",
+) -> DataFrame:
+    """Join formulation (calculate_daily_summary.py:92-105).
+
+    present INNER JOIN past ON present.uid = past.uid
+      AND present.device_id != past.device_id
+      AND past.day BETWEEN present.day - lookback AND present.day
+    then SELECT DISTINCT (day, uid, device_now, device_prev).
+
+    The equi-key (uid) drives the shuffle; the day-range and device
+    inequality stay residual predicates evaluated inside the join, so
+    no cross product materializes.
+    """
+    present = activity.select(
+        F.col(day_col).alias("day"),
+        F.col(user_col).alias("uid"),
+        F.col(device_col).alias("device_now"),
+    )
+    past = activity.select(
+        F.col(day_col).alias("p_day"),
+        F.col(user_col).alias("p_uid"),
+        F.col(device_col).alias("device_prev"),
+    )
+    joined = present.join(
+        past,
+        on=[
+            present["uid"] == past["p_uid"],
+            present["device_now"] != past["device_prev"],
+            past["p_day"] <= present["day"],
+            past["p_day"] >= F.date_sub(present["day"], lookback_days),
+        ],
+        how="inner",
+    )
+    return joined.select("day", "uid", "device_now", "device_prev").distinct()
+
+
+def multi_device_users_window(
+    activity: DataFrame,
+    lookback_days: int = 7,
+    day_col: str = "day",
+    user_col: str = "uid",
+    device_col: str = "device_id",
+) -> DataFrame:
+    """Window formulation — identical rows to the join form.
+
+    One shuffle on uid; per (uid, day) the trailing `lookback_days`
+    window contributes `collect_set(device)`, and exploding that set
+    minus the current device yields (device_now, device_prev) pairs.
+    Scale rationale: avoids the second shuffle + join-row explosion of
+    the self-join; the per-uid state is bounded by devices-per-user.
+    """
+    daily = (
+        activity.select(
+            F.col(day_col).alias("day"),
+            F.col(user_col).alias("uid"),
+            F.col(device_col).alias("device"),
+        )
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.unix_timestamp(F.col("day").cast("timestamp")))
+        .rangeBetween(-lookback_days * _SECONDS_PER_DAY, 0)
+    )
+    with_window = daily.withColumn("trailing_devices", F.collect_set("device").over(w))
+    pairs = with_window.select(
+        "day",
+        "uid",
+        F.col("device").alias("device_now"),
+        F.explode("trailing_devices").alias("device_prev"),
+    ).filter(F.col("device_now") != F.col("device_prev"))
+    return pairs.distinct()

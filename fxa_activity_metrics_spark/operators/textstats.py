@@ -1,0 +1,124 @@
+"""Text analysis operators: quality scoring, language ID, token
+counting, fingerprinting.
+
+All built-in Spark SQL expressions over the token array — JVM-side,
+one pass over the text column, no shuffle (per-row projections), so
+the cost at 100 TB is exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators.dedup import tokens
+
+# tiny function-word profiles for the n-gram/stopword language
+# heuristic; deliberately small and deterministic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "una", "que"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality stats:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio (non-alnum,
+    non-space chars / chars), stopword_ratio, uniq_token_ratio, and a
+    composite quality_score in [0,1] (simple monotone blend — long
+    enough, not too punctuation-heavy, some stopwords, lexical
+    variety).
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    uniq = F.size(F.array_distinct(toks))
+    avg_len = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        uniq > 0, n_stop.cast("double") / uniq.cast("double")
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tokens > 0, uniq.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
+        + uniq_ratio * 0.2
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_token_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count function-word hits per language
+    profile over distinct tokens; highest hit-count wins (ties broken
+    by language code order); zero hits everywhere → 'und'.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    langs = sorted(LANG_PROFILES)
+    hit_cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]]))
+        ).alias(f"hits_{lang}")
+        for lang in langs
+    ]
+    scored = docs.select(F.col(id_col), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    # earliest language (alphabetical) with the max hit count wins ties
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col, *[f"hits_{lang}" for lang in langs], pred.alias("lang_pred")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercased, whitespace-collapsed) + a 32-bit integer bucket of it
+    — a content-defined key robust to whitespace/case jitter."""
+    norm = F.concat_ws(" ", F.transform(tokens(text_col), F.lower))
+    fp = F.md5(norm)
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("long").alias("fp_bucket32"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token histogram: explode tokens → count per token.
+    Map-side partial aggregation makes this one light shuffle."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -1,0 +1,297 @@
+"""Incremental batch driver — the engine's control plane.
+
+Reproduces the reference's generic import pipeline `run(...)`
+(import_events.py:147-258, SURVEY §2.11 C1-C6):
+
+- source-day discovery by file listing (S2, import_events.py:179-186);
+- populated-day skip (P7, :168-169);
+- NEWEST-FIRST processing (O3, :249) — load day+1 before day so the
+  1-day grace enrichments see tomorrow's events (SURVEY §7 trap 4);
+- per-day idempotent load into the three sampled lake variants
+  (S5, :205-219);
+- retention expiry keyed off max_day (S6, :226-236);
+- lifecycle hooks before_import / after_day / after_import (C1).
+
+Everything driver-side here is metadata-only (file listings, day
+arithmetic); row data never touches the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.functions.core import sample_cohort
+from fxa_activity_metrics_spark.operators import flows as flow_ops
+from fxa_activity_metrics_spark.operators.activity import typed_day_events
+from fxa_activity_metrics_spark.schemas import SAMPLE_RATES, Dataset
+from fxa_activity_metrics_spark.sources.csv import read_day_csv
+from fxa_activity_metrics_spark.sources.lake import Lake, _add_months
+
+_DAY_RE = re.compile(r"(\d{4}-\d{2}-\d{2})\.\w+$")
+
+
+def discover_source_days(source_dir: str, prefix: str) -> dict[dt.date, str]:
+    """S2: list day-files `{prefix}-{YYYY-MM-DD}.*` and parse the day
+    out of each filename (import_events.py:179-186)."""
+    out: dict[dt.date, str] = {}
+    if not os.path.isdir(source_dir):
+        return out
+    for name in os.listdir(source_dir):
+        if not name.startswith(prefix + "-"):
+            continue
+        m = _DAY_RE.search(name)
+        if m:
+            out[dt.date.fromisoformat(m.group(1))] = os.path.join(source_dir, name)
+    return out
+
+
+@dataclass
+class ImportJob:
+    """C1: the generic import pipeline, one instance per dataset."""
+
+    spark: SparkSession
+    lake: Lake
+    dataset: Dataset
+    source_dir: str
+    day_from: dt.date | None = None
+    day_until: dt.date | None = None
+    force_reload: bool = False  # C5 (import_counts.py:94)
+    # datasets whose after_day hook owns the perm write (flow events
+    # are written control-event-consumed by the hook) set this False
+    write_perm: bool = True
+    # lifecycle hooks (C1, import_events.py:147-157,220-223,258)
+    before_import: Callable[["ImportJob"], None] | None = None
+    after_day: Callable[["ImportJob", dt.date, DataFrame, str, int], None] | None = None
+    after_import: Callable[["ImportJob", dt.date | None], None] | None = None
+
+    def table(self, suffix: str) -> str:
+        return self.dataset.name + suffix
+
+    # -- work discovery ----------------------------------------------------
+
+    def candidate_days(self) -> list[tuple[dt.date, str]]:
+        """Days to process, newest first (O3). A day is a candidate if
+        a source file exists, it passes the day-window filter (C2),
+        and the 10%-sample table doesn't already contain it (P7 uses
+        the _sampled_10 table as the populated indicator,
+        import_events.py:168-169)."""
+        days = discover_source_days(self.source_dir, self.dataset.csv_prefix)
+        populated = set(self.lake.days(self.table("_sampled_10")))
+        picked = []
+        for day, path in days.items():
+            if self.day_from and day < self.day_from:
+                continue
+            if self.day_until and day > self.day_until:
+                continue
+            if not self.force_reload and day in populated:
+                continue
+            picked.append((day, path))
+        picked.sort(key=lambda t: t[0], reverse=True)  # newest first
+        return picked
+
+    def max_day(self) -> dt.date | None:
+        """C3: max(extant lake day, newest discovered source day)
+        (import_events.py:245-253)."""
+        candidates = [d for d, _ in self.candidate_days()]
+        lake_max = self.lake.max_day(self.table(""))
+        vals = [d for d in (max(candidates, default=None), lake_max) if d]
+        return max(vals, default=None)
+
+    # -- execution ----------------------------------------------------------
+
+    def import_day(self, day: dt.date, path: str, max_day: dt.date) -> None:
+        """One day-file → three sampled lake variants (S5)."""
+        raw = read_day_csv(
+            self.spark,
+            path,
+            self.dataset.csv_schema,
+            max_lengths=self.dataset.max_lengths,
+        )
+        for suffix, percent, months in SAMPLE_RATES:
+            cutoff = _add_months(max_day, -months)
+            typed = typed_day_events(
+                raw,
+                day,
+                id_column=self.dataset.id_column,
+                percent=percent,
+                retention_cutoff=cutoff,
+                columns=[f.name for f in self.dataset.lake_schema.fields if f.name != "day"],
+            )
+            if self.write_perm:
+                self.lake.write_days(self.table(suffix), typed)
+            if self.after_day:
+                self.after_day(self, day, raw, suffix, percent)
+
+    def expire(self, max_day: dt.date) -> None:
+        """S6 + S7: retention expiry then compaction, per variant."""
+        for suffix, _percent, months in SAMPLE_RATES:
+            self.lake.expire(self.table(suffix), max_day, months)
+
+    def run(self) -> list[dt.date]:
+        """The full pipeline (import_events.py:238-258). Returns the
+        days processed (newest first)."""
+        if self.before_import:
+            self.before_import(self)
+        work = self.candidate_days()
+        max_day = self.max_day()
+        processed = []
+        for day, path in work:  # newest first
+            self.import_day(day, path, max_day)
+            processed.append(day)
+        if max_day:
+            self.expire(max_day)
+        if self.after_import:
+            self.after_import(self, max_day)
+        return processed
+
+
+# ---------------------------------------------------------------------------
+# Flow dataset: the after_day hook chain (import_flow_events.py:322-369)
+# ---------------------------------------------------------------------------
+
+
+def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, percent: int) -> None:
+    """Per-day flow sessionization, reproducing the hook order at
+    import_flow_events.py:322-369 for one sampled variant:
+
+    1. rebuild flow_metadata rows of `day` from flow.begin events;
+    2. enrich (duration/locale/uid, completed, new_account,
+       [pre-2016-10-25 context backfill], continued_from) across the
+       WHOLE metadata table from events of day ∪ day+1 — flows that
+       began yesterday but completed today get updated because days
+       are processed newest-first;
+    3. insert + enrich flow_experiments;
+    4. write the perm flow_events WITHOUT consumed control events.
+    """
+    from fxa_activity_metrics_spark.functions.core import day_of, ts_from_epoch
+    from fxa_activity_metrics_spark.schemas import (
+        FLOW_EXPERIMENTS_SCHEMA,
+        FLOW_METADATA_SCHEMA,
+    )
+
+    spark = job.spark
+    lake = job.lake
+    d_lit = F.lit(str(day)).cast("date")
+
+    typed = (
+        raw.withColumn("timestamp", ts_from_epoch("timestamp"))
+        .withColumn("day", day_of("timestamp"))
+        .filter(sample_cohort("flow_id", percent))
+    )
+    staging_day = typed.filter(F.col("day") == d_lit)
+    # grace window: events of day ∪ day+1. Day+1 lives in the lake
+    # already (newest-first processing) under the PERM schema; begin/
+    # continued/experiment events of day+1 were consumed there, so
+    # read them from the day+1 metadata-relevant columns only.
+    perm_cols = ["timestamp", "type", "flow_id", "flow_time", "locale", "uid", "day"]
+    next_day = lake.read_days(
+        f"flow_events{suffix}", day + dt.timedelta(days=1), day + dt.timedelta(days=1),
+        schema=job.dataset.lake_schema,
+    ).select(*perm_cols)
+    grace = staging_day.select(*perm_cols).unionByName(next_day)
+
+    # 1-2. metadata for this day + whole-table enrichment
+    meta_tbl = f"flow_metadata{suffix}"
+    existing = lake.read(meta_tbl, FLOW_METADATA_SCHEMA)
+    new_rows = flow_ops.begin_sessions(staging_day, day)
+    meta = existing.filter(F.col("export_date") != d_lit).unionByName(new_rows)
+    meta = flow_ops.enrich_duration_locale_uid(meta, grace)
+    meta = flow_ops.mark_flag(meta, grace, "flow.complete", "completed")
+    meta = flow_ops.mark_flag(meta, grace, "account.created", "new_account")
+    if day < flow_ops.BACKFILL_CUTOFF:
+        meta = flow_ops.backfill_context(meta, grace)
+    meta = flow_ops.set_continued_from(meta, grace)
+    lake.overwrite(meta_tbl, meta)
+
+    # 3. experiments
+    exp_tbl = f"flow_experiments{suffix}"
+    existing_exp = lake.read(exp_tbl, FLOW_EXPERIMENTS_SCHEMA)
+    new_exp = flow_ops.experiments_from_events(staging_day, day)
+    exp = existing_exp.filter(F.col("export_date") != d_lit).unionByName(new_exp)
+    exp = flow_ops.enrich_experiment_uid(exp, grace)
+    lake.overwrite(exp_tbl, exp)
+
+    # 4. perm flow_events for this day, control events consumed
+    perm = staging_day.filter(~flow_ops.consumed_condition()).select(*perm_cols)
+    lake.write_days(f"flow_events{suffix}", perm)
+
+
+def run_counts_import(
+    spark: SparkSession,
+    lake: Lake,
+    source_dir: str,
+    force_reload: bool = False,
+) -> int:
+    """Counts pipeline (import_counts.py:94-123): discover
+    `fxa-basic-metrics-{day}.txt` files, skip already-populated days
+    unless force_reload (C5), merge into the day-UNIQUE counts table.
+    """
+    from fxa_activity_metrics_spark.operators.counts import typed_counts
+    from fxa_activity_metrics_spark.schemas import COUNTS_CSV_SCHEMA, COUNTS_SCHEMA
+
+    files = discover_source_days(source_dir, "fxa-basic-metrics")
+    existing = lake.read("counts", COUNTS_SCHEMA)
+    if not force_reload and lake.exists("counts"):
+        have = {r["day"] for r in existing.select("day").distinct().collect()}
+        files = {d: p for d, p in files.items() if d not in have}
+    if not files:
+        return 0
+    raw = spark.read.csv(list(files.values()), schema=COUNTS_CSV_SCHEMA)
+    new = typed_counts(raw)
+    merged = (
+        existing.join(new, "day", "left_anti").unionByName(new)
+        if lake.exists("counts")
+        else new
+    )
+    lake.overwrite("counts", merged)
+    return len(files)
+
+
+def summarize_daily(
+    spark: SparkSession, lake: Lake, suffix: str = "", lookback_days: int = 7
+) -> tuple[dt.date, dt.date] | None:
+    """EP3 (calculate_daily_summary.py:135-168): incremental daily
+    summaries over unprocessed days.
+
+    day_from = MAX(day)+1 of the summary table (A4 high-water mark),
+    falling back to the first activity day; day_until = newest
+    activity day. The 7-day join re-reads `lookback_days` extra days
+    of daily_activity_per_device so window recomputation is
+    self-contained (SURVEY §3 EP3).
+    """
+    from fxa_activity_metrics_spark.operators.summaries import (
+        daily_activity_per_device,
+        multi_device_users_join,
+    )
+
+    act_tbl = f"activity_events{suffix}"
+    dev_tbl = f"daily_activity_per_device{suffix}"
+    mdu_tbl = f"daily_multi_device_users{suffix}"
+
+    act_days = lake.days(act_tbl)
+    if not act_days:
+        return None
+    day_first, day_until = act_days[0], act_days[-1]
+    hwm = lake.max_day(dev_tbl)
+    day_from = hwm + dt.timedelta(days=1) if hwm else day_first
+    if day_from > day_until:
+        return None
+
+    events = lake.read_days(act_tbl, day_from, day_until)
+    dev = daily_activity_per_device(events)
+    lake.write_days(dev_tbl, dev, sort_cols=["day"])
+
+    # lookback window: previous days' device activity feeds the join
+    window_from = day_from - dt.timedelta(days=lookback_days)
+    dev_window = lake.read_days(dev_tbl, window_from, day_until)
+    mdu = multi_device_users_join(dev_window, lookback_days)
+    mdu = mdu.filter(F.col("day") >= F.lit(str(day_from)).cast("date"))
+    lake.write_days(mdu_tbl, mdu, sort_cols=["day"])
+    return day_from, day_until

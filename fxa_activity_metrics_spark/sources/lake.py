@@ -1,0 +1,220 @@
+"""The day-partitioned Parquet lake: the engine's table store.
+
+Maps the reference's Redshift physical design to a Spark-native lake
+(SURVEY §1.3):
+
+- `SORTKEY timestamp/day`  → `partitionBy("day")` partition pruning +
+  `sortWithinPartitions` so Parquet row-group min/max stats prune
+  within files;
+- delete-day-then-insert idempotency (import_events.py:102-105) →
+  dynamic partition overwrite;
+- retention `DELETE WHERE day < cutoff` (import_events.py:133-136) →
+  partition directory drops (pure metadata at scale — no rewrite);
+- `VACUUM FULL` (import_events.py:138-142) → per-partition compaction
+  (coalesce-rewrite of small files).
+
+All operations are partition-granular: at 100 TB a day-partition is
+the unit of overwrite/expiry/compaction, and nothing here ever reads
+more partitions than the operation touches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DAY_DIR_RE = re.compile(r"^day=(\d{4}-\d{2}-\d{2})$")
+
+
+class Lake:
+    """A collection of day-partitioned Parquet tables under ``root``.
+
+    Table layout: ``{root}/{table}/day={YYYY-MM-DD}/part-*.parquet``.
+    Sampled variants are separate tables named with the reference's
+    suffixes (``activity_events``, ``activity_events_sampled_50``,
+    ``activity_events_sampled_10`` — import_events.py:51-54).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    # -- write ------------------------------------------------------------
+
+    def write_days(self, table: str, df: DataFrame, sort_cols: list[str] | None = None) -> None:
+        """Idempotent day sink (S5).
+
+        Dynamic partition overwrite replaces exactly the day
+        partitions present in ``df`` — re-running an import for a day
+        yields identical lake state, the reference's clear-day+insert
+        contract (import_events.py:102-105,205-219). Rows are sorted
+        within partitions on ``sort_cols`` (default: timestamp) so
+        Parquet zone maps stay effective (SORTKEY analogue).
+        """
+        if "day" not in df.columns:
+            raise ValueError("write_days requires a 'day' partition column")
+        sort_cols = sort_cols or (["timestamp"] if "timestamp" in df.columns else [])
+        out = df.repartition("day")
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path(table))
+        )
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Full-table overwrite (session/entity tables like
+        flow_metadata that are rewritten per enrichment pass).
+
+        Writes to a temp location first, then swaps — the source may
+        be a self-read of the same table.
+        """
+        tmp = self.path(table) + "._tmp_swap"
+        df.write.mode("overwrite").parquet(tmp)
+        dest = self.path(table)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.replace(tmp, dest)
+
+    # -- read -------------------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.exists(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        if not self.exists(table):
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            raise FileNotFoundError(
+                f"lake table '{table}' has no data at {self.path(table)}; "
+                "pass a schema to read an empty/unmaterialized table"
+            )
+        return self.spark.read.parquet(self.path(table))
+
+    def read_days(
+        self,
+        table: str,
+        day_from: dt.date | str | None = None,
+        day_until: dt.date | str | None = None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read with a day-range predicate; Catalyst prunes the scan
+        to the matching partition directories (verified in tests via
+        the physical plan's PartitionFilters)."""
+        df = self.read(table, schema)
+        if day_from is not None:
+            df = df.filter(F.col("day") >= F.lit(str(day_from)).cast("date"))
+        if day_until is not None:
+            df = df.filter(F.col("day") <= F.lit(str(day_until)).cast("date"))
+        return df
+
+    # -- partition metadata (driver-side, file-listing only) --------------
+
+    def days(self, table: str) -> list[dt.date]:
+        """Populated days, from partition directory names — the lake
+        analogue of the reference's populated-day probe
+        (import_events.py:72-78) without scanning any data."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return []
+        out = []
+        for entry in os.listdir(p):
+            m = _DAY_DIR_RE.match(entry)
+            if m:
+                out.append(dt.date.fromisoformat(m.group(1)))
+        return sorted(out)
+
+    def day_populated(self, table: str, day: dt.date | str) -> bool:
+        """Existence probe (P7, import_events.py:72-78)."""
+        return dt.date.fromisoformat(str(day)) in set(self.days(table))
+
+    def max_day(self, table: str) -> dt.date | None:
+        """High-water mark from partition names (A1 analogue,
+        import_events.py:159-163) — no data scan."""
+        days = self.days(table)
+        return days[-1] if days else None
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire(self, table: str, max_day: dt.date, months: int) -> list[dt.date]:
+        """Retention expiry (S6): drop partitions with
+        ``day < max_day - months`` (import_events.py:133-136).
+
+        Keyed off the table's max day, not wall-clock, exactly like
+        the reference (SURVEY §7 trap 6). Partition drops are O(1)
+        metadata operations — no data rewrite at any scale.
+        """
+        cutoff = _add_months(max_day, -months)
+        dropped = []
+        for day in self.days(table):
+            if day < cutoff:
+                shutil.rmtree(os.path.join(self.path(table), f"day={day.isoformat()}"))
+                dropped.append(day)
+        return dropped
+
+    def delete_where(self, table: str, condition, days: list[dt.date]) -> None:
+        """Targeted-row delete (S8, import_flow_events.py:151-155):
+        anti-filter rewrite of ONLY the affected day partitions."""
+        if not days:
+            return
+        day_lits = [F.lit(str(d)).cast("date") for d in days]
+        affected = self.read(table).filter(F.col("day").isin(*day_lits))
+        kept = affected.filter(~condition)
+        self.write_days(table, kept)
+        # partitions whose rows were all deleted need an explicit drop
+        # (dynamic overwrite only rewrites partitions present in `kept`)
+        remaining = {r["day"] for r in kept.select("day").distinct().collect()}
+        for d in days:
+            if d not in remaining and self.day_populated(table, d):
+                shutil.rmtree(os.path.join(self.path(table), f"day={d.isoformat()}"))
+
+    def compact(self, table: str, target_files_per_day: int = 1) -> None:
+        """VACUUM analogue (S7): rewrite each day partition into
+        ``target_files_per_day`` sorted files. Run after heavy
+        delete_where churn; partition-granular so it scales linearly
+        and can be parallelized per-day on a cluster."""
+        for day in self.days(table):
+            part = os.path.join(self.path(table), f"day={day.isoformat()}")
+            df = self.spark.read.parquet(part).coalesce(target_files_per_day)
+            if "timestamp" in df.columns:
+                df = df.sortWithinPartitions("timestamp")
+            tmp = part + "._compact"
+            df.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part)
+            os.replace(tmp, part)
+
+    def analyze(self, table: str) -> None:
+        """ANALYZE analogue: register + compute stats for CBO when the
+        table is catalog-backed; no-op for pure-path tables."""
+        # Path-based tables carry Parquet footer stats already; with a
+        # metastore this would run ANALYZE TABLE ... COMPUTE STATISTICS.
+        return
+
+
+def _add_months(day: dt.date, months: int) -> dt.date:
+    """Pure-Python add_months matching Spark/Redshift end-of-month
+    clamping (F10 interval arithmetic, import_events.py:135)."""
+    m = day.month - 1 + months
+    y = day.year + m // 12
+    m = m % 12 + 1
+    # clamp day-of-month
+    last = [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) else 28,
+            31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1]
+    return dt.date(y, m, min(day.day, last))

@@ -1,0 +1,152 @@
+"""Streaming flow sessionization + daily rollups.
+
+The reference approximates a stream with daily CSV drops discovered
+by S3 listing (import_events.py:179-186) and a 1-day late-data grace
+(enrichments read day AND day+1, import_flow_events.py:170-171). The
+Structured Streaming mapping (SURVEY §2.9):
+
+- file source over the drop directory, `trigger(availableNow=True)`
+  for the scheduled-batch cadence or processingTime for continuous;
+- `withWatermark("timestamp", "1 day")` — the same 1-day lateness
+  contract, now enforced by the engine;
+- session state per flow_id as a streaming aggregation in update
+  mode: every enrichment the batch pipeline computes via
+  UPDATE…FROM joins (J2-J6) is re-expressed as an incremental
+  aggregate over the event stream — min(begin ts), max(flow_time),
+  marker-event flags via max(bool), lexicographic max for
+  locale/uid;
+- exactly-once sink: foreachBatch MERGE-by-flow_id into the lake
+  (idempotent per epoch — the reference's clear-day+insert contract).
+
+State is bounded: the watermark evicts per-flow aggregation state one
+day after the flow's last event, matching the reference's grace
+window (SURVEY §7 trap 9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.functions.core import (
+    day_of,
+    parse_continued_from,
+    ts_from_epoch,
+)
+from fxa_activity_metrics_spark.schemas import FLOW_CSV_SCHEMA
+from fxa_activity_metrics_spark.sources.lake import Lake
+
+
+def read_flow_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of flow CSV drops (headerless, declared
+    schema — never inferred)."""
+    raw = (
+        spark.readStream.schema(FLOW_CSV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .csv(source_dir)
+    )
+    return raw.withColumn("timestamp", ts_from_epoch("timestamp")).withColumn(
+        "day", day_of("timestamp")
+    )
+
+
+def session_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Per-flow session state as a streaming aggregation.
+
+    Incremental re-expression of the batch enrichment chain
+    (operators.flows): each column is an associative+commutative
+    aggregate, so Spark maintains it in the state store and the
+    result converges to the batch answer once the watermark passes.
+    """
+    is_begin = F.col("type") == "flow.begin"
+    return (
+        events.withWatermark("timestamp", watermark)
+        .groupBy("flow_id")
+        .agg(
+            F.min(F.when(is_begin, F.col("timestamp"))).alias("begin_time"),
+            F.max("flow_time").alias("duration"),
+            F.coalesce(F.max(F.col("type") == "flow.complete"), F.lit(False)).alias(
+                "completed"
+            ),
+            F.coalesce(F.max(F.col("type") == "account.created"), F.lit(False)).alias(
+                "new_account"
+            ),
+            F.max(F.when(is_begin, F.col("ua_browser"))).alias("ua_browser"),
+            F.max(F.when(is_begin, F.col("ua_version"))).alias("ua_version"),
+            F.max(F.when(is_begin, F.col("ua_os"))).alias("ua_os"),
+            F.max(F.when(is_begin, F.col("context"))).alias("context"),
+            F.max(F.when(is_begin, F.col("entrypoint"))).alias("entrypoint"),
+            F.max(F.when(is_begin, F.col("migration"))).alias("migration"),
+            F.max(F.when(is_begin, F.col("service"))).alias("service"),
+            F.max(F.when(is_begin, F.col("utm_campaign"))).alias("utm_campaign"),
+            F.max(F.when(is_begin, F.col("utm_content"))).alias("utm_content"),
+            F.max(F.when(is_begin, F.col("utm_medium"))).alias("utm_medium"),
+            F.max(F.when(is_begin, F.col("utm_source"))).alias("utm_source"),
+            F.min(F.when(is_begin, F.col("day"))).alias("export_date"),
+            F.max("locale").alias("locale"),
+            F.max("uid").alias("uid"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("type").startswith("flow.continued."),
+                        parse_continued_from("type"),
+                    )
+                ),
+                F.lit(""),
+            ).alias("continued_from"),
+        )
+        .filter(F.col("begin_time").isNotNull())
+    )
+
+
+def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):
+    """foreachBatch upsert: replace changed flow_ids, keep the rest.
+    Idempotent per micro-batch — replaying an epoch converges to the
+    same table state (exactly-once effect on the lake)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        if lake.exists(table):
+            existing = lake.read(table)
+            kept = existing.join(
+                batch_df.select("flow_id"), "flow_id", "left_anti"
+            )
+            merged = kept.unionByName(batch_df)
+        else:
+            merged = batch_df
+        lake.overwrite(table, merged)
+
+    return write
+
+
+def run_flow_sessions_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    table: str = "flow_metadata_stream",
+    available_now: bool = True,
+):
+    """Wire source → session agg → merge sink; returns the query."""
+    events = read_flow_stream(spark, source_dir)
+    sessions = session_aggregate(events)
+    writer = (
+        sessions.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_sessions_sink(lake, table))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_event_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day windowed counts (SURVEY §2.9 'Windows
+    (tumbling)'): the streaming analogue of the daily rollups."""
+    return (
+        events.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", "1 day").alias("w"), F.col("type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("day"), "type", "n_events")
+    )
