@@ -278,14 +278,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingles: discriminative enough that band collisions ≈
+    real near-dups (unigrams over a small vocab degenerate to ~all
+    pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    return dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_n=3)
 
 
 def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
-    return dedup.jaccard_pairs(docs, threshold=0.7, candidates=cands)
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_n=3)
+    return dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=3, candidates=cands)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,21 +518,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN toks tb ON tb.doc_id = p.id_b
             )
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
-            FROM scored WHERE jaccard >= 0.7
+            FROM scored WHERE jaccard >= 0.5
         """,
         "simhash": """
             WITH toks AS (
               SELECT doc_id AS id, """ + _TOKS + """ AS sh FROM documents
+            ), hashed AS (
+              SELECT id, list_transform(sh, t ->
+                ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+              FROM toks
             )
             SELECT id,
                    CAST(list_sum(list_transform(range(0, 32), b ->
-                     CASE WHEN 2 * len(list_filter(sh, t ->
-                            CAST(floor((('0x' || substring(md5(t), 1, 8))::BIGINT)
-                                 / power(2, b)) AS BIGINT) % 2 = 1))
-                          > len(sh)
+                     CASE WHEN 2 * len(list_filter(hs, h ->
+                            CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1))
+                          > len(hs)
                           THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)
                    AS simhash
-            FROM toks
+            FROM hashed
         """,
         "ann_bruteforce": """
             WITH q AS (
@@ -637,10 +643,16 @@ _MDU_SQL = """
 """
 
 _LSH_PAIRS_SQL = """
-    WITH toks AS (
-      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
-             t -> t <> '')) AS sh
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
       FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+             ELSE [] END AS sh
+      FROM tk
     ), sigs AS (
       SELECT doc_id,
              list_transform(range(0, 8), i ->

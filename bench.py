@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (no driver collect, no
+result materialization skew) after a shared-session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: reference-parity spine + the scale-path extension ops
+BENCH_QUERIES = [
+    "pricing_summary",
+    "order_revenue",
+    "nation_revenue",
+    "daily_activity_per_device",
+    "multi_device_users_join",
+    "multi_device_users_window",
+    "flow_sessionize",
+    "cohort_sample",
+    "exact_dedup",
+    "minhash_lsh",
+    "jaccard_dedup",
+    "simhash",
+    "ann_bruteforce",
+    "ann_lsh",
+    "text_quality",
+    "fingerprint",
+    "token_histogram",
+    "blob_stats",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("fxa-bench")
+    qs = entrymod.queries()
+    # warmup: JVM/codegen spin-up on a trivial job
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock (sum of per-query sec)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,14 +35,19 @@ def tokens(text_col: str | F.Column = "text") -> F.Column:
 
 def shingles(text_col: str | F.Column = "text", n: int = 3) -> F.Column:
     """Word n-gram shingles as strings ("w1 w2 w3"). Built from the
-    token array with transform over an index sequence — JVM-side."""
+    token array with transform over an index sequence — JVM-side.
+    Docs with fewer than n tokens get an empty shingle set (guarded:
+    Spark's sequence(a, b) runs DESCENDING when b < a)."""
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -76,7 +81,11 @@ def minhash_signature(
             F.transform(sh, lambda t: F.md5(F.concat(i.cast("string"), F.lit(":"), t)))
         ),
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # docs with an empty shingle set have null minhashes — excluded
+    # (the SQL analogue drops them via NULL-key join semantics)
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
+        F.col("sig").getItem(0).isNotNull()
+    )
 
 
 def minhash_lsh_candidates(
@@ -164,9 +173,13 @@ def simhash(
     doubles for h < 2^32. Output: (id, simhash BIGINT).
     """
     toks = F.array_distinct(tokens(text_col))
-    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
-    bit = lambda t, b: (  # noqa: E731
-        F.floor(h(t) / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+    # hash every token ONCE (md5 is the expensive step), then the
+    # 32-bit sweep runs on a long array — pure integer ops
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    bit_set = lambda h, b: (  # noqa: E731
+        F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2 == 1
     )
     # per-bit net vote: 2*set_count - n_tokens > 0  <=>  majority set
     sig = F.aggregate(
@@ -174,11 +187,7 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, b: acc
         + F.when(
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda s, t: s + bit(t, b)
-            )
-            * 2
-            > F.size(toks),
+            F.size(F.filter(hs, lambda h: bit_set(h, b))) * 2 > F.size(hs),
             F.floor(F.pow(F.lit(2.0), b.cast("double"))).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
