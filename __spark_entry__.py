@@ -39,6 +39,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session's core count: the test
+    parquet is a single small file (one input split), which would run
+    the hash-heavy dedup/text maps in ONE task. At lake scale the
+    input arrives pre-split; for small single-file inputs this one
+    cheap shuffle buys full-width parallelism on everything above."""
+    return read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (day, uid, device): the activity-event shape. The
     synthetic `events` table plays the raw activity log; event_type
@@ -273,7 +284,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.exact_duplicates(docs)
 
 
@@ -281,18 +292,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingles: discriminative enough that band collisions ≈
     real near-dups (unigrams over a small vocab degenerate to ~all
     pairs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_n=3)
 
 
 def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_n=3)
     return dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=3, candidates=cands)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.simhash(docs)
 
 
@@ -311,26 +322,90 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=5, n_planes=4)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact pairwise baseline (broadcast
+    nested-loop; norms precomputed per vector)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
+    filter. Approximate — no SQL oracle; tests assert the result is a
+    subset of the exact pairs with recall ≥ 0.5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4, n_tables=3)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic hash-sampled centroids, cell-bucketed
+    candidate join, n_probe cells per query. Approximate — rows-only
+    check; recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4)
+
+
+def q_injection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 — raw-line injection rejection + field-count validation
+    (clean-flow-data.sh:20-49, pad-flow-data.sh:19). Synthesizes a
+    3-field CSV-ish line per doc (every 7th doc gets an injected
+    quote) and keeps only clean, exactly-3-field lines."""
+    docs = _t(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("lang"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("source"), F.lit("';--")))
+        .otherwise(F.col("source")),
+        F.col("n_chars").cast("string"),
+    )
+    staged = docs.select("doc_id", line.alias("line"))
+    bad = F.col("line").rlike("[\"'`;<>\\\\]|\\./|select |declare ")
+    wrong_fields = ~F.col("line").rlike("^([^,]*,){2}[^,]*$")
+    return staged.filter(~bad & ~wrong_fields).select("doc_id", "line")
+
+
+def q_empty_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F9 — empty-string-means-missing backfill join
+    (import_flow_events.py:207-240): rows with '' (every 3rd doc)
+    take the context value; non-empty rows keep their own."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.col("lang")).alias(
+            "lang_cur"
+        ),
+    )
+    ctx = docs.select("doc_id", F.upper(F.col("source")).alias("lang_ctx"))
+    joined = meta.join(ctx, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("lang_cur") == "", F.col("lang_ctx"))
+        .otherwise(F.col("lang_cur"))
+        .alias("lang_filled"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.text_stats(_t(spark, sf_dir, "documents"))
+    return textstats.text_stats(_docs(spark, sf_dir))
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.language_id(_t(spark, sf_dir, "documents"))
+    return textstats.language_id(_docs(spark, sf_dir))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprint(_docs(spark, sf_dir))
 
 
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return textstats.token_counts(_docs(spark, sf_dir))
 
 
 def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column → Arrow-batched mapInPandas
     byte stats; oracle checks the same digests SQL-side."""
-    docs = attach_blob(_t(spark, sf_dir, "documents"))
+    docs = attach_blob(_docs(spark, sf_dir))
     return blob_stats(docs)
 
 
@@ -365,6 +440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "injection_filter": q_injection_filter,
+        "empty_backfill": q_empty_backfill,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -560,6 +640,48 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id AS id, embedding AS e,
+                     sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)))) AS nrm
+              FROM embeddings
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     list_sum(list_transform(range(1, 1 + len(a.e)),
+                       i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+                     / (a.nrm * b.nrm) AS cos
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cosine
+            FROM p WHERE cos >= 0.4
+        """,
+        "injection_filter": """
+            WITH staged AS (
+              SELECT doc_id,
+                     lang || ',' ||
+                     CASE WHEN doc_id % 7 = 0 THEN source || ''';--' ELSE source END
+                     || ',' || CAST(n_chars AS VARCHAR) AS line
+              FROM documents
+            )
+            SELECT doc_id, line FROM staged
+            WHERE NOT regexp_matches(line, '["''`;<>\\\\]|\\./|select |declare ')
+              AND regexp_matches(line, '^([^,]*,){2}[^,]*$')
+        """,
+        "empty_backfill": """
+            WITH meta AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS lang_cur
+              FROM documents
+            ), ctx AS (
+              SELECT doc_id, upper(source) AS lang_ctx FROM documents
+            )
+            SELECT m.doc_id AS doc_id,
+                   CASE WHEN m.lang_cur = '' THEN c.lang_ctx
+                        ELSE m.lang_cur END AS lang_filled
+            FROM meta m LEFT JOIN ctx c ON m.doc_id = c.doc_id
         """,
         "text_quality": """
             WITH t AS (

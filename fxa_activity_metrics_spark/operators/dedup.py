@@ -34,20 +34,25 @@ def tokens(text_col: str | F.Column = "text") -> F.Column:
 
 
 def shingles(text_col: str | F.Column = "text", n: int = 3) -> F.Column:
-    """Word n-gram shingles as strings ("w1 w2 w3"). Built from the
-    token array with transform over an index sequence — JVM-side.
-    Docs with fewer than n tokens get an empty shingle set (guarded:
-    Spark's sequence(a, b) runs DESCENDING when b < a)."""
+    """Word n-gram shingles as strings ("w1 w2 w3"), all JVM-side.
+
+    Built by zip_with over n shifted slices of the token array —
+    deliberately NOT a transform-with-index that slices the array
+    inside the lambda: expressions referenced inside a higher-order
+    lambda are re-evaluated PER ELEMENT, which turns the construction
+    quadratic (and re-runs the upstream split per element). Here every
+    reference to the token array sits at top level → once per row.
+    Docs with fewer than n tokens get an empty shingle set."""
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.slice(toks, 1, length)
+    for i in range(1, n):
+        z = F.zip_with(
+            z, F.slice(toks, i + 1, length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(z)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -74,17 +79,29 @@ def minhash_signature(
     md5('{i}:' || shingle). String-min over hex digests is a valid
     uniform min-hash family and is reproducible in any engine with
     md5. Output: (id, sig array<string> of length num_hashes)."""
+    # Single fold over the shingle set: acc holds the running minimum
+    # per hash index, so the shingle expression appears exactly once
+    # in the tree (a transform over hash indices would re-evaluate it
+    # per index — per-lambda references re-run per element). md5 cost
+    # is the irreducible num_hashes × |shingles|.
+    sentinel = "~"  # sorts after every md5 hex digest
     sh = shingles(text_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda t: F.md5(F.concat(i.cast("string"), F.lit(":"), t)))
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(sentinel), num_hashes),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), t)),
+            ),
+            lambda a, b: F.least(a, b),
         ),
     )
-    # docs with an empty shingle set have null minhashes — excluded
+    # docs with an empty shingle set keep the sentinel — excluded
     # (the SQL analogue drops them via NULL-key join semantics)
     return docs.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
-        F.col("sig").getItem(0).isNotNull()
+        F.col("sig").getItem(0) != sentinel
     )
 
 
@@ -95,14 +112,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into bands of
     ``band_size``; docs sharing any band key are candidates.
 
     Scale path: explode to (band_idx, band_key, id) — docs × bands
-    rows — then self-join on the band key. The join is equi-keyed so
-    Spark shuffles on (band_idx, band_key); no cross product. Output:
-    distinct (id_a, id_b) with id_a < id_b.
+    rows — then bucket on the band key and expand in-bucket pairs.
+    One shuffle on (band_idx, band_key); no cross product, no
+    self-join. Output: distinct (id_a, id_b) with id_a < id_b.
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
@@ -118,10 +136,35 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
-    a = bands.select(F.col("id").alias("id_a"), "band_idx", "band_key")
-    b = bands.select(F.col("id").alias("id_b"), "band_idx", "band_key")
-    pairs = a.join(b, ["band_idx", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    # Bucket by band key and expand in-bucket combinations, instead of
+    # a band self-join: signatures are computed once (a self-join
+    # duplicates the whole shingle→md5 subtree on both sides) and the
+    # shuffle carries (band_key, id) rows only. In-bucket expansion is
+    # O(bucket²) — fine because LSH buckets are near-dup clusters;
+    # max_bucket_size guards the pathological all-identical corpus
+    # (an oversized bucket means the band is non-discriminative).
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    ids = F.col("ids")  # plain attribute — cheap to re-read per lambda element
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -173,22 +216,39 @@ def simhash(
     doubles for h < 2^32. Output: (id, simhash BIGINT).
     """
     toks = F.array_distinct(tokens(text_col))
-    # hash every token ONCE (md5 is the expensive step), then the
-    # 32-bit sweep runs on a long array — pure integer ops
+    # hash every token ONCE (md5 is the expensive step), then fold the
+    # hash array ONCE, accumulating [n_tokens, set_count(bit0..bits)].
+    # A per-bit sweep that filters the hash array inside a lambda
+    # would re-evaluate the md5 transform per bit (per-lambda
+    # references re-run per element) — this shape keeps md5 at n.
     hs = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    bit_set = lambda h, b: (  # noqa: E731
-        F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2 == 1
-    )
-    # per-bit net vote: 2*set_count - n_tokens > 0  <=>  majority set
+    pow_d = F.array(*[F.lit(float(1 << b)) for b in range(bits)])  # divisors
+    pow_l = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])  # weights
+    zero = F.lit(0).cast("long")
     sig = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.size(F.filter(hs, lambda h: bit_set(h, b))) * 2 > F.size(hs),
-            F.floor(F.pow(F.lit(2.0), b.cast("double"))).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        hs,
+        F.array_repeat(zero, bits + 1),
+        # acc[0] counts tokens; acc[1+b] counts tokens with bit b set
+        # (floor(h / 2^b) % 2, exact in doubles for h < 2^32)
+        lambda acc, h: F.zip_with(
+            acc,
+            F.concat(
+                F.array(F.lit(1).cast("long")),
+                F.transform(pow_d, lambda p: F.floor(h / p).cast("long") % 2),
+            ),
+            lambda a, b: a + b,
+        ),
+        # majority vote per bit: 2*set_count > n_tokens → bit set
+        lambda acc: F.aggregate(
+            F.zip_with(
+                F.slice(acc, 2, bits),
+                pow_l,
+                lambda c, w: F.when(c * 2 > F.element_at(acc, 1), w).otherwise(zero),
+            ),
+            zero,
+            lambda s, x: s + x,
+        ),
     )
     return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))

@@ -109,6 +109,180 @@ def bucket_ids(
     return df.withColumn(out_col, bucket.cast("long"))
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a <
+    id_b) with cosine ≥ threshold.
+
+    Norms are computed once per vector before the join (N norm
+    computations, not N²). The all-pairs product is a broadcast
+    nested-loop by design here — this is the *correctness baseline*;
+    the 100 TB path is `embedding_neardup_lsh`, which prunes the pair
+    space with hyperplane buckets before scoring.
+
+    Output: (id_a, id_b, cosine) rounded to 6dp.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Scale-path near-dup: hyperplane-LSH bucket join, then exact
+    cosine filter. A θ-close pair shares a table's n-bit bucket with
+    probability (1 - θ/π)^n; recall is raised two ways — one-bit-flip
+    multiprobe on the left side, and n_tables independent hash tables
+    (miss probability decays exponentially in tables). Shuffles on
+    the (table, bucket) key instead of materializing N² pairs.
+    Approximate (recall < 1); same output schema as
+    embedding_neardup_pairs.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=f"fxa-lsh:{t}")
+        base = bucket_ids(base, "vec", planes, out_col=f"_b{t}")
+    # left side probes its own bucket + every one-bit flip, per table
+    a_keys = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("bk")),
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col(f"_b{t}")
+                            .bitwiseXOR(F.lit(1 << p))
+                            .cast("long")
+                            .alias("bk"),
+                        )
+                        for p in range(n_planes)
+                    ],
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    b_keys = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("bk"))
+            for t in range(n_tables)
+        ]
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(a_keys).alias("k"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(b_keys).alias("k"),
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: str = "fxa-ivf",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around
+    centroid vectors; queries score only the n_probe nearest cells.
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (the md5-smallest n_cells ids) — no training loop, reproducible
+    across runs, collected to the driver (n_cells × dim floats) and
+    broadcast as literals. Cell assignment and probing are one
+    broadcast-join map each; the candidate join is equi-keyed on
+    cell — the corpus shuffles once, candidates shrink ~n_cells /
+    n_probe fold. Output schema matches brute_force_topk; recall < 1.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("h", F.md5(F.concat(F.lit(seed + ":"), F.col("cid").cast("string"))))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(i, list(r["cv"])) for i, r in enumerate(cent_rows)]
+
+    def nearest_cells(vec: F.Column, n: int) -> F.Column:
+        """array of the n cell ids with highest cosine to vec."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cv in cents
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("cell", nearest_cells(F.col("c_vec"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("cell", F.explode(nearest_cells(F.col("q_vec"), n_probe)))
+    cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

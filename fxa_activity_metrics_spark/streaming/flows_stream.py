@@ -105,8 +105,11 @@ def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):
     same table state (exactly-once effect on the lake)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.cache()
+        # localCheckpoint severs the micro-batch lineage: joining a
+        # streaming-derived frame against a batch read of the sink
+        # table otherwise trips attribute resolution (and would
+        # recompute the micro-batch per downstream action)
+        batch_df = batch_df.localCheckpoint(eager=True)
         if lake.exists(table):
             existing = lake.read(table)
             kept = existing.join(

@@ -1,0 +1,49 @@
+"""Recall floors for the approximate similarity operators (the ones
+without SQL oracles): each must recover a healthy fraction of the
+exact answer, and near-dup results must be exact-subset correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+def _neighbor_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    return _neighbor_sets(E.queries()["ann_bruteforce"](spark, SF))
+
+
+@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf"])
+def test_ann_recall(spark, exact_topk, name):
+    approx = _neighbor_sets(E.queries()[name](spark, SF))
+    hits = total = 0
+    for qid, want in exact_topk.items():
+        got = approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.4, f"{name} recall {recall:.2f} < 0.4"
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in E.queries()["embedding_neardup"](spark, SF).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in E.queries()["embedding_neardup_lsh"](spark, SF).collect()
+    }
+    assert approx <= exact, "LSH pairs must pass the exact cosine filter (no false positives)"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"near-dup LSH recall {recall:.2f} < 0.6"

@@ -1,0 +1,105 @@
+"""Structured Streaming tests: the streaming flow-session aggregate
+must converge to the batch answer (batch results are the oracle —
+SURVEY §7 build step 7), and the tumbling daily rollup must match a
+static groupBy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.functions.core import day_of, ts_from_epoch
+from fxa_activity_metrics_spark.schemas import FLOW_CSV_SCHEMA
+from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark.streaming.flows_stream import (
+    daily_event_counts_stream,
+    run_flow_sessions_stream,
+    session_aggregate,
+)
+from tests.fixtures import F_A, F_B, UID_B, write_flow_days
+
+D1 = dt.date(2024, 3, 1)
+D2 = dt.date(2024, 3, 2)
+
+
+@pytest.fixture(scope="module")
+def src_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    write_flow_days(d, D1, D2)
+    return d
+
+
+def _static_events(spark, src_dir):
+    raw = spark.read.schema(FLOW_CSV_SCHEMA).csv(src_dir)
+    return raw.withColumn("timestamp", ts_from_epoch("timestamp")).withColumn(
+        "day", day_of("timestamp")
+    )
+
+
+def test_stream_matches_batch_sessions(spark, src_dir, tmp_path):
+    lake = Lake(spark, str(tmp_path / "stream_lake"))
+    q = run_flow_sessions_stream(
+        spark, src_dir, lake, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = lake.read("flow_metadata_stream")
+    # batch oracle: the same aggregate over a static read
+    want = session_aggregate(_static_events(spark, src_dir))
+    got_rows = sorted(tuple(str(v) for v in r) for r in got.collect())
+    want_rows = sorted(tuple(str(v) for v in r) for r in want.collect())
+    assert got_rows == want_rows
+
+    # semantic spot-checks across micro-batch boundaries (files arrive
+    # one per trigger: flow B's begin and complete are in different
+    # micro-batches — state must carry over)
+    b = got.filter(F.col("flow_id") == F_B).collect()[0]
+    assert b["completed"] is True and b["duration"] == 900000 and b["uid"] == UID_B
+    a = got.filter(F.col("flow_id") == F_A).collect()[0]
+    assert a["completed"] is True and a["new_account"] is True
+
+
+def test_stream_restart_is_idempotent(spark, src_dir, tmp_path):
+    """Re-running the stream over the same checkpoint replays nothing
+    and leaves the sink unchanged (exactly-once effect)."""
+    lake = Lake(spark, str(tmp_path / "lake2"))
+    ckpt = str(tmp_path / "ckpt2")
+    q = run_flow_sessions_stream(spark, src_dir, lake, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    before = sorted(tuple(str(v) for v in r) for r in lake.read("flow_metadata_stream").collect())
+    q2 = run_flow_sessions_stream(spark, src_dir, lake, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    after = sorted(tuple(str(v) for v in r) for r in lake.read("flow_metadata_stream").collect())
+    assert after == before
+
+
+def test_daily_counts_stream_plan_and_semantics(spark, src_dir, tmp_path):
+    """Tumbling 1-day window == static to_date groupBy."""
+    from fxa_activity_metrics_spark.streaming.flows_stream import read_flow_stream
+
+    events = read_flow_stream(spark, src_dir)
+    counted = daily_event_counts_stream(events)
+    q = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("daily_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in spark.table("daily_counts").collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in _static_events(spark, src_dir)
+        .groupBy(F.col("day"), F.col("type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
