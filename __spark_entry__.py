@@ -50,6 +50,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned like _docs: the vector math (dot
+    folds) must run partition-parallel, and the table arrives as one
+    small file."""
+    return read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (day, uid, device): the activity-event shape. The
     synthetic `events` table plays the raw activity log; event_type
@@ -308,7 +317,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.brute_force_topk(emb, queries_df, k=5)
 
@@ -317,7 +326,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (recall < 1 by design); the
     driver records a rows-only check, and tests assert recall ≥ 0.4
     vs the brute-force baseline."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.lsh_topk(emb, queries_df, k=5, n_planes=4)
 
@@ -325,7 +334,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact pairwise baseline (broadcast
     nested-loop; norms precomputed per vector)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
 
 
@@ -333,7 +342,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
     filter. Approximate — no SQL oracle; tests assert the result is a
     subset of the exact pairs with recall ≥ 0.5."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4, n_tables=3)
 
 
@@ -341,7 +350,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic hash-sampled centroids, cell-bucketed
     candidate join, n_probe cells per query. Approximate — rows-only
     check; recall vs brute force asserted in tests."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4)
 

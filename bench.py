@@ -37,7 +37,13 @@ BENCH_QUERIES = [
     "simhash",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "injection_filter",
+    "empty_backfill",
     "text_quality",
+    "language_id",
     "fingerprint",
     "token_histogram",
     "blob_stats",

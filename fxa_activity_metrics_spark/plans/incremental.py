@@ -233,10 +233,13 @@ def run_counts_import(
     `fxa-basic-metrics-{day}.txt` files, skip already-populated days
     unless force_reload (C5), merge into the day-UNIQUE counts table.
     """
-    from fxa_activity_metrics_spark.operators.counts import typed_counts
+    from fxa_activity_metrics_spark.operators.counts import COUNTS_BEGIN, typed_counts
     from fxa_activity_metrics_spark.schemas import COUNTS_CSV_SCHEMA, COUNTS_SCHEMA
 
     files = discover_source_days(source_dir, "fxa-basic-metrics")
+    # history starts 2017-05-30 (import_counts.py:43) — skip older
+    # drops at discovery so they aren't re-read every run
+    files = {d: p for d, p in files.items() if d >= COUNTS_BEGIN}
     existing = lake.read("counts", COUNTS_SCHEMA)
     if not force_reload and lake.exists("counts"):
         have = {r["day"] for r in existing.select("day").distinct().collect()}
