@@ -101,6 +101,150 @@ def _fake_decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+    ]
+)
+
+
+def resize_image_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
+    """Resize kernel — STUB (needs Pillow); swap for
+    `Image.open(...).resize((width, height))` in production."""
+    raise NotImplementedError("image resize requires Pillow; not in this container")
+
+
+def _fake_resize_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
+    """Deterministic fake: 'resized' blob = md5(blob) || dims tag."""
+    tag = f":{width}x{height}".encode()
+    return blobs.map(lambda b: hashlib.md5(bytes(b)).digest() + tag)
+
+
+def resize_images(
+    docs: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    kernel=None,
+) -> DataFrame:
+    """Batch image resize over mapInPandas: blob in → resized blob
+    out, partition-parallel, zero shuffle."""
+    k = kernel or resize_image_batch
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "blob": k(pdf[blob_col], width, height),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return docs.select(id_col, blob_col).mapInPandas(compute, RESIZED_SCHEMA)
+
+
+def sample_frames_batch(blobs: pd.Series, every_ms: int) -> pd.DataFrame:
+    """Video frame-sampling kernel — STUB (needs PyAV/ffmpeg)."""
+    raise NotImplementedError("frame sampling requires PyAV/ffmpeg; not in this container")
+
+
+def _fake_sample_frames_batch(blobs: pd.Series, every_ms: int) -> pd.DataFrame:
+    """Deterministic fake: blob length picks a fake duration; one
+    'frame' (digest slice) per every_ms step. Returns one row PER
+    FRAME with a `_src` index back into the input batch."""
+    rows = []
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        duration_ms = 1000 + (len(b) % 5) * 1000
+        for idx, ts in enumerate(range(0, duration_ms, every_ms)):
+            d = hashlib.md5(b + ts.to_bytes(8, "big")).digest()
+            rows.append({"_src": i, "frame_idx": idx, "frame_ts_ms": ts, "frame": d})
+    return pd.DataFrame(rows, columns=["_src", "frame_idx", "frame_ts_ms", "frame"])
+
+
+def sample_video_frames(
+    docs: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    kernel=None,
+) -> DataFrame:
+    """Frame sampling: one input row fans out to N frame rows — the
+    mapInPandas iterator shape handles 1→N naturally (no explode of a
+    giant materialized array)."""
+    k = kernel or sample_frames_batch
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = k(pdf[blob_col], every_ms)
+            frames.insert(0, "doc_id", pdf[id_col].values[frames["_src"].values])
+            yield frames.drop(columns=["_src"]).astype(
+                {"frame_idx": "int32", "frame_ts_ms": "int64"}
+            )
+
+    return docs.select(id_col, blob_col).mapInPandas(compute, FRAMES_SCHEMA)
+
+
+def audio_features_batch(blobs: pd.Series) -> pd.DataFrame:
+    """Audio feature kernel — STUB (needs torchaudio/soundfile)."""
+    raise NotImplementedError("audio decode requires torchaudio; not in this container")
+
+
+def _fake_audio_features_batch(blobs: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in blobs:
+        d = hashlib.md5(bytes(b)).digest()
+        rows.append(
+            {
+                "duration_ms": 500 + int.from_bytes(d[:2], "big") % 10000,
+                "sample_rate": [8000, 16000, 44100][d[2] % 3],
+                "rms": float(d[3]) / 255.0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def audio_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    kernel=None,
+) -> DataFrame:
+    k = kernel or audio_features_batch
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = k(pdf[blob_col])
+            feats.insert(0, "doc_id", pdf[id_col].values)
+            yield feats
+
+    return docs.select(id_col, blob_col).mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
+
+
 def image_features(
     docs: DataFrame,
     id_col: str = "doc_id",

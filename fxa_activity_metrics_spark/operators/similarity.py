@@ -100,13 +100,26 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "fxa-lsh") -> list[list[flo
 def bucket_ids(
     df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "bucket"
 ) -> DataFrame:
-    """n-bit LSH bucket: bit p = (dot(vec, plane_p) > 0)."""
+    """n-bit LSH bucket: bit p = (dot(vec, plane_p) > 0).
+
+    Planes go in as ONE nested-array literal (single py4j call,
+    constant-folded) and the bit-sum is a single fold — not a chain of
+    per-plane expressions, each carrying its own literal array."""
+    planes_lit = F.lit([list(p) for p in planes])
     v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(dot(v, lit_plane) > 0, F.lit(1 << p)).otherwise(0)
-    return df.withColumn(out_col, bucket.cast("long"))
+    zero = F.lit(0).cast("long")
+    bucket = F.aggregate(
+        F.transform(
+            planes_lit,
+            lambda p, i: F.when(
+                dot(v, p) > 0,
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(zero),
+        ),
+        zero,
+        lambda acc, b: acc + b,
+    )
+    return df.withColumn(out_col, bucket)
 
 
 def embedding_neardup_pairs(
@@ -245,18 +258,16 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
-    cents = [(i, list(r["cv"])) for i, r in enumerate(cent_rows)]
+    # ONE nested-array literal (a single py4j call + constant-folded
+    # JVM value). Building it as n_cells × dim individual F.lit calls
+    # would cost thousands of driver round-trips per plan.
+    cents_lit = F.lit([list(r["cv"]) for r in cent_rows])
 
     def nearest_cells(vec: F.Column, n: int) -> F.Column:
         """array of the n cell ids with highest cosine to vec."""
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cv in cents
-            ]
+        scored = F.transform(
+            cents_lit,
+            lambda cv, i: F.struct(cosine(vec, cv).alias("cos"), i.alias("cell")),
         )
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
         return F.transform(top, lambda s: s["cell"])
