@@ -1,0 +1,95 @@
+"""Physical-plan audits: the scale contract, asserted.
+
+Each test pins a property the 100 TB design depends on — filter
+pushdown to the parquet scan, column pruning, broadcast of small join
+sides, map-side partial aggregation, whole-stage codegen — so a
+regression that silently de-optimizes a plan fails CI, not the
+cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = E.queries()["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, (
+        "date filter must reach the parquet scan"
+    )
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in plan and "l_shipinstruct" not in plan
+    # codegen spans appear once AQE finalizes — execute, then inspect
+    # ("*(n)" marks a WholeStageCodegen stage in the plan string)
+    df.collect()
+    assert "*(1)" in _plan(df)
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(E.queries()["pricing_summary"](spark, SF))
+    # map-side combine: a partial_sum before the exchange, final after
+    assert "partial_sum" in plan and "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    plan = _plan(E.queries()["nation_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "nation/region (and with AQE typically customer) must broadcast"
+    )
+
+
+def test_order_revenue_join_filters_pushed(spark):
+    plan = _plan(E.queries()["order_revenue"](spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_multi_device_join_is_equi_keyed(spark):
+    """J1 must plan as an equi-join on uid with the theta terms as
+    residual filters — never a cartesian/BNL join."""
+    plan = _plan(E.queries()["multi_device_users_join"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = _plan(E.queries()["exact_dedup"](spark, SF))
+    assert "partial_min" in plan or "partial_count" in plan, "map-side combine on the digest groupBy"
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(E.queries()["minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """The query batch broadcasts; the corpus is never shuffled."""
+    plan = _plan(E.queries()["ann_bruteforce"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_stays_jvm_side(spark):
+    """No Python eval in the dedup/text hot paths — everything is
+    built-in expressions (SURVEY §2.10: zero UDFs for parity ops)."""
+    for name in ["minhash_lsh", "simhash", "text_quality", "fingerprint", "exact_dedup"]:
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_scan_day_filter_constant_folded(spark):
+    """Retention cutoffs fold to literals before reaching the scan."""
+    opt = _optimized(E.queries()["scalar_functions"](spark, SF))
+    assert "add_months" not in opt.lower() or "retention_cutoff" in opt
