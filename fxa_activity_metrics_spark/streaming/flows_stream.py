@@ -25,6 +25,9 @@ window (SURVEY §7 trap 9).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,6 +145,117 @@ def run_flow_sessions_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_STATS_SCHEMA = (
+    "flow_id string, n_events long, first_ts timestamp, last_ts timestamp, "
+    "max_flow_time long, completed boolean"
+)
+_STATE_SCHEMA = "n long, first long, last long, maxft long, done boolean"
+
+
+def stateful_session_stats(
+    events: DataFrame,
+    timeout_ms: int = 24 * 3600 * 1000,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-flow
+    running stats emitted when the flow goes quiet (event-time timeout
+    one grace-day after the last event — the reference's 1-day
+    lateness contract as a state TTL).
+
+    This is the escape hatch for session semantics that are NOT an
+    associative aggregate (the agg-based session_aggregate covers the
+    reference's columns; this operator is the extension point for
+    order-dependent logic). State is a single tiny tuple per live
+    flow; batches arrive as Arrow, so the Python hop is vectorized.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            n, first, last, maxft, done = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "flow_id": [key[0]],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(first, unit="us")],
+                    "last_ts": [pd.Timestamp(last, unit="us")],
+                    "max_flow_time": [maxft],
+                    "completed": [done],
+                }
+            )
+            return
+        n, first, last, maxft, done = (
+            state.get if state.exists else (0, None, None, 0, False)
+        )
+        for pdf in pdfs:
+            ts = pdf["timestamp"].astype("int64") // 1000  # ns → µs
+            n += len(pdf)
+            first = int(ts.min()) if first is None else min(first, int(ts.min()))
+            last = int(ts.max()) if last is None else max(last, int(ts.max()))
+            maxft = max(maxft, int(pdf["flow_time"].max()))
+            done = done or bool((pdf["type"] == "flow.complete").any())
+        state.update((n, first, last, maxft, done))
+        # evict one grace-day after the flow's newest event (event
+        # time), clamped ahead of the current watermark — late flows
+        # processed after the watermark advanced (newest-file-first
+        # listings) would otherwise request an already-passed timeout;
+        # they fire in the next (possibly no-data) micro-batch
+        state.setTimeoutTimestamp(
+            max(last // 1000 + timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # make this a generator on every path
+
+    return (
+        events.withWatermark("timestamp", watermark)
+        .groupBy(F.col("flow_id"))
+        .applyInPandasWithState(
+            track,
+            outputStructType=SESSION_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_session_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    table: str = "flow_session_stats",
+    timeout_ms: int = 24 * 3600 * 1000,
+    watermark: str = "1 day",
+):
+    """Wire the stateful operator to an append-mode lake sink."""
+    events = read_flow_stream(spark, source_dir)
+    stats = stateful_session_stats(events, timeout_ms=timeout_ms, watermark=watermark)
+
+    def append(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        existing = lake.read(table) if lake.exists(table) else None
+        merged = (
+            existing.join(batch_df.select("flow_id"), "flow_id", "left_anti").unionByName(
+                batch_df
+            )
+            if existing is not None
+            else batch_df
+        )
+        lake.overwrite(table, merged)
+
+    return (
+        stats.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(append)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def daily_event_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

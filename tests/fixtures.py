@@ -36,6 +36,10 @@ def write_csv(dirpath: str, prefix: str, day: dt.date, rows: list[list]) -> str:
     with open(path, "w") as f:
         for row in rows:
             f.write(",".join(str(v) for v in row) + "\n")
+    # mtime = the file's day, like a real daily drop: Spark's file
+    # stream orders by modification time, so arrival order (and thus
+    # watermark advancement across micro-batches) is deterministic
+    os.utime(path, (epoch(day), epoch(day)))
     return path
 
 

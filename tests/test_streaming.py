@@ -103,3 +103,37 @@ def test_daily_counts_stream_plan_and_semantics(spark, src_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stateful_session_stats_timeout_emission(spark, src_dir, tmp_path):
+    """applyInPandasWithState custom operator: flows emit when they go
+    quiet (event-time timeout), live flows stay in state. With a
+    10-minute watermark and 5-minute TTL over the fixture, flows A/B/D
+    (last events well before the final watermark) must emit; flow C's
+    last event is 1 minute before max event time, so it stays live."""
+    from fxa_activity_metrics_spark.streaming.flows_stream import (
+        run_session_stats_stream,
+    )
+    from tests.fixtures import F_C, F_D
+
+    lake = Lake(spark, str(tmp_path / "state_lake"))
+    q = run_session_stats_stream(
+        spark,
+        src_dir,
+        lake,
+        checkpoint_dir=str(tmp_path / "ckpt_state"),
+        timeout_ms=5 * 60 * 1000,
+        watermark="10 minutes",
+    )
+    q.awaitTermination(120)
+    got = {r["flow_id"]: r for r in lake.read("flow_session_stats").collect()}
+    assert F_A in got and F_B in got and F_D in got
+    assert F_C not in got, "still-live flow must remain in state, not emit"
+    a = got[F_A]
+    assert a["n_events"] == 4 and a["max_flow_time"] == 130000 and a["completed"] is True
+    b = got[F_B]
+    assert b["n_events"] == 2 and b["completed"] is True, (
+        "state carries across micro-batches (begin and complete arrive in different files)"
+    )
+    d = got[F_D]
+    assert d["n_events"] == 2 and d["completed"] is False
