@@ -177,10 +177,13 @@ class Lake:
         day_lits = [F.lit(str(d)).cast("date") for d in days]
         affected = self.read(table).filter(F.col("day").isin(*day_lits))
         kept = affected.filter(~condition)
+        # materialize the surviving-day set BEFORE the overwrite: the
+        # write replaces the very files `kept` reads from, so any
+        # re-execution of the plan afterwards would hit deleted files
+        remaining = {r["day"] for r in kept.select("day").distinct().collect()}
         self.write_days(table, kept)
         # partitions whose rows were all deleted need an explicit drop
         # (dynamic overwrite only rewrites partitions present in `kept`)
-        remaining = {r["day"] for r in kept.select("day").distinct().collect()}
         for d in days:
             if d not in remaining and self.day_populated(table, d):
                 shutil.rmtree(os.path.join(self.path(table), f"day={d.isoformat()}"))
