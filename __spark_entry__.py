@@ -411,6 +411,18 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace words + BPE-ish regex
+    pieces (letter runs / digit runs / punctuation marks)."""
+    return textstats.token_count_modes(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint (MOSS-style): min hash per
+    sliding window over char 5-gram hashes."""
+    return textstats.winnow_fingerprint(_docs(spark, sf_dir), k=5, window=4)
+
+
 def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column → Arrow-batched mapInPandas
     byte stats; oracle checks the same digests SQL-side."""
@@ -458,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "token_histogram": q_token_histogram,
+        "token_count_bpe": q_token_count_bpe,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "blob_stats": q_blob_stats,
     }
 
@@ -749,6 +763,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(list_filter(string_split(text, ' '),
                           x -> x <> '')) AS token FROM documents)
             GROUP BY token
+        """,
+        "token_count_bpe": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_ws,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS n_bpe
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_ws AS BIGINT) AS n_ws_tokens,
+                   CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+                   round(CASE WHEN n_ws > 0
+                         THEN CAST(n_bpe AS DOUBLE) / n_ws ELSE 0.0 END, 6)
+                     AS pieces_per_word
+            FROM t
+        """,
+        "winnow_fingerprint": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) >= 5 THEN
+                       list_transform(range(1, length(t) - 5 + 2), i ->
+                         ('0x' || substring(md5(substring(t, i, 5)), 1, 8))::BIGINT)
+                     ELSE [] END AS hs
+              FROM g
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_transform(range(1, len(hs) - 4 + 2), i ->
+                         list_min(hs[i:i+3]))
+                     ELSE [] END AS mins
+              FROM h
+            )
+            SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m
         """,
         "blob_stats": """
             SELECT doc_id,

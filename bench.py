@@ -45,7 +45,9 @@ BENCH_QUERIES = [
     "text_quality",
     "language_id",
     "fingerprint",
+    "winnow_fingerprint",
     "token_histogram",
+    "token_count_bpe",
     "blob_stats",
 ]
 

@@ -111,6 +111,78 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the usual pre-split BPE vocabularies are trained over.
+# Escape-free so the Java-regex (Spark) and RE2 (DuckDB oracle)
+# readings are identical.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_modes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token counts under both tokenizers: whitespace
+    words and BPE-ish regex pieces, plus their ratio (a cheap
+    tokens-per-word estimator for LLM-budget accounting). One scan,
+    no shuffle."""
+    n_ws = F.size(tokens(text_col))
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
+    return docs.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_ws > 0, n_bpe.cast("double") / n_ws.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("pieces_per_word"),
+    )
+
+
+def winnow_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (rolling-hash selection, as in
+    MOSS): hash every char k-gram, keep the minimum hash of each
+    sliding window of ``window`` consecutive k-grams, return the
+    sorted distinct selection. Near-identical documents share most
+    selected hashes, and the selection is position-robust.
+
+    The k-gram hash array is STAGED as its own projection, then the
+    sliding minima are zip_with folds over ``window`` shifted slices
+    of that bound column — referencing the hash expression inside a
+    per-window lambda would re-run the md5 transform per window
+    position (the HOF re-evaluation trap).
+    """
+    lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+    txt = F.col("_t")  # bound column — cheap to re-read per lambda element
+    n_grams = F.length(txt) - (k - 1)
+    hashes = F.when(
+        F.length(txt) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.conv(F.substring(F.md5(F.substring(txt, i, k)), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = lowered.select(F.col(id_col), hashes.alias("_h"))
+    n_windows = F.greatest(F.size("_h") - (window - 1), F.lit(0))
+    mins = F.slice("_h", 1, n_windows)
+    for i in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice("_h", i + 1, n_windows), lambda a, b: F.least(a, b)
+        )
+    return staged.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps")
+    )
+
+
 def token_counts(
     docs: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
