@@ -56,6 +56,17 @@ def validate_field_count(lines: DataFrame, n_fields: int) -> DataFrame:
     return lines.filter(F.col("value").rlike(field_re))
 
 
+def pad_short_lines(lines: DataFrame, n_fields: int) -> DataFrame:
+    """P9 repair utility (pad-flow-data.sh:19): append commas so every
+    short line reaches exactly ``n_fields`` fields. In the reference
+    this is a MANUAL repair step — Redshift COPY rejects short rows,
+    so the automated load counts them against MAXERROR; run this
+    first when a feed is known to drop trailing empties."""
+    cnt = F.size(F.split(F.col("value"), ",", -1))
+    pad = F.repeat(F.lit(","), F.greatest(F.lit(n_fields) - cnt, F.lit(0)))
+    return lines.select(F.concat(F.col("value"), pad).alias("value"))
+
+
 def read_day_csv(
     spark: SparkSession,
     path: str,
@@ -68,14 +79,15 @@ def read_day_csv(
     Semantics reproduced from `COPY ... FORMAT AS CSV MAXERROR AS 100
     TRUNCATECOLUMNS` (import_events.py:87-100):
 
-    - rows that fail the schema are tolerated up to ``max_errors``,
-      then the whole load fails (MAXERROR);
+    - rows that fail the schema — including SHORT rows, which Redshift
+      COPY rejects too (that's what the manual pad-flow-data.sh repair
+      exists for; see pad_short_lines) — are tolerated up to
+      ``max_errors``, then the whole load fails (MAXERROR);
     - surviving bad rows are DROPPED (Redshift skips them);
     - over-length strings are truncated, not rejected (TRUNCATECOLUMNS);
     - missing values parse as EMPTY STRING, not NULL — the reference's
-      missing-value sentinel (SURVEY §7 trap 2). PERMISSIVE null-fill
-      on short rows is coalesced back to '' for string columns (the
-      pad-flow-data.sh behavior).
+      missing-value sentinel (SURVEY §7 trap 2); any residual NULL in
+      a string column is coalesced back to ''.
     """
     staging_schema = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
