@@ -267,3 +267,44 @@ def daily_event_counts_stream(events: DataFrame, watermark: str = "1 day") -> Da
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").cast("date").alias("day"), "type", "n_events")
     )
+
+
+def run_daily_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    table: str = "daily_event_counts",
+):
+    """Day-partitioned exactly-once sink (SURVEY §2.9 'Exactly-once /
+    idempotent sink'): foreachBatch merges each micro-batch's updated
+    (day, type) rows into the touched day partitions and rewrites ONLY
+    those partitions via dynamic partition overwrite — the streaming
+    version of the reference's clear-day+insert contract
+    (import_events.py:102-105). Replaying an epoch converges to the
+    same partition contents."""
+    events = read_flow_stream(spark, source_dir)
+    counts = daily_event_counts_stream(events)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+        if lake.exists(table):
+            existing = lake.read_days(table, min(days), max(days))
+            kept = existing.join(
+                batch_df.select("day", "type"), ["day", "type"], "left_anti"
+            )
+            merged = kept.unionByName(batch_df.select(*kept.columns))
+        else:
+            merged = batch_df
+        lake.write_days(table, merged, sort_cols=["type"])
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -137,3 +137,37 @@ def test_stateful_session_stats_timeout_emission(spark, src_dir, tmp_path):
     )
     d = got[F_D]
     assert d["n_events"] == 2 and d["completed"] is False
+
+
+def test_daily_counts_day_partitioned_sink(spark, src_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite keyed by day — the
+    streaming exactly-once sink (S5's contract). Final partitions must
+    equal the static rollup, and a checkpointed re-run is a no-op."""
+    from fxa_activity_metrics_spark.streaming.flows_stream import (
+        run_daily_counts_stream,
+    )
+
+    lake = Lake(spark, str(tmp_path / "counts_lake"))
+    ckpt = str(tmp_path / "ckpt_counts")
+    q = run_daily_counts_stream(spark, src_dir, lake, ckpt)
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["day"]), r["type"], r["n_events"])
+        for r in lake.read("daily_event_counts").collect()
+    )
+    want = sorted(
+        (str(r["day"]), r["type"], r["n"])
+        for r in _static_events(spark, src_dir)
+        .groupBy("day", "type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    assert set(lake.days("daily_event_counts")) == {D1, D2}, "day-partitioned layout"
+    q2 = run_daily_counts_stream(spark, src_dir, lake, ckpt)
+    q2.awaitTermination(120)
+    again = sorted(
+        (str(r["day"]), r["type"], r["n_events"])
+        for r in lake.read("daily_event_counts").collect()
+    )
+    assert again == got
