@@ -171,3 +171,44 @@ def test_daily_counts_day_partitioned_sink(spark, src_dir, tmp_path):
         for r in lake.read("daily_event_counts").collect()
     )
     assert again == got
+
+
+def test_activity_import_stream_matches_batch(spark, tmp_path):
+    """The streaming activity import must produce a lake identical to
+    the batch ImportJob over the same day-files — all three sampled
+    variants — and a checkpointed re-run must change nothing."""
+    from fxa_activity_metrics_spark.plans.incremental import ImportJob
+    from fxa_activity_metrics_spark.schemas import ACTIVITY, SAMPLE_RATES
+    from fxa_activity_metrics_spark.streaming.activity_stream import (
+        run_activity_import_stream,
+    )
+    from tests.fixtures import write_activity_days
+
+    src = str(tmp_path / "src")
+    days = [D1, D2]
+    write_activity_days(src, days)
+
+    stream_lake = Lake(spark, str(tmp_path / "stream_lake"))
+    q = run_activity_import_stream(
+        spark, src, stream_lake, checkpoint_dir=str(tmp_path / "ckpt_act")
+    )
+    q.awaitTermination(120)
+
+    batch_lake = Lake(spark, str(tmp_path / "batch_lake"))
+    ImportJob(spark=spark, lake=batch_lake, dataset=ACTIVITY, source_dir=src).run()
+
+    def rows(lake, table):
+        df = lake.read(table)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    for suffix, _pct, _m in SAMPLE_RATES:
+        t = f"activity_events{suffix}"
+        assert rows(stream_lake, t) == rows(batch_lake, t), t
+
+    before = rows(stream_lake, "activity_events")
+    q2 = run_activity_import_stream(
+        spark, src, stream_lake, checkpoint_dir=str(tmp_path / "ckpt_act")
+    )
+    q2.awaitTermination(120)
+    assert rows(stream_lake, "activity_events") == before
