@@ -411,6 +411,41 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks one): each purchase
+    event picks up the most recent signup at-or-before it per user,
+    via the union+forward-fill formulation (one shuffle, no pair
+    explosion). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from fxa_activity_metrics_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    return asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        payload=["signup_ts", "signup_event_id"],
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via F.session_window (30-minute gap,
+    exclusive end: a gap of exactly 30min starts a new session)."""
+    from fxa_activity_metrics_spark.operators.summaries import gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_sessions(ev, "30 minutes", user_col="user_id", ts_col="ts")
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace words + BPE-ish regex
     pieces (letter runs / digit runs / punctuation marks)."""
@@ -469,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "asof_join": q_asof_join,
+        "session_window": q_session_window,
         "token_histogram": q_token_histogram,
         "token_count_bpe": q_token_count_bpe,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -763,6 +800,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(list_filter(string_split(text, ' '),
                           x -> x <> '')) AS token FROM documents)
             GROUP BY token
+        """,
+        "asof_join": """
+            WITH p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'
+            ), s AS (
+              SELECT user_id, ts AS signup_ts, max(event_id) AS signup_event_id
+              FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+            )
+            SELECT p.user_id, p.ts, p.event_id, s.signup_ts, s.signup_event_id
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+        "session_window": """
+            WITH m AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid
         """,
         "token_count_bpe": """
             WITH t AS (

@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "multi_device_users_join",
     "multi_device_users_window",
     "flow_sessionize",
+    "asof_join",
+    "session_window",
     "cohort_sample",
     "exact_dedup",
     "minhash_lsh",

@@ -89,6 +89,32 @@ def multi_device_users_join(
     return joined.select("day", "uid", "device_now", "device_prev").distinct()
 
 
+def gap_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "uid",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Gap-based sessionization via F.session_window (SURVEY §2.9):
+    events of one user belong to the same session while consecutive
+    gaps are strictly under ``gap``; a gap >= ``gap`` starts a new
+    session (Spark's session end is exclusive). One shuffle on the
+    user key; state-free in batch, watermark-evictable in streaming.
+
+    Output: (user, session_start, session_end, n_events) where
+    start/end are the first/last actual event timestamps.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events")
+    )
+
+
 def multi_device_users_window(
     activity: DataFrame,
     lookback_days: int = 7,
