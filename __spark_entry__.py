@@ -411,6 +411,50 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for distinct counts at scale: per-day unique users
+    via HyperLogLog++ (approx_count_distinct, rsd 2%) next to the
+    exact count. Approximate — no SQL oracle; tests assert the sketch
+    lands within tolerance of the exact value. At 100 TB the sketch
+    is mergeable and shuffle-light where exact distinct is a full
+    repartition of the key space."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("uniques_hll"),
+            F.countDistinct("user_id").alias("uniques_exact"),
+        )
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch: per-event-type p50/p95/p99 of value via
+    percentile_approx (GK sketch, accuracy 10000) plus exact
+    percentile for comparison. Approximate — rows-only check +
+    tolerance test."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("exact_pcts"),
+        )
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events props column —
+    get_json_object stays JVM-side and pushes the scan down to
+    (event_id, props) only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark lacks one): each purchase
     event picks up the most recent signup at-or-before it per user,
@@ -506,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "asof_join": q_asof_join,
         "session_window": q_session_window,
+        "daily_uniques_hll": q_daily_uniques_hll,
+        "value_percentiles": q_value_percentiles,
+        "json_extract": q_json_extract,
         "token_histogram": q_token_histogram,
         "token_count_bpe": q_token_count_bpe,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -801,6 +848,14 @@ def oracle_sql() -> dict[str, str]:
                           x -> x <> '')) AS token FROM documents)
             GROUP BY token
         """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+        """,
+        # daily_uniques_hll / value_percentiles: intentionally no
+        # oracle — sketch outputs (HLL++, GK) are approximate;
+        # rows-only check here, tolerance vs exact asserted in tests.
         "asof_join": """
             WITH p AS (
               SELECT user_id, ts, event_id FROM events

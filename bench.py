@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "flow_sessionize",
     "asof_join",
     "session_window",
+    "daily_uniques_hll",
+    "value_percentiles",
+    "json_extract",
     "cohort_sample",
     "exact_dedup",
     "minhash_lsh",
