@@ -279,11 +279,14 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("cell", F.explode(nearest_cells(F.col("q_vec"), n_probe)))
     cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    # (query, neighbor) pairs are already unique: each neighbor lives
+    # in exactly ONE cell and a query's probe cells are distinct — no
+    # dedup shuffle needed
     scored = cand.select(
         "query_id",
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -334,11 +337,14 @@ def lsh_topk(
             "query_id", "q_vec", F.explode(probes).alias("bucket")
         )
     cand = c.join(q, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    # pairs are unique without dedup: the corpus row sits in ONE
+    # bucket and the multiprobe list (bucket + distinct 1-bit flips)
+    # has no repeats
     scored = cand.select(
         "query_id",
         "neighbor_id",
         cosine(_as_double(F.col("q_vec")), _as_double(F.col("c_vec"))).alias("cos"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
