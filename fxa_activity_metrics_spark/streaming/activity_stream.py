@@ -1,5 +1,6 @@
-"""Streaming activity-event import: the file-source twin of the
-batch ImportJob (EP1), sharing its exact semantics.
+"""Streaming dataset import: the file-source twin of the batch
+ImportJob (EP1), sharing its exact semantics — works for any flat
+dataset descriptor (activity, email).
 
 Each micro-batch is one day-file (`maxFilesPerTrigger=1` — the
 reference's one-file-per-day cadence, import_events.py:179-186). The
@@ -19,18 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.functions.core import day_of, sample_cohort, ts_from_epoch
-from fxa_activity_metrics_spark.schemas import ACTIVITY, SAMPLE_RATES
+from fxa_activity_metrics_spark.schemas import ACTIVITY, Dataset, SAMPLE_RATES
 from fxa_activity_metrics_spark.sources.lake import Lake
 
 _FILE_DAY_RE = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.csv$"
 
 
-def read_activity_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Typed activity stream: declared schema (never inferred), epoch
+def read_dataset_stream(
+    spark: SparkSession, source_dir: str, dataset: Dataset = ACTIVITY
+) -> DataFrame:
+    """Typed event stream: declared schema (never inferred), epoch
     → timestamp, event day, and the owning file's day."""
     raw = (
-        spark.readStream.schema(ACTIVITY.csv_schema)
+        spark.readStream.schema(dataset.csv_schema)
         .option("maxFilesPerTrigger", 1)
+        # only this dataset's day-files — drop dirs hold several
+        # datasets (the batch driver filters by prefix the same way)
+        .option("pathGlobFilter", f"{dataset.csv_prefix}-*.csv")
         # '' stays '' — the reference's missing-value sentinel (same
         # options as the batch read_day_csv; SURVEY §7 trap 2)
         .option("emptyValue", "")
@@ -42,7 +48,7 @@ def read_activity_stream(spark: SparkSession, source_dir: str) -> DataFrame:
             F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
             if f.dataType.typeName() == "string"
             else F.col(f.name)
-            for f in ACTIVITY.csv_schema.fields
+            for f in dataset.csv_schema.fields
         ]
     )
     return (
@@ -55,16 +61,17 @@ def read_activity_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
-def run_activity_import_stream(
+def run_dataset_import_stream(
     spark: SparkSession,
     source_dir: str,
     lake: Lake,
     checkpoint_dir: str,
+    dataset: Dataset = ACTIVITY,
 ):
     """source stream → straggler filter → 3 sampled day-partition
     sinks. Returns the started query (availableNow)."""
-    events = read_activity_stream(spark, source_dir)
-    perm_cols = [f.name for f in ACTIVITY.lake_schema.fields if f.name != "day"]
+    events = read_dataset_stream(spark, source_dir, dataset)
+    perm_cols = [f.name for f in dataset.lake_schema.fields if f.name != "day"]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -74,10 +81,10 @@ def run_activity_import_stream(
         if day_rows.isEmpty():
             return
         for suffix, percent, _months in SAMPLE_RATES:
-            typed = day_rows.filter(sample_cohort(ACTIVITY.id_column, percent)).select(
+            typed = day_rows.filter(sample_cohort(dataset.id_column, percent)).select(
                 *perm_cols, "day"
             )
-            lake.write_days(f"{ACTIVITY.name}{suffix}", typed)
+            lake.write_days(f"{dataset.name}{suffix}", typed)
 
     return (
         events.writeStream.option("checkpointLocation", checkpoint_dir)
@@ -85,3 +92,8 @@ def run_activity_import_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# backwards-compatible aliases for the activity-specific names
+read_activity_stream = read_dataset_stream
+run_activity_import_stream = run_dataset_import_stream

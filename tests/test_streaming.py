@@ -212,3 +212,41 @@ def test_activity_import_stream_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert rows(stream_lake, "activity_events") == before
+
+
+def test_dataset_import_stream_email_mixed_dir(spark, tmp_path):
+    """The generalized streaming import handles any dataset descriptor
+    and ignores other datasets' files sharing the drop directory."""
+    from fxa_activity_metrics_spark.plans.incremental import ImportJob
+    from fxa_activity_metrics_spark.schemas import EMAIL
+    from fxa_activity_metrics_spark.streaming.activity_stream import (
+        run_dataset_import_stream,
+    )
+    from tests.fixtures import hex_id, write_activity_days, write_csv
+
+    src = str(tmp_path / "src")
+    write_activity_days(src, [D1, D2])  # other dataset in the same dir
+    for day in (D1, D2):
+        rows = [
+            [1709280000, hex_id(5, "e5"), "gmail.com", "verify", "sent", "", "", "en"],
+            [1709280060, hex_id(55, "e55"), "outlook.com", "recovery", "bounced", "true", "", ""],
+        ]
+        write_csv(src, "email_events", day, rows)
+
+    stream_lake = Lake(spark, str(tmp_path / "slake"))
+    q = run_dataset_import_stream(
+        spark, src, stream_lake, str(tmp_path / "ck"), dataset=EMAIL
+    )
+    q.awaitTermination(120)
+
+    batch_lake = Lake(spark, str(tmp_path / "blake"))
+    ImportJob(spark=spark, lake=batch_lake, dataset=EMAIL, source_dir=src).run()
+
+    def rows_of(lake, t):
+        df = lake.read(t)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    for t in ("email_events", "email_events_sampled_10", "email_events_sampled_50"):
+        assert rows_of(stream_lake, t) == rows_of(batch_lake, t), t
+    assert not stream_lake.exists("activity_events"), "glob filter keeps other datasets out"
