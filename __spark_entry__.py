@@ -958,10 +958,14 @@ _LSH_PAIRS_SQL = """
              ELSE [] END AS sh
       FROM tk
     ), sigs AS (
+      -- chunked minhash: hash i = 32-bit hex chunk (i % 4) of salted
+      -- digest floor(i / 4) ('' salt for digest 0, 'd:' otherwise)
       SELECT doc_id,
              list_transform(range(0, 8), i ->
                list_min(list_transform(sh, t ->
-                 md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+                 substring(md5(CASE WHEN i // 4 = 0 THEN t
+                                    ELSE CAST(i // 4 AS VARCHAR) || ':' || t END),
+                           1 + 8 * (i % 4), 8)))) AS sig
       FROM toks
     ), bands AS (
       SELECT doc_id, b AS band_idx,
