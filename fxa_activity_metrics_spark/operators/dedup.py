@@ -121,11 +121,13 @@ def minhash_signature(
             lambda a, b: F.least(a, b),
         ),
     )
-    # docs with an empty shingle set keep the sentinel — excluded
-    # (the SQL analogue drops them via NULL-key join semantics)
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
-        F.col("sig").getItem(0) != sentinel
-    )
+    # exclude docs with an empty shingle set (the SQL analogue drops
+    # them via NULL-key join semantics). Filter on the CHEAP token
+    # count, not on the signature: a predicate on the projected sig
+    # gets pushed below the projection with the whole signature
+    # expression substituted in — computing it twice per row.
+    eligible = docs.filter(F.size(tokens(text_col)) >= max(shingle_n, 1))
+    return eligible.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
