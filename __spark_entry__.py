@@ -444,6 +444,36 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_uniques_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users — the hash-verifiable counterpart
+    of q_daily_uniques_hll. At 100 TB the sketch path is preferred
+    (mergeable, shuffle-light); the exact path is one key-space
+    repartition and stays fully built-in."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("uniques"))
+    )
+
+
+def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type percentiles (linear interpolation at
+    (n-1)*p, the same definition as DuckDB's quantile_cont) — the
+    hash-verifiable counterpart of the GK-sketch query. Single
+    percentile evaluation per group, elements projected after."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("pcts")
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("pcts")[0], 6).alias("p50"),
+        F.round(F.col("pcts")[1], 6).alias("p95"),
+        F.round(F.col("pcts")[2], 6).alias("p99"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the events props column —
     get_json_object stays JVM-side and pushes the scan down to
@@ -551,7 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "session_window": q_session_window,
         "daily_uniques_hll": q_daily_uniques_hll,
+        "daily_uniques_exact": q_daily_uniques_exact,
         "value_percentiles": q_value_percentiles,
+        "value_percentiles_exact": q_value_percentiles_exact,
         "json_extract": q_json_extract,
         "token_histogram": q_token_histogram,
         "token_count_bpe": q_token_count_bpe,
@@ -856,6 +888,19 @@ def oracle_sql() -> dict[str, str]:
         # daily_uniques_hll / value_percentiles: intentionally no
         # oracle — sketch outputs (HLL++, GK) are approximate;
         # rows-only check here, tolerance vs exact asserted in tests.
+        # Their exact counterparts below ARE hash-verified.
+        "daily_uniques_exact": """
+            SELECT CAST(ts AS DATE) AS day,
+                   count(DISTINCT user_id) AS uniques
+            FROM events GROUP BY 1
+        """,
+        "value_percentiles_exact": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
         "asof_join": """
             WITH p AS (
               SELECT user_id, ts, event_id FROM events
