@@ -164,6 +164,7 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join, then exact
     cosine filter. A θ-close pair shares a table's n-bit bucket with
@@ -173,8 +174,13 @@ def embedding_neardup_lsh(
     the (table, bucket) key instead of materializing N² pairs.
     Approximate (recall < 1); same output schema as
     embedding_neardup_pairs.
+
+    ``dim`` (vector dimensionality) is probed from the corpus when
+    not given — pass it when ``corpus`` carries a shuffle (e.g. a
+    repartition) so the probe doesn't execute that shuffle.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     base = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
@@ -208,6 +214,12 @@ def embedding_neardup_lsh(
             for t in range(n_tables)
         ]
     )
+    # Join carries the vectors and computes the cosine per bucket
+    # match, deduping at the end: measured AGAINST the
+    # dedup-pairs-then-reattach-vectors formulation (ids-only join →
+    # distinct → two vector joins), which was ~1.6× slower here —
+    # the cross-table duplication factor (≤ n_tables) is too low to
+    # pay for two extra shuffles/joins. Revisit if n_tables grows.
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),
@@ -230,6 +242,27 @@ def embedding_neardup_lsh(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: str = "fxa-ivf",
+) -> list[list[float]]:
+    """IVF index build: deterministic hash-sampled centroids (the
+    md5-smallest n_cells ids) — no training loop, reproducible across
+    runs, collected to the driver (n_cells × dim floats). Run once
+    and pass to ivf_topk(centroids=...) across query batches."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("h", F.md5(F.concat(F.lit(seed + ":"), F.col("cid").cast("string"))))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["cv"]) for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,6 +272,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: str = "fxa-ivf",
+    centroid_source: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells around
     centroid vectors; queries score only the n_probe nearest cells.
@@ -250,18 +285,27 @@ def ivf_topk(
     broadcast-join map each; the candidate join is equi-keyed on
     cell — the corpus shuffles once, candidates shrink ~n_cells /
     n_probe fold. Output schema matches brute_force_topk; recall < 1.
+
+    ``centroid_source`` (default: ``corpus``) feeds the centroid
+    sample only — pass an unshuffled scan of the same table when
+    ``corpus`` carries a repartition, so the 16-row driver sample
+    doesn't execute that shuffle. ``centroids`` (n_cells × dim
+    floats) skips the sampling job entirely — IVF's index-build
+    (centroid selection) and query phases are separate at scale;
+    compute once with ivf_centroids() and reuse across queries.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("h", F.md5(F.concat(F.lit(seed + ":"), F.col("cid").cast("string"))))
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
-    )
+    if centroids is None:
+        centroids = ivf_centroids(
+            centroid_source if centroid_source is not None else corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            seed=seed,
+        )
     # ONE nested-array literal (a single py4j call + constant-folded
     # JVM value). Building it as n_cells × dim individual F.lit calls
     # would cost thousands of driver round-trips per plan.
-    cents_lit = F.lit([list(r["cv"]) for r in cent_rows])
+    cents_lit = F.lit(centroids)
 
     def nearest_cells(vec: F.Column, n: int) -> F.Column:
         """array of the n cell ids with highest cosine to vec."""
@@ -305,6 +349,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane-LSH bucketing.
 
@@ -312,8 +357,10 @@ def lsh_topk(
     one-bit-flip neighbor bucket. Join is equi-keyed on bucket — the
     corpus shuffles once on bucket, candidates shrink ~2^n_planes /
     (1 + n_planes) fold. Output schema matches brute_force_topk.
+    ``dim`` as in embedding_neardup_lsh.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     c = bucket_ids(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
