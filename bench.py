@@ -65,17 +65,19 @@ def main() -> None:
     # warmup: JVM/codegen spin-up on a trivial job
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Two timed runs per query: the first pays one-time whole-stage
+    # Three timed runs per query: the first pays one-time whole-stage
     # codegen / JIT compilation (~1-3s per distinct plan shape, a
-    # per-process constant that vanishes at any real scale); the
-    # second is the steady-state execution time. `queries`/`value`
-    # report steady state; `cold_value` keeps the first-run sum.
+    # per-process constant that vanishes at any real scale); the min
+    # of the later runs is the steady-state execution time (two
+    # steady samples damp scheduler/GC noise on a shared machine).
+    # `queries`/`value` report steady state; `cold_value` keeps the
+    # first-run sum.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         per_run = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
