@@ -23,6 +23,7 @@ are reproducible across sessions and engines with no stored model.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -43,7 +44,23 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
 
 
 def norm(a: F.Column) -> F.Column:
-    return F.sqrt(dot(a, a))
+    # coalesce forces NON-NULLABLE (the fold never yields null for a
+    # non-null array): without it, a downstream null-intolerant filter
+    # (e.g. cos >= θ) infers isnotnull(nrm) and pushes it to the scan
+    # with the whole sqrt-fold substituted — computing every norm
+    # twice per row (the pushdown-duplication trap).
+    return F.coalesce(F.sqrt(dot(a, a)), F.lit(0.0))
+
+
+def _py_norm(v: list[float]) -> float:
+    """Driver-side norm with the SAME sequential fold order as
+    norm(): ((0+x0²)+x1²)+…, then sqrt. Python floats are IEEE
+    binary64 like Spark doubles, so the result is bitwise-equal to
+    evaluating norm() on the same literal in the JVM."""
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -63,16 +80,22 @@ def brute_force_topk(
     cosine desc, ties broken by neighbor_id asc; self-matches
     excluded. The broadcast hint keeps the corpus un-shuffled.
     """
+    # Norms are projected once per ROW on each side, below the join —
+    # the per-PAIR expression is one dot + a divide (1 array fold, not
+    # 3: cosine() inline would re-fold both norms per pair). Same
+    # arithmetic in the same order, so results are bitwise identical.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -119,7 +142,12 @@ def bucket_ids(
         zero,
         lambda acc, b: acc + b,
     )
-    return df.withColumn(out_col, bucket)
+    # coalesce forces the column NON-NULLABLE (the fold never yields
+    # null, but aggregate() reports nullable) so a downstream join's
+    # inferred isnotnull(bucket) folds away instead of being pushed to
+    # the scan with the whole plane-fold substituted — which would
+    # compute every bucket twice (the pushdown-duplication trap).
+    return df.withColumn(out_col, F.coalesce(bucket, zero))
 
 
 def embedding_neardup_pairs(
@@ -306,22 +334,51 @@ def ivf_topk(
     # JVM value). Building it as n_cells × dim individual F.lit calls
     # would cost thousands of driver round-trips per plan.
     cents_lit = F.lit(centroids)
+    # Centroid norms are plan-time constants: Python floats are IEEE
+    # binary64 with the same sequential fold order as dot()/norm(), so
+    # these literals are bitwise-equal to computing norm(cv) in the
+    # JVM — and cost nothing per row.
+    cnorms_lit = F.lit([_py_norm(cv) for cv in centroids])
 
-    def nearest_cells(vec: F.Column, n: int) -> F.Column:
-        """array of the n cell ids with highest cosine to vec."""
+    def nearest_cells(vec: F.Column, nrm: F.Column, n: int) -> F.Column:
+        """array of the n cell ids with highest cosine to vec. The
+        row's own norm is bound OUTSIDE the lambda — cosine() inline
+        would re-fold norm(vec) once per centroid."""
         scored = F.transform(
             cents_lit,
-            lambda cv, i: F.struct(cosine(vec, cv).alias("cos"), i.alias("cell")),
+            lambda cv, i: F.struct(
+                (dot(vec, cv) / (nrm * F.element_at(cnorms_lit, i + 1))).alias("cos"),
+                i.alias("cell"),
+            ),
         )
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
         return F.transform(top, lambda s: s["cell"])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    ).withColumn("cell", nearest_cells(F.col("c_vec"), 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("cell", F.explode(nearest_cells(F.col("q_vec"), n_probe)))
+    # Per-row norms are projected once per side: cell assignment and
+    # the per-pair score both reuse them (cosine() inline = 3 array
+    # folds per pair; this shape = 1). Bitwise-identical arithmetic.
+    # coalesce makes `cell` NON-NULLABLE (the [0] getItem alone is
+    # nullable), so the join's inferred isnotnull(cell) constraint
+    # folds to true instead of being pushed to the scan with the whole
+    # 16-dot cell expression substituted in — which would evaluate the
+    # assignment TWICE per corpus row (the pushdown-duplication trap).
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+        )
+        .withColumn("c_nrm", norm(F.col("c_vec")))
+        .withColumn(
+            "cell",
+            F.coalesce(nearest_cells(F.col("c_vec"), F.col("c_nrm"), 1)[0], F.lit(0)),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_nrm", norm(F.col("q_vec")))
+        .withColumn("cell", F.explode(nearest_cells(F.col("q_vec"), F.col("q_nrm"), n_probe)))
+    )
     cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     # (query, neighbor) pairs are already unique: each neighbor lives
     # in exactly ONE cell and a query's probe cells are distinct — no
@@ -329,7 +386,9 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -362,13 +421,19 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
+    # cast + norm once per row, below the bucket join (cosine() at
+    # score time would cast and re-fold both norms per candidate pair)
     c = bucket_ids(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+        ).withColumn("c_nrm", norm(F.col("c_vec"))),
         "c_vec",
         planes,
     )
     q = bucket_ids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ).withColumn("q_nrm", norm(F.col("q_vec"))),
         "q_vec",
         planes,
     )
@@ -381,7 +446,7 @@ def lsh_topk(
             ],
         )
         q = q.select(
-            "query_id", "q_vec", F.explode(probes).alias("bucket")
+            "query_id", "q_vec", "q_nrm", F.explode(probes).alias("bucket")
         )
     cand = c.join(q, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     # pairs are unique without dedup: the corpus row sits in ONE
@@ -390,7 +455,9 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(_as_double(F.col("q_vec")), _as_double(F.col("c_vec"))).alias("cos"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

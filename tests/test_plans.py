@@ -93,3 +93,22 @@ def test_scan_day_filter_constant_folded(spark):
     """Retention cutoffs fold to literals before reaching the scan."""
     opt = _optimized(E.queries()["scalar_functions"](spark, SF))
     assert "add_months" not in opt.lower() or "retention_cutoff" in opt
+
+
+def test_no_pushdown_duplicated_folds(spark):
+    """Inferred isnotnull constraints on computed join/filter inputs
+    must NOT be pushed to the scan with the computing expression
+    substituted in — that evaluates the bucket/cell/norm fold twice
+    per row. Guarded by non-nullable (coalesce-wrapped) outputs in
+    bucket_ids / norm / ivf cell assignment."""
+    for name in [
+        "ann_bruteforce", "ann_lsh", "ann_ivf",
+        "embedding_neardup", "embedding_neardup_lsh",
+        "minhash_lsh", "jaccard_dedup", "simhash",
+    ]:
+        opt = _optimized(E.queries()[name](spark, SF))
+        for line in opt.split("\n"):
+            if "Filter" in line:
+                assert "aggregate(" not in line and "array_sort(" not in line, (
+                    f"{name}: expression-substituted filter:\n{line[:300]}"
+                )
