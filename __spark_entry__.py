@@ -59,6 +59,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact table with a parallelism floor: the test parquet arrives
+    as 1-3 input splits (single file, few row groups), so a plan
+    whose joins all broadcast runs ENTIRELY inside the scan stage —
+    serial on ≤3 cores. If the scan yields fewer splits than half the
+    session's cores, one round-robin repartition buys full-width
+    parallelism for everything above. On a real lake the scan arrives
+    pre-split (thousands of splits at 100 TB) and this is a no-op —
+    no shuffle is added at scale."""
+    df = read_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores // 2:
+        df = df.repartition(cores)
+    return df
+
+
 _EMB_DIM: dict[str, int] = {}
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
@@ -280,7 +296,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
