@@ -28,6 +28,7 @@ from fxa_activity_metrics_spark.operators import dedup, similarity, textstats
 from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
 from fxa_activity_metrics_spark.operators.summaries import (
     daily_activity_per_device,
+    multi_device_users_grouped,
     multi_device_users_join,
     multi_device_users_window,
 )
@@ -126,6 +127,13 @@ def q_multi_device_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1, window formulation — must equal the join form (SURVEY §2.5)."""
     da = q_daily_activity(spark, sf_dir)
     return multi_device_users_window(da, 7, device_col="device")
+
+
+def q_multi_device_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, aggregate formulation — ONE exchange (collect_set groupBy
+    on uid, in-group expansion); must equal the join form."""
+    da = q_daily_activity(spark, sf_dir)
+    return multi_device_users_grouped(da, 7, device_col="device")
 
 
 def q_cohort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_per_device": q_daily_activity,
         "multi_device_users_join": q_multi_device_join,
         "multi_device_users_window": q_multi_device_window,
+        "multi_device_users_grouped": q_multi_device_grouped,
         "cohort_sample": q_cohort_sample,
         "flow_sessionize": q_flow_sessionize,
         "parse_functions": q_parse_functions,
@@ -644,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_device_users_join": _MDU_SQL,
         "multi_device_users_window": _MDU_SQL,
+        "multi_device_users_grouped": _MDU_SQL,
         "cohort_sample": """
             WITH ids AS (
               SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hex_id FROM events

@@ -115,6 +115,75 @@ def gap_sessions(
     )
 
 
+def multi_device_users_grouped(
+    activity: DataFrame,
+    lookback_days: int = 7,
+    day_col: str = "day",
+    user_col: str = "uid",
+    device_col: str = "device_id",
+) -> DataFrame:
+    """Aggregate formulation of J1 — identical rows to the join form
+    (calculate_daily_summary.py:92-105) with ONE exchange.
+
+    groupBy(uid) collects the distinct (day, device) pairs
+    (collect_set partially aggregates map-side, so the exchange
+    carries deduped pairs only); the 7-day-lookback × device-
+    inequality expansion then runs IN-GROUP as array expressions,
+    deduped per present (day, device) before exploding. The expanded
+    pair set never crosses the wire, and no post-join distinct pass
+    is needed — vs 3 exchanges for the join form (pre-distinct, join,
+    post-distinct). Per-uid state is bounded by distinct (day,
+    device) pairs inside the retention window; a pathological uid
+    degrades to the same O(k²) a join-side expansion would.
+
+    Measured at sf0.1 on local[32]: par with the join form — the
+    in-group expansion is interpreted HOF eval while the join's
+    expansion is codegen'd, which cancels the exchange savings when
+    shuffles are in-memory. The formulation exists for the
+    network-bound regime, where two fewer exchanges over the widest
+    intermediates dominate.
+
+    HOF audit: inner lambdas reference only bound lambda vars (`i`,
+    `j`) and the plain `items` attribute — both cheap to re-read per
+    element (no re-evaluated subexpression).
+    """
+    g = (
+        activity.select(
+            F.col(day_col).alias("day"),
+            F.col(user_col).alias("uid"),
+            F.col(device_col).alias("device"),
+        )
+        .groupBy("uid")
+        .agg(F.collect_set(F.struct(F.col("day"), F.col("device"))).alias("items"))
+    )
+    items = F.col("items")
+    per_present = F.transform(
+        items,
+        lambda i: F.struct(
+            i["day"].alias("day"),
+            i["device"].alias("device_now"),
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        items,
+                        lambda j: (j["device"] != i["device"])
+                        & (j["day"] <= i["day"])
+                        & (j["day"] >= F.date_sub(i["day"], lookback_days)),
+                    ),
+                    lambda j: j["device"],
+                )
+            ).alias("prevs"),
+        ),
+    )
+    exploded = g.select("uid", F.explode(per_present).alias("p"))
+    return exploded.select(
+        F.col("p.day").alias("day"),
+        "uid",
+        F.col("p.device_now").alias("device_now"),
+        F.explode(F.col("p.prevs")).alias("device_prev"),
+    )
+
+
 def multi_device_users_window(
     activity: DataFrame,
     lookback_days: int = 7,

@@ -10,6 +10,7 @@ import datetime as dt
 import pytest
 
 from fxa_activity_metrics_spark.operators.summaries import (
+    multi_device_users_grouped,
     multi_device_users_join,
     multi_device_users_window,
 )
@@ -53,5 +54,11 @@ def test_seven_day_boundary_join(dapd):
 
 def test_window_form_agrees(dapd):
     assert _rows(multi_device_users_window(dapd, 7)) == _rows(
+        multi_device_users_join(dapd, 7)
+    )
+
+
+def test_grouped_form_agrees(dapd):
+    assert _rows(multi_device_users_grouped(dapd, 7)) == _rows(
         multi_device_users_join(dapd, 7)
     )
