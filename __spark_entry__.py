@@ -95,6 +95,12 @@ def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic `events` table plays the raw activity log; event_type
     plays device_id."""
     ev = _t(spark, sf_dir, "events")
+    # NOT _fact: the consumers distinct/aggregate immediately, so the
+    # single-task scan feeds a cheap codegen'd partial agg and the
+    # first exchange already parallelizes everything above — an added
+    # round-robin shuffle of the full rows measured ~25% SLOWER on
+    # the multi-device path (unlike nation_revenue, where every join
+    # broadcasts and no exchange exists to restore parallelism).
     return ev.select(
         F.to_date("ts").alias("day"),
         F.col("user_id").alias("uid"),
