@@ -204,11 +204,64 @@ class Lake:
             os.replace(tmp, part)
 
     def analyze(self, table: str) -> None:
-        """ANALYZE analogue: register + compute stats for CBO when the
-        table is catalog-backed; no-op for pure-path tables."""
-        # Path-based tables carry Parquet footer stats already; with a
-        # metastore this would run ANALYZE TABLE ... COMPUTE STATISTICS.
-        return
+        """ANALYZE analogue (S7): compute table stats for CBO when the
+        table is catalog-backed (bucketed tables); no-op for pure-path
+        tables, whose Parquet footers already carry min/max/count."""
+        name = self._catalog_name(table)
+        if self.spark.catalog.tableExists(name):
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+    # -- bucketed tables ----------------------------------------------------
+
+    def _catalog_name(self, table: str) -> str:
+        """Catalog identifier for this lake's table — bucket metadata
+        is a CATALOG property in Spark (not a file property), so
+        bucketed tables need a name. Scoped by a root-path digest so
+        two lakes in one session never collide."""
+        import hashlib
+
+        digest = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"lake_{digest}_{table}"
+
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Hash-bucketed table for co-located joins — the lake answer
+        to REPEATED big-to-big joins on a stable key (uid self-joins,
+        flow-id enrichment passes: SURVEY §2.3 J1-J7). Both sides of
+        a bucket-aligned equi-join read pre-hashed files and the plan
+        contains NO shuffle exchange (pinned by tests/
+        test_bucketing.py); with ``sort_cols`` the sort-merge sort is
+        skipped too. At 100 TB this converts every recurring uid join
+        from a full-data shuffle into a per-bucket local merge.
+
+        Data files land under the lake path (external table), so the
+        path-based readers keep working; the bucket spec lives in the
+        session catalog (production: Hive/Glue metastore).
+        """
+        name = self._catalog_name(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        target = self.path(table)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        (
+            df.write.format("parquet")
+            .option("path", target)
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or list(bucket_cols)))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Catalog read that preserves the bucket spec (a plain path
+        read would see the same rows but lose co-location)."""
+        return self.spark.table(self._catalog_name(table))
 
 
 def _add_months(day: dt.date, months: int) -> dt.date:
