@@ -377,6 +377,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k, vectorized scale path: per-partition numpy GEMM
+    (one Arrow batch per partition, local top-k, global window
+    reduce). Ranks equal ann_bruteforce except exact float ties —
+    GEMM summation order differs in the last ulps, so this entry is
+    rows-only checked; tests assert neighbor-set equality vs the
+    fold-based baseline."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk_gemm(emb, queries_df, k=5)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact pairwise baseline (broadcast
     nested-loop; norms precomputed per vector)."""
@@ -609,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_device_users_join": q_multi_device_join,
         "multi_device_users_window": q_multi_device_window,
         "multi_device_users_grouped": q_multi_device_grouped,
+        "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
         "cohort_sample": q_cohort_sample,
         "flow_sessionize": q_flow_sessionize,
         "parse_functions": q_parse_functions,

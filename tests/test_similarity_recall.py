@@ -47,3 +47,11 @@ def test_embedding_neardup_lsh_subset_and_recall(spark):
     assert approx <= exact, "LSH pairs must pass the exact cosine filter (no false positives)"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"near-dup LSH recall {recall:.2f} < 0.6"
+
+
+def test_gemm_topk_matches_fold_baseline(spark, exact_topk):
+    """The GEMM scale path is EXACT: neighbor sets per query must
+    equal the fold-based brute force (ranks can only differ on exact
+    float ties; sets cannot)."""
+    gemm = _neighbor_sets(E.queries()["ann_bruteforce_gemm"](spark, SF))
+    assert gemm == exact_topk
