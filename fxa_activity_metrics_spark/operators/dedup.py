@@ -130,6 +130,28 @@ def minhash_signature(
     return eligible.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def signature_bands(
+    sigs: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from a signature table — the
+    LSH banding step, shared by the one-shot candidate path and the
+    incremental persisted-signature path (plans/dedup_incremental):
+    band keys are a cheap slice+concat over the 8 stored hex chunks,
+    so a persisted signature table never re-shingles its corpus."""
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(
+                    "|", F.slice(F.col("sig"), b * band_size + 1, band_size)
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -148,19 +170,8 @@ def minhash_lsh_candidates(
     self-join. Output: distinct (id_a, id_b) with id_a < id_b.
     """
     assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    bands = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws(
-                    "|", F.slice(F.col("sig"), b * band_size + 1, band_size)
-                ),
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    bands = signature_bands(sigs, num_hashes, band_size)
     # Bucket by band key and expand in-bucket combinations, instead of
     # a band self-join: signatures are computed once (a self-join
     # duplicates the whole shingle→md5 subtree on both sides) and the
