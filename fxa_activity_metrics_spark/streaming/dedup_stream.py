@@ -1,0 +1,106 @@
+"""Streaming exact dedup: content-hash keeper state over a document
+stream — the §2.9 (streaming) face of operators.dedup.
+
+Documents arrive as day-files; each micro-batch updates a running
+(content_hash → keeper_id, n_copies) aggregation in the state store
+and merges changed hashes into the lake table, so at every point the
+table equals the batch `exact_duplicates` over everything ingested so
+far (pinned by tests/test_streaming_dedup.py, including across a
+restart from checkpoint).
+
+Scale notes:
+- the stream aggregation is associative (min/sum) → map-side partial
+  per micro-batch; state is one row per DISTINCT content hash, the
+  same cardinality any exact dedup must hold somewhere;
+- content-hash state has no event-time to expire on — production
+  bounds it by retention (drop hashes not seen for N days via a
+  TTL'd state key, or periodically rebuild from the lake); the
+  reference's pipeline has the same property in its Redshift tables;
+- the merge sink replaces changed hashes only (idempotent per epoch,
+  exactly-once effect on the lake), identical to the flow-session
+  merge contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fxa_activity_metrics_spark.sources.lake import Lake
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, source_dir: str, schema: T.StructType = DOCS_SCHEMA
+) -> DataFrame:
+    """File-source stream of document day-drops (declared schema,
+    one file per trigger — the day-batch cadence)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+
+
+def dedup_aggregate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Running keeper state: same expression as the batch
+    exact_duplicates (operators/dedup.py) — md5 digest, min id,
+    copy count — maintained incrementally per micro-batch."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def merge_keepers_sink(lake: Lake, table: str = "dedup_keepers"):
+    """foreachBatch upsert by content_hash — replace changed hashes,
+    keep the rest (idempotent per epoch)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        # sever micro-batch lineage before joining against the sink
+        # table (see flows_stream.merge_sessions_sink)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if lake.exists(table):
+            existing = lake.read(table)
+            kept = existing.join(
+                batch_df.select("content_hash"), "content_hash", "left_anti"
+            )
+            merged = kept.unionByName(batch_df)
+        else:
+            merged = batch_df
+        lake.overwrite(table, merged)
+
+    return write
+
+
+def run_exact_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    table: str = "dedup_keepers",
+    available_now: bool = True,
+):
+    """Wire source → running dedup agg → merge sink; returns the
+    query. In update output mode each micro-batch emits only the
+    hashes it touched."""
+    agg = dedup_aggregate(read_docs_stream(spark, source_dir))
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_keepers_sink(lake, table))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

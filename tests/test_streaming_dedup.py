@@ -1,0 +1,81 @@
+"""Streaming exact dedup == batch exact_duplicates over everything
+ingested, including across a checkpoint restart."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from fxa_activity_metrics_spark.operators.dedup import exact_duplicates
+from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark.streaming.dedup_stream import run_exact_dedup_stream
+
+_DAY1 = [
+    (1, "alpha beta gamma"),
+    (2, "delta epsilon zeta"),
+    (3, "alpha beta gamma"),
+]
+_DAY2 = [
+    (11, "alpha beta gamma"),
+    (12, "eta theta iota"),
+    (13, "delta epsilon zeta"),
+]
+
+
+def _write_drop(dirpath: str, name: str, rows, mtime: float) -> None:
+    path = os.path.join(dirpath, name)
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _table_rows(lake, table):
+    return sorted(
+        (r["content_hash"], r["keeper_id"], r["n_copies"])
+        for r in lake.read(table).collect()
+    )
+
+
+def _batch_rows(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        (r["content_hash"], r["keeper_id"], r["n_copies"])
+        for r in exact_duplicates(df).collect()
+    )
+
+
+@pytest.fixture()
+def src_dir(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    base = time.time() - 3600
+    _write_drop(str(d), "documents-2024-07-01.json", _DAY1, base)
+    _write_drop(str(d), "documents-2024-07-02.json", _DAY2, base + 60)
+    return str(d)
+
+
+def test_stream_matches_batch_dedup(spark, src_dir, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    q = run_exact_dedup_stream(spark, src_dir, lake, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _table_rows(lake, "dedup_keepers") == _batch_rows(spark, _DAY1 + _DAY2)
+
+
+def test_stream_restart_continues_from_checkpoint(spark, src_dir, tmp_path):
+    """New files after a restart update the same state: counts keep
+    accumulating, keepers stay the global min."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    ckpt = str(tmp_path / "ckpt")
+    q = run_exact_dedup_stream(spark, src_dir, lake, ckpt)
+    q.awaitTermination(120)
+    day3 = [(21, "alpha beta gamma"), (0, "eta theta iota")]
+    _write_drop(src_dir, "documents-2024-07-03.json", day3, time.time())
+    q2 = run_exact_dedup_stream(spark, src_dir, lake, ckpt)
+    q2.awaitTermination(120)
+    assert _table_rows(lake, "dedup_keepers") == _batch_rows(
+        spark, _DAY1 + _DAY2 + day3
+    )
