@@ -84,6 +84,52 @@ def merge_keepers_sink(lake: Lake, table: str = "dedup_keepers"):
     return write
 
 
+def run_signature_import_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    table: str = "dedup_signatures",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    schema: T.StructType = DOCS_SCHEMA,
+):
+    """Streaming twin of plans.dedup_incremental.append_signatures:
+    each arriving document day-file is signed (MinHash over its
+    increment only) and written to the same day-partitioned signature
+    table the batch plan maintains — the file's day recovered from
+    its name, the sink idempotent per day. After any prefix of files,
+    `incremental_candidates` works on the table unchanged; batch and
+    stream writers are interchangeable (pinned by
+    tests/test_streaming_dedup.py). Returns the started query."""
+    from fxa_activity_metrics_spark.operators.dedup import minhash_signature
+
+    file_day_re = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.json$"
+    docs = read_docs_stream(spark, source_dir, schema).withColumn(
+        "day",
+        F.regexp_extract(F.input_file_name(), file_day_re, 1).cast("date"),
+    )
+
+    # signing happens INSIDE the batch writer via the shared batch
+    # operator, so stream and batch produce byte-identical signature
+    # rows and the sink is the batch day sink (idempotent per day)
+    def write_signed(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = minhash_signature(
+            batch_df, "doc_id", "text", num_hashes, shingle_n
+        ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")
+        lake.write_days(table, out, sort_cols=["id"])
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_signed)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_exact_dedup_stream(
     spark: SparkSession,
     source_dir: str,

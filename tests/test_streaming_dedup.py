@@ -79,3 +79,53 @@ def test_stream_restart_continues_from_checkpoint(spark, src_dir, tmp_path):
     assert _table_rows(lake, "dedup_keepers") == _batch_rows(
         spark, _DAY1 + _DAY2 + day3
     )
+
+
+def test_signature_stream_feeds_incremental_candidates(spark, src_dir, tmp_path):
+    """The streaming signature import writes the SAME table the batch
+    plan maintains: signatures are byte-identical to the batch build,
+    and incremental_candidates works on it unchanged."""
+    import datetime as dt
+
+    from fxa_activity_metrics_spark.plans.dedup_incremental import (
+        append_signatures,
+        incremental_candidates,
+    )
+    from fxa_activity_metrics_spark.streaming.dedup_stream import (
+        run_signature_import_stream,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    q = run_signature_import_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt"), shingle_n=2
+    )
+    q.awaitTermination(120)
+
+    batch_lake = Lake(spark, str(tmp_path / "batch_lake"))
+    for day, rows in [
+        (dt.date(2024, 7, 1), _DAY1),
+        (dt.date(2024, 7, 2), _DAY2),
+    ]:
+        append_signatures(
+            batch_lake,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            day,
+            shingle_n=2,
+        )
+
+    def rows(lk):
+        return sorted(
+            (r["id"], tuple(r["sig"]), str(r["day"]))
+            for r in lk.read("dedup_signatures").collect()
+        )
+
+    assert rows(lake) == rows(batch_lake)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_candidates(lake, dt.date(2024, 7, 2)).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_candidates(batch_lake, dt.date(2024, 7, 2)).collect()
+    }
+    assert got == want and got, "cross-day candidates must match and be non-empty"
