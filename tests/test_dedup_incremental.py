@@ -86,3 +86,50 @@ def test_signature_append_is_idempotent(spark, tmp_path):
     append_signatures(lake, _docs(spark, _DAYS[D2]), D2, shingle_n=2)
     assert lake.read("dedup_signatures").count() == n_before
     assert _pairs(incremental_candidates(lake, D2)) == before
+
+
+def test_incremental_invariant_randomized(spark, tmp_path):
+    """Seeded random corpora (shared phrase pools → organic near-dups,
+    plus sub-shingle short docs and an empty day) still reconstruct
+    the one-shot candidate set incrementally."""
+    import random
+
+    rng = random.Random(42)
+    words = [f"w{i}" for i in range(30)]
+    phrases = [" ".join(rng.choices(words, k=8)) for _ in range(12)]
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.3:
+                text = rng.choice(phrases)  # exact/near dup of a pool phrase
+            elif rng.random() < 0.15:
+                text = rng.choice(words)  # shorter than shingle_n → ineligible
+            else:
+                base = rng.choice(phrases).split()
+                base[rng.randrange(len(base))] = rng.choice(words)
+                text = " ".join(base)
+            rows.append((id0 + i, text))
+        return rows
+
+    day_rows = {
+        D1: mk(15, 1000),
+        D2: mk(15, 2000),
+        D3: [],  # empty drop: must not break the replay
+    }
+    day_rows[dt.date(2024, 7, 4)] = mk(10, 4000)
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    frames = {
+        d: spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+        for d, rows in day_rows.items()
+    }
+    got = _pairs(backfill(spark, lake, frames, shingle_n=3))
+    full = spark.createDataFrame(
+        [r for rows in day_rows.values() for r in rows], "doc_id long, text string"
+    )
+    want = _pairs(minhash_lsh_candidates(full, shingle_n=3))
+    assert got == want
+    assert want, "random fixture must produce candidate pairs"
