@@ -279,6 +279,12 @@ def embedding_neardup_lsh(
     ``dim`` (vector dimensionality) is probed from the corpus when
     not given — pass it when ``corpus`` carries a shuffle (e.g. a
     repartition) so the probe doesn't execute that shuffle.
+
+    Parameter trade-off, measured at sf0.1 (2000×64, θ=0.4):
+    (planes=4, tables=3) recall 0.92 @ ~3.0s; (5,3) 0.80 @ 2.3s;
+    (5,4) 0.88 @ 2.7s; (6,4) 0.76 @ 2.7s. The default keeps the
+    highest-recall point — for a training-data dedup, a missed
+    near-dup is contamination, worth ~25% more candidate scoring.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
