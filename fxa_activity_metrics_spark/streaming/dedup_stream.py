@@ -130,6 +130,70 @@ def run_signature_import_stream(
     )
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    sig_table: str = "dedup_signatures",
+    cand_table: str = "dedup_candidates",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    schema: T.StructType = DOCS_SCHEMA,
+):
+    """End-to-end streaming near-dup dedup: each arriving day-file is
+    signed into the signature table AND its incremental candidate
+    pairs (new day × full history, via banding the persisted sigs —
+    plans.dedup_incremental semantics) are written to a
+    day-partitioned candidates table. After any prefix of files, the
+    candidates table equals the one-shot LSH candidate set over
+    everything ingested (pinned by tests/test_streaming_dedup.py).
+
+    Both sinks are idempotent per day (dynamic partition overwrite),
+    so a replayed epoch converges to identical lake state. Each
+    micro-batch is a fresh plan over the lake — no cross-snapshot
+    union, so the ReuseExchange stale-listing trap in the batch
+    backfill cannot arise here. Returns the started query.
+    """
+    from fxa_activity_metrics_spark.operators.dedup import minhash_signature
+    from fxa_activity_metrics_spark.plans.dedup_incremental import (
+        incremental_candidates,
+    )
+
+    file_day_re = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.json$"
+    docs = read_docs_stream(spark, source_dir, schema).withColumn(
+        "day",
+        F.regexp_extract(F.input_file_name(), file_day_re, 1).cast("date"),
+    )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signature(
+            batch_df, "doc_id", "text", num_hashes, shingle_n
+        ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")
+        lake.write_days(sig_table, sigs, sort_cols=["id"])
+        days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+        for day in sorted(days):
+            cands = incremental_candidates(
+                lake, day, num_hashes=num_hashes, band_size=band_size, table=sig_table
+            )
+            lake.write_days(
+                cand_table,
+                cands.withColumn("day", F.lit(day)),
+                sort_cols=["id_a", "id_b"],
+            )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_exact_dedup_stream(
     spark: SparkSession,
     source_dir: str,

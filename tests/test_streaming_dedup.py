@@ -129,3 +129,40 @@ def test_signature_stream_feeds_incremental_candidates(spark, src_dir, tmp_path)
         for r in incremental_candidates(batch_lake, dt.date(2024, 7, 2)).collect()
     }
     assert got == want and got, "cross-day candidates must match and be non-empty"
+
+
+def test_end_to_end_incremental_dedup_stream(spark, src_dir, tmp_path):
+    """Signature + candidate tables maintained by the stream: after
+    all files, the candidates table equals the one-shot LSH candidate
+    set over everything ingested; a new file appends its day's pairs."""
+    import datetime as dt
+
+    from fxa_activity_metrics_spark.operators.dedup import minhash_lsh_candidates
+    from fxa_activity_metrics_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    ckpt = str(tmp_path / "ckpt")
+    q = run_incremental_dedup_stream(spark, src_dir, lake, ckpt, shingle_n=2)
+    q.awaitTermination(120)
+
+    def cand_pairs():
+        return {
+            (r["id_a"], r["id_b"])
+            for r in lake.read("dedup_candidates").collect()
+        }
+
+    def oneshot(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(df, shingle_n=2).collect()
+        }
+
+    assert cand_pairs() == oneshot(_DAY1 + _DAY2)
+    day3 = [(21, "alpha beta gamma"), (22, "kappa lambda mu")]
+    _write_drop(src_dir, "documents-2024-07-03.json", day3, time.time())
+    q2 = run_incremental_dedup_stream(spark, src_dir, lake, ckpt, shingle_n=2)
+    q2.awaitTermination(120)
+    assert cand_pairs() == oneshot(_DAY1 + _DAY2 + day3)
