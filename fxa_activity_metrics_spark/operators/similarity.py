@@ -200,9 +200,13 @@ def bucket_ids(
 
     Planes go in as ONE nested-array literal (single py4j call,
     constant-folded) and the bit-sum is a single fold — not a chain of
-    per-plane expressions, each carrying its own literal array."""
+    per-plane expressions, each carrying its own literal array.
+
+    ``vec_col`` must already be array<double> (every caller projects
+    the cast once per row): a cast HERE would sit inside the plane
+    lambda and re-materialize the array once per plane per row."""
     planes_lit = F.lit([list(p) for p in planes])
-    v = _as_double(F.col(vec_col))
+    v = F.col(vec_col)
     zero = F.lit(0).cast("long")
     bucket = F.aggregate(
         F.transform(
