@@ -505,8 +505,15 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; tolerance vs q_value_percentiles_exact asserted
     in tests."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )
+    # scalar columns only: the driver's canonicalizer can't hash arrays
+    return agg.select(
+        "event_type",
+        F.round(F.col("approx_pcts")[0], 6).alias("p50"),
+        F.round(F.col("approx_pcts")[1], 6).alias("p95"),
+        F.round(F.col("approx_pcts")[2], 6).alias("p99"),
     )
 
 
@@ -594,8 +601,11 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprint (MOSS-style): min hash per
-    sliding window over char 5-gram hashes."""
-    return textstats.winnow_fingerprint(_docs(spark, sf_dir), k=5, window=4)
+    sliding window over char 5-gram hashes. Exploded to one scalar
+    (doc_id, fp) row per selected hash — the driver's canonicalizer
+    hashes scalar columns only (array columns are unhashable)."""
+    fps = textstats.winnow_fingerprint(_docs(spark, sf_dir), k=5, window=4)
+    return fps.select(F.col("doc_id"), F.explode("fps").alias("fp"))
 
 
 def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,7 +1045,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [] END AS mins
               FROM h
             )
-            SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m
+            SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m
         """,
         "blob_stats": """
             SELECT doc_id,

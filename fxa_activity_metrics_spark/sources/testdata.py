@@ -20,6 +20,9 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-set so a vanilla SparkSession (e.g. the correctness driver's,
+    # built without session.get_spark) can read TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

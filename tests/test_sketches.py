@@ -29,7 +29,7 @@ def test_hll_within_tolerance(spark):
 
 def test_percentile_sketch_within_tolerance(spark):
     approx = {
-        r["event_type"]: r["approx_pcts"]
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
         for r in E.queries()["value_percentiles"](spark, SF).collect()
     }
     exact = {
