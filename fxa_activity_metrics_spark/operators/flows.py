@@ -106,17 +106,19 @@ def enrich_duration_locale_uid(meta: DataFrame, grace_events: DataFrame) -> Data
         F.max("flow_time").alias("_duration"),
         F.max("locale").alias("_locale"),
         F.max("uid").alias("_uid"),
-    )
+    ).withColumn("_m", F.lit(True))
     joined = meta.join(agg, "flow_id", "left")
+    # the reference's SET is unconditional for matched flows — a NULL
+    # aggregate overwrites (not coalesce-keeps) the prior value
     return joined.select(
         *[
             c
             for c in meta.columns
             if c not in ("duration", "locale", "uid")
         ],
-        F.coalesce(F.col("_duration"), F.col("duration")).alias("duration"),
-        F.coalesce(F.col("_locale"), F.col("locale")).alias("locale"),
-        F.coalesce(F.col("_uid"), F.col("uid")).alias("uid"),
+        F.when(F.col("_m"), F.col("_duration")).otherwise(F.col("duration")).alias("duration"),
+        F.when(F.col("_m"), F.col("_locale")).otherwise(F.col("locale")).alias("locale"),
+        F.when(F.col("_m"), F.col("_uid")).otherwise(F.col("uid")).alias("uid"),
     ).select(*meta.columns)
 
 
@@ -144,16 +146,28 @@ def backfill_context(meta: DataFrame, grace_staging: DataFrame) -> DataFrame:
     column, `CASE WHEN meta.col = '' THEN MAX-per-flow(staging.col)
     ELSE meta.col END`. Empty string is the missing sentinel, NOT
     null (trap 2). Applied by the reference only to pre-2016-10-25
-    exports (:344-352) — the caller gates on export_date."""
+    exports (:344-352) — the caller gates on export_date.
+
+    ``grace_staging`` must be the FULL-COLUMN typed staging frame
+    (sample-filtered, NO day filter): the reference reads the staging
+    temp table here — not the begin-consumed perm table — because only
+    staging still carries the metrics-context columns
+    (Q_UPDATE_METRICS_CONTEXT formats table_name=temporary_table_name,
+    import_flow_events.py:350-352)."""
     agg = grace_staging.groupBy("flow_id").agg(
         *[F.max(c).alias(f"_{c}") for c in CONTEXT_COLUMNS]
-    )
+    ).withColumn("_m", F.lit(True))
     joined = meta.join(agg, "flow_id", "left")
     out_cols = []
     for c in meta.columns:
         if c in CONTEXT_COLUMNS:
+            # matched flows take the aggregate even when it is NULL —
+            # the reference's SET is unconditional inside the ''-gate
             out_cols.append(
-                empty_backfill(F.col(c), F.coalesce(F.col(f"_{c}"), F.col(c))).alias(c)
+                empty_backfill(
+                    F.col(c),
+                    F.when(F.col("_m"), F.col(f"_{c}")).otherwise(F.col(c)),
+                ).alias(c)
             )
         else:
             out_cols.append(F.col(c))
@@ -193,12 +207,37 @@ def experiments_from_events(day_events: DataFrame, day: dt.date | str) -> DataFr
 def enrich_experiment_uid(experiments: DataFrame, grace_events: DataFrame) -> DataFrame:
     """J7 (import_flow_events.py:287-298): experiments.uid =
     MAX(uid) per flow from events of day ∪ day+1."""
-    agg = grace_events.groupBy("flow_id").agg(F.max("uid").alias("_uid"))
+    agg = (
+        grace_events.groupBy("flow_id")
+        .agg(F.max("uid").alias("_uid"))
+        .withColumn("_m", F.lit(True))
+    )
     joined = experiments.join(agg, "flow_id", "left")
+    # unconditional SET for matched flows, as in Q_UPDATE_EXPERIMENTS
     return joined.select(
         *[c for c in experiments.columns if c != "uid"],
-        F.coalesce(F.col("_uid"), F.col("uid")).alias("uid"),
+        F.when(F.col("_m"), F.col("_uid")).otherwise(F.col("uid")).alias("uid"),
     ).select(*experiments.columns)
+
+
+def metadata_grace_frame(grace_events: DataFrame) -> DataFrame:
+    """The J2/J3/J4 event frame: the reference deletes the day's
+    flow.begin rows from perm BEFORE Q_UPDATE_METADATA
+    (Q_DELETE_BEGIN_EVENTS, import_flow_events.py:333), and day+1's
+    control events were consumed during its own newest-first run — so
+    begin rows never feed the duration/locale/uid aggregates."""
+    return grace_events.filter(F.col("type") != "flow.begin")
+
+
+def experiments_grace_frame(grace_events: DataFrame) -> DataFrame:
+    """The J7 event frame: by Q_UPDATE_EXPERIMENTS both the day's
+    begin AND continued events are deleted (import_flow_events.py:
+    333,356); only its experiment events are still live (consumed
+    after, :369)."""
+    t = F.col("type")
+    return grace_events.filter(
+        (t != "flow.begin") & ~t.startswith("flow.continued.")
+    )
 
 
 def build_flow_metadata_for_day(
@@ -206,22 +245,30 @@ def build_flow_metadata_for_day(
     staging_grace: DataFrame,
     day: dt.date | str,
     backfill: bool | None = None,
+    backfill_staging: DataFrame | None = None,
 ) -> DataFrame:
     """Full enrichment chain for one day, in the reference's hook
     order (import_flow_events.py:322-355): begin → duration/locale/uid
     → completed → new_account → [context backfill] → continued_from.
 
     ``staging_day``: typed staging rows of ``day``;
-    ``staging_grace``: rows of day ∪ day+1 (the 1-day grace window).
+    ``staging_grace``: rows of day ∪ day+1 (the 1-day grace window,
+    with day+1 already control-event-consumed);
+    ``backfill_staging``: the full-column staging frame for the
+    pre-cutoff context backfill (defaults to ``staging_day``, which is
+    the temp table the reference reads there).
     """
     d = dt.date.fromisoformat(str(day))
     if backfill is None:
         backfill = d < BACKFILL_CUTOFF
+    grace_meta = metadata_grace_frame(staging_grace)
     meta = begin_sessions(staging_day, d)
-    meta = enrich_duration_locale_uid(meta, staging_grace)
-    meta = mark_flag(meta, staging_grace, "flow.complete", "completed")
-    meta = mark_flag(meta, staging_grace, "account.created", "new_account")
+    meta = enrich_duration_locale_uid(meta, grace_meta)
+    meta = mark_flag(meta, grace_meta, "flow.complete", "completed")
+    meta = mark_flag(meta, grace_meta, "account.created", "new_account")
     if backfill:
-        meta = backfill_context(meta, staging_grace)
+        meta = backfill_context(
+            meta, backfill_staging if backfill_staging is not None else staging_day
+        )
     meta = set_continued_from(meta, staging_grace)
     return meta

@@ -197,25 +197,32 @@ def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, pe
     ).select(*perm_cols)
     grace = staging_day.select(*perm_cols).unionByName(next_day)
 
-    # 1-2. metadata for this day + whole-table enrichment
+    # 1-2. metadata for this day + whole-table enrichment.
+    # J2/J3/J4 read the begin-consumed frame (the reference deletes the
+    # day's begin events from perm before Q_UPDATE_METADATA).
+    grace_meta = flow_ops.metadata_grace_frame(grace)
     meta_tbl = f"flow_metadata{suffix}"
     existing = lake.read(meta_tbl, FLOW_METADATA_SCHEMA)
     new_rows = flow_ops.begin_sessions(staging_day, day)
     meta = existing.filter(F.col("export_date") != d_lit).unionByName(new_rows)
-    meta = flow_ops.enrich_duration_locale_uid(meta, grace)
-    meta = flow_ops.mark_flag(meta, grace, "flow.complete", "completed")
-    meta = flow_ops.mark_flag(meta, grace, "account.created", "new_account")
+    meta = flow_ops.enrich_duration_locale_uid(meta, grace_meta)
+    meta = flow_ops.mark_flag(meta, grace_meta, "flow.complete", "completed")
+    meta = flow_ops.mark_flag(meta, grace_meta, "account.created", "new_account")
     if day < flow_ops.BACKFILL_CUTOFF:
-        meta = flow_ops.backfill_context(meta, grace)
+        # Q_UPDATE_METRICS_CONTEXT reads the FULL-COLUMN staging temp
+        # table (sample-filtered, no day filter) — `typed`, not `grace`:
+        # the perm-col grace frame doesn't carry the context columns.
+        meta = flow_ops.backfill_context(meta, typed)
     meta = flow_ops.set_continued_from(meta, grace)
     lake.overwrite(meta_tbl, meta)
 
-    # 3. experiments
+    # 3. experiments. J7 reads the frame with the day's begin AND
+    # continued events consumed (experiment events still live).
     exp_tbl = f"flow_experiments{suffix}"
     existing_exp = lake.read(exp_tbl, FLOW_EXPERIMENTS_SCHEMA)
     new_exp = flow_ops.experiments_from_events(staging_day, day)
     exp = existing_exp.filter(F.col("export_date") != d_lit).unionByName(new_exp)
-    exp = flow_ops.enrich_experiment_uid(exp, grace)
+    exp = flow_ops.enrich_experiment_uid(exp, flow_ops.experiments_grace_frame(grace))
     lake.overwrite(exp_tbl, exp)
 
     # 4. perm flow_events for this day, control events consumed
@@ -232,6 +239,10 @@ def run_counts_import(
     """Counts pipeline (import_counts.py:94-123): discover
     `fxa-basic-metrics-{day}.txt` files, skip already-populated days
     unless force_reload (C5), merge into the day-UNIQUE counts table.
+
+    Each file loads under MAXERROR=10 — the counts COPY uses a tighter
+    bad-row cap than events' 100 (import_counts.py:78 vs
+    import_events.py:95).
     """
     from fxa_activity_metrics_spark.operators.counts import COUNTS_BEGIN, typed_counts
     from fxa_activity_metrics_spark.schemas import COUNTS_CSV_SCHEMA, COUNTS_SCHEMA
@@ -246,7 +257,10 @@ def run_counts_import(
         files = {d: p for d, p in files.items() if d not in have}
     if not files:
         return 0
-    raw = spark.read.csv(list(files.values()), schema=COUNTS_CSV_SCHEMA)
+    raw = None
+    for _, path in sorted(files.items()):
+        part = read_day_csv(spark, path, COUNTS_CSV_SCHEMA, max_errors=10)
+        raw = part if raw is None else raw.unionByName(part)
     new = typed_counts(raw)
     merged = (
         existing.join(new, "day", "left_anti").unionByName(new)

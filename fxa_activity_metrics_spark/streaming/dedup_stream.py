@@ -49,6 +49,46 @@ def read_docs_stream(
     )
 
 
+_FILE_DAY_RE = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.json$"
+
+
+def _docs_with_file_day(
+    spark: SparkSession, source_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Document stream + the day parsed from each source file name,
+    carrying the file name for diagnostics."""
+    return (
+        read_docs_stream(spark, source_dir, schema)
+        .withColumn("_src_file", F.input_file_name())
+        .withColumn(
+            "day",
+            # try_cast: an unparseable name yields NULL here (ANSI cast
+            # would throw an opaque CAST_INVALID_INPUT mid-plan) and
+            # _require_file_days raises the actionable error instead
+            F.regexp_extract(F.col("_src_file"), _FILE_DAY_RE, 1).try_cast("date"),
+        )
+    )
+
+
+def _require_file_days(batch_df: DataFrame) -> None:
+    """Fail fast on files not named `*-YYYY-MM-DD.json`: a null day
+    would land those rows in the default partition, silently outside
+    every read_days / incremental_candidates window."""
+    bad = [
+        r["_src_file"]
+        for r in batch_df.filter(F.col("day").isNull())
+        .select("_src_file")
+        .distinct()
+        .limit(5)
+        .collect()
+    ]
+    if bad:
+        raise ValueError(
+            "document day-files must be named '<prefix>-YYYY-MM-DD.json'; "
+            f"cannot parse a day from: {bad}"
+        )
+
+
 def dedup_aggregate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Running keeper state: same expression as the batch
     exact_duplicates (operators/dedup.py) — md5 digest, min id,
@@ -104,11 +144,7 @@ def run_signature_import_stream(
     tests/test_streaming_dedup.py). Returns the started query."""
     from fxa_activity_metrics_spark.operators.dedup import minhash_signature
 
-    file_day_re = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.json$"
-    docs = read_docs_stream(spark, source_dir, schema).withColumn(
-        "day",
-        F.regexp_extract(F.input_file_name(), file_day_re, 1).cast("date"),
-    )
+    docs = _docs_with_file_day(spark, source_dir, schema)
 
     # signing happens INSIDE the batch writer via the shared batch
     # operator, so stream and batch produce byte-identical signature
@@ -116,6 +152,7 @@ def run_signature_import_stream(
     def write_signed(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _require_file_days(batch_df)
         out = minhash_signature(
             batch_df, "doc_id", "text", num_hashes, shingle_n
         ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")
@@ -161,15 +198,12 @@ def run_incremental_dedup_stream(
         incremental_candidates,
     )
 
-    file_day_re = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.json$"
-    docs = read_docs_stream(spark, source_dir, schema).withColumn(
-        "day",
-        F.regexp_extract(F.input_file_name(), file_day_re, 1).cast("date"),
-    )
+    docs = _docs_with_file_day(spark, source_dir, schema)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _require_file_days(batch_df)
         sigs = minhash_signature(
             batch_df, "doc_id", "text", num_hashes, shingle_n
         ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")

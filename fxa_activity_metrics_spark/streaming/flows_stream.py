@@ -36,7 +36,10 @@ from fxa_activity_metrics_spark.functions.core import (
     parse_continued_from,
     ts_from_epoch,
 )
-from fxa_activity_metrics_spark.schemas import FLOW_CSV_SCHEMA
+from fxa_activity_metrics_spark.schemas import (
+    FLOW_CSV_SCHEMA,
+    FLOW_METADATA_SCHEMA,
+)
 from fxa_activity_metrics_spark.sources.lake import Lake
 
 
@@ -62,7 +65,7 @@ def session_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     result converges to the batch answer once the watermark passes.
     """
     is_begin = F.col("type") == "flow.begin"
-    return (
+    out = (
         events.withWatermark("timestamp", watermark)
         .groupBy("flow_id")
         .agg(
@@ -85,6 +88,7 @@ def session_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
             F.max(F.when(is_begin, F.col("utm_content"))).alias("utm_content"),
             F.max(F.when(is_begin, F.col("utm_medium"))).alias("utm_medium"),
             F.max(F.when(is_begin, F.col("utm_source"))).alias("utm_source"),
+            F.max(F.when(is_begin, F.col("utm_term"))).alias("utm_term"),
             F.min(F.when(is_begin, F.col("day"))).alias("export_date"),
             F.max("locale").alias("locale"),
             F.max("uid").alias("uid"),
@@ -100,6 +104,9 @@ def session_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
         )
         .filter(F.col("begin_time").isNotNull())
     )
+    # pin the output surface to the batch metadata schema — a silently
+    # dropped column (round-1: utm_term) fails here at plan time
+    return out.select([f.name for f in FLOW_METADATA_SCHEMA.fields])
 
 
 def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):

@@ -66,3 +66,26 @@ def test_counts_import(spark, tmp_path):
     assert run_counts_import(spark, lake, src, force_reload=True) == 3
     again = {r["day"]: (r["accounts"], r["verified_accounts"]) for r in lake.read("counts").collect()}
     assert again == got
+
+
+def test_counts_maxerror_10(spark, tmp_path):
+    """Counts loads under MAXERROR=10, tighter than events' 100
+    (import_counts.py:78): 11 unparseable rows fail the load, 10 are
+    tolerated (and dropped)."""
+    day = dt.date(2024, 4, 1)
+    good = [[day.isoformat(), 500, 450]]
+
+    bad_src = str(tmp_path / "bad_src")
+    bad_rows = good + [[f"2024-04-01", "not_a_number", i] for i in range(11)]
+    write_csv(bad_src, "fxa-basic-metrics", day, bad_rows)
+    lake = Lake(spark, str(tmp_path / "lake_a"))
+    with pytest.raises(ValueError, match="MAXERROR=10"):
+        run_counts_import(spark, lake, bad_src)
+
+    ok_src = str(tmp_path / "ok_src")
+    ok_rows = good + [[f"2024-04-01", "not_a_number", i] for i in range(10)]
+    write_csv(ok_src, "fxa-basic-metrics", day, ok_rows)
+    lake2 = Lake(spark, str(tmp_path / "lake_b"))
+    assert run_counts_import(spark, lake2, ok_src) == 1
+    got = {r["day"]: (r["accounts"], r["verified_accounts"]) for r in lake2.read("counts").collect()}
+    assert got == {day: (500, 450)}, "bad rows dropped, good row loaded"

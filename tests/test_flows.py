@@ -12,7 +12,18 @@ from pyspark.sql import functions as F
 from fxa_activity_metrics_spark.plans.incremental import ImportJob, flow_after_day
 from fxa_activity_metrics_spark.schemas import FLOW
 from fxa_activity_metrics_spark.sources.lake import Lake
-from tests.fixtures import F_A, F_B, F_C, F_D, UID_A, UID_B, write_flow_days
+from tests.fixtures import (
+    F_A,
+    F_B,
+    F_C,
+    F_D,
+    UID_A,
+    UID_B,
+    epoch,
+    hex_id,
+    write_csv,
+    write_flow_days,
+)
 
 D1 = dt.date(2024, 3, 1)
 D2 = dt.date(2024, 3, 2)
@@ -99,6 +110,45 @@ def test_idempotent_rerun(spark, lake):
     job.run()
     after = sorted(tuple(str(v) for v in r) for r in lake.read("flow_metadata").collect())
     assert after == before
+
+
+BF_DAY = dt.date(2016, 10, 1)  # pre-2016-10-25 → backfill branch runs
+F_E = hex_id(5, "flowE")
+
+
+def _bf_row(ts, type_, fid, ft, context="", entrypoint="", locale="", uid=""):
+    # same 18-field layout as fixtures._frow, but with controllable
+    # context/entrypoint so the ''-sentinel backfill is observable
+    return [ts, type_, fid, ft, "Firefox", "49", "Windows 10", context,
+            entrypoint, "", "sync", "", "", "", "", "", locale, uid]
+
+
+def test_precutoff_context_backfill(spark, tmp_path):
+    """Pre-cutoff days run Q_UPDATE_METRICS_CONTEXT against the
+    FULL-COLUMN staging frame (import_flow_events.py:344-352): a
+    flow.begin with empty context gets it backfilled from any later
+    same-flow staging row. Regression for the round-1 bug where the
+    perm-col grace frame (no context columns) was passed instead —
+    an unresolved-column crash on every pre-cutoff day."""
+    src = str(tmp_path / "src")
+    rows = [
+        _bf_row(epoch(BF_DAY, 9, 0), "flow.begin", F_E, 0),
+        _bf_row(epoch(BF_DAY, 9, 1), "flow.signin", F_E, 60000,
+                context="fx_ios_v1", entrypoint="menu", locale="en-GB", uid=UID_A),
+    ]
+    write_csv(src, "flow_events", BF_DAY, rows)
+    lake = Lake(spark, str(tmp_path / "lake"))
+    job = ImportJob(
+        spark=spark, lake=lake, dataset=FLOW, source_dir=src,
+        write_perm=False, after_day=flow_after_day,
+    )
+    assert job.run() == [BF_DAY]
+    rows = lake.read("flow_metadata").filter(F.col("flow_id") == F_E).collect()
+    assert len(rows) == 1
+    m = rows[0]
+    assert m["context"] == "fx_ios_v1", "'' context backfilled from staging"
+    assert m["entrypoint"] == "menu"
+    assert m["locale"] == "en-GB" and m["uid"] == UID_A
 
 
 def test_sampled_variants_subset(lake):

@@ -81,6 +81,27 @@ def test_stream_restart_continues_from_checkpoint(spark, src_dir, tmp_path):
     )
 
 
+def test_badly_named_file_fails_fast(spark, tmp_path):
+    """A drop whose name has no parseable day must kill the query, not
+    silently land its rows in the default partition outside every
+    read_days window."""
+    from pyspark.errors import StreamingQueryException
+
+    from fxa_activity_metrics_spark.streaming.dedup_stream import (
+        run_signature_import_stream,
+    )
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_drop(str(d), "documents-notaday.json", _DAY1, time.time() - 60)
+    lake = Lake(spark, str(tmp_path / "lake"))
+    q = run_signature_import_stream(
+        spark, str(d), lake, str(tmp_path / "ckpt"), shingle_n=2
+    )
+    with pytest.raises(StreamingQueryException, match="cannot parse a day"):
+        q.awaitTermination(120)
+
+
 def test_signature_stream_feeds_incremental_candidates(spark, src_dir, tmp_path):
     """The streaming signature import writes the SAME table the batch
     plan maintains: signatures are byte-identical to the batch build,
