@@ -380,10 +380,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k, vectorized scale path: per-partition numpy GEMM
     (one Arrow batch per partition, local top-k, global window
-    reduce). Ranks equal ann_bruteforce except exact float ties —
-    GEMM summation order differs in the last ulps, so this entry is
-    rows-only checked; tests assert neighbor-set equality vs the
-    fold-based baseline."""
+    reduce). Ranks on the 6dp-rounded cosine — the same rule as
+    ann_bruteforce — so it hash-verifies against the shared SQL
+    oracle; tests also assert neighbor-set equality vs the fold
+    baseline."""
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.brute_force_topk_gemm(emb, queries_df, k=5)
@@ -835,30 +835,10 @@ def oracle_sql() -> dict[str, str]:
                    AS simhash
             FROM hashed
         """,
-        "ann_bruteforce": """
-            WITH q AS (
-              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
-            ), c AS (
-              SELECT vec_id AS nid, embedding AS ce FROM embeddings
-            ), scored AS (
-              SELECT qid, nid,
-                     list_sum(list_transform(range(1, 1 + len(qe)),
-                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(range(1, 1 + len(qe)),
-                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(range(1, 1 + len(ce)),
-                          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))
-                     AS cos
-              FROM q, c WHERE qid <> nid
-            ), ranked AS (
-              SELECT qid AS query_id, nid AS neighbor_id,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY cos DESC, nid ASC) AS rank,
-                     round(cos, 6) AS cosine
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
-        """,
+        "ann_bruteforce": _ANN_TOPK_SQL,
+        # the GEMM path ranks on the same 6dp-rounded cosine, so the
+        # identical oracle hash-verifies the vectorized scale path too
+        "ann_bruteforce_gemm": _ANN_TOPK_SQL,
         "embedding_neardup": """
             WITH v AS (
               SELECT vec_id AS id, embedding AS e,
@@ -1057,6 +1037,35 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check; recall vs brute force asserted in tests.
     }
 
+
+# Exact cosine top-k oracle, shared by the fold and GEMM paths: both
+# rank on the 6dp-ROUNDED cosine (ties by neighbor_id asc), so the
+# ordering is independent of each engine's float summation order.
+_ANN_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS ce FROM embeddings
+    ), scored AS (
+      SELECT qid, nid,
+             round(
+               list_sum(list_transform(range(1, 1 + len(qe)),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 1 + len(qe)),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 1 + len(ce)),
+                    i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+               6) AS cos
+      FROM q, c WHERE qid <> nid
+    ), ranked AS (
+      SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid ASC) AS rank,
+             cos AS cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
 
 _MDU_SQL = """
     WITH da AS (

@@ -77,8 +77,12 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, rank, cosine) — rank 1..k by
-    cosine desc, ties broken by neighbor_id asc; self-matches
-    excluded. The broadcast hint keeps the corpus un-shuffled.
+    cosine ROUNDED TO 6DP desc, ties broken by neighbor_id asc;
+    self-matches excluded. Ranking on the rounded value makes the
+    ordering independent of summation order (fold vs GEMM vs SQL
+    engines differ in the last ulps), so every exact-top-k variant
+    is hash-comparable against the same oracle. The broadcast hint
+    keeps the corpus un-shuffled.
     """
     # Norms are projected once per ROW on each side, below the join —
     # the per-PAIR expression is one dot + a divide (1 array fold, not
@@ -93,9 +97,9 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos"
-        ),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -103,7 +107,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -129,9 +133,10 @@ def brute_force_topk_gemm(
     The query batch is collected to the driver by contract (an ANN
     probe set is small — same contract as ivf_centroids); the corpus
     never leaves the executors. Summation order inside GEMM differs
-    from the sequential fold, so cosines can differ in the last ulps
-    vs brute_force_topk — ranks are identical except for exact float
-    ties; the driver records a rows-only check for this entry.
+    from the sequential fold in the last ulps, so scores are rounded
+    to 6dp BEFORE any ranking (locally and globally, ties broken by
+    neighbor_id asc) — the same rule as brute_force_topk, which makes
+    this path hash-comparable against the same SQL oracle.
     """
     import numpy as np  # baked into the runtime alongside pyarrow
     import pandas as pd
@@ -154,9 +159,12 @@ def brute_force_topk_gemm(
             kk = min(k, n)
             parts = []
             for j in range(len(qids)):
-                col = np.where(ids == qids[j], -np.inf, sims[:, j])  # self-match out
-                top = np.argpartition(-col, kk - 1)[:kk] if kk < n else np.arange(n)
-                top = top[np.isfinite(col[top])]
+                # self-match out, then round BEFORE local selection so
+                # a 6dp tie at the local kth boundary keeps the smaller
+                # id — the same candidate the global rounded rank wants
+                col = np.round(np.where(ids == qids[j], -np.inf, sims[:, j]), 6)
+                order = np.lexsort((ids, -col))  # col desc, id asc
+                top = order[np.isfinite(col[order])][:kk]
                 parts.append(
                     pd.DataFrame(
                         {
@@ -170,13 +178,14 @@ def brute_force_topk_gemm(
                 yield pd.concat(parts, ignore_index=True)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # cos is already 6dp-rounded by the local pass
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
