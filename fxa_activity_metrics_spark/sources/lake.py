@@ -29,9 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_DAY_DIR_RE = re.compile(r"^day=(\d{4}-\d{2}-\d{2})$")
-
-
 class Lake:
     """A collection of day-partitioned Parquet tables under ``root``.
 
@@ -50,6 +47,33 @@ class Lake:
 
     # -- write ------------------------------------------------------------
 
+    def write_parts(
+        self,
+        table: str,
+        df: DataFrame,
+        part_col: str,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Partition-granular idempotent sink on an arbitrary
+        date-valued partition column.
+
+        Dynamic partition overwrite replaces exactly the partitions
+        present in ``df`` — partitions the frame doesn't touch are
+        never read or rewritten, which is the property that makes
+        per-day maintenance of a 100 TB table O(day), not O(table).
+        """
+        if part_col not in df.columns:
+            raise ValueError(f"write_parts requires a '{part_col}' partition column")
+        out = df.repartition(part_col)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path(table))
+        )
+
     def write_days(self, table: str, df: DataFrame, sort_cols: list[str] | None = None) -> None:
         """Idempotent day sink (S5).
 
@@ -63,15 +87,7 @@ class Lake:
         if "day" not in df.columns:
             raise ValueError("write_days requires a 'day' partition column")
         sort_cols = sort_cols or (["timestamp"] if "timestamp" in df.columns else [])
-        out = df.repartition("day")
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
-        (
-            out.write.mode("overwrite")
-            .partitionBy("day")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.path(table))
-        )
+        self.write_parts(table, df, "day", sort_cols)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Full-table overwrite (session/entity tables like
@@ -106,7 +122,13 @@ class Lake:
                 f"lake table '{table}' has no data at {self.path(table)}; "
                 "pass a schema to read an empty/unmaterialized table"
             )
-        return self.spark.read.parquet(self.path(table))
+        df = self.spark.read.parquet(self.path(table))
+        if schema is not None:
+            # partitioned reads surface the partition column LAST;
+            # normalize to the declared field order so unionByName /
+            # downstream selects see one stable shape either way
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
     def read_days(
         self,
@@ -127,19 +149,31 @@ class Lake:
 
     # -- partition metadata (driver-side, file-listing only) --------------
 
+    def part_days(self, table: str, part_col: str) -> list[dt.date]:
+        """Populated partition values of a date-valued partition
+        column, from directory names — no data scan."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return []
+        rx = re.compile(rf"^{re.escape(part_col)}=(\d{{4}}-\d{{2}}-\d{{2}})$")
+        out = []
+        for entry in os.listdir(p):
+            m = rx.match(entry)
+            if m:
+                out.append(dt.date.fromisoformat(m.group(1)))
+        return sorted(out)
+
+    def drop_part(self, table: str, part_col: str, day: dt.date | str) -> None:
+        """Drop one partition directory — O(1) metadata, no rewrite."""
+        part = os.path.join(self.path(table), f"{part_col}={day}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+
     def days(self, table: str) -> list[dt.date]:
         """Populated days, from partition directory names — the lake
         analogue of the reference's populated-day probe
         (import_events.py:72-78) without scanning any data."""
-        p = self.path(table)
-        if not os.path.isdir(p):
-            return []
-        out = []
-        for entry in os.listdir(p):
-            m = _DAY_DIR_RE.match(entry)
-            if m:
-                out.append(dt.date.fromisoformat(m.group(1)))
-        return sorted(out)
+        return self.part_days(table, "day")
 
     def day_populated(self, table: str, day: dt.date | str) -> bool:
         """Existence probe (P7, import_events.py:72-78)."""
