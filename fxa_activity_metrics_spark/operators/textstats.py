@@ -153,34 +153,61 @@ def winnow_fingerprint(
     sorted distinct selection. Near-identical documents share most
     selected hashes, and the selection is position-robust.
 
-    The k-gram hash array is STAGED as its own projection, then the
-    sliding minima are zip_with folds over ``window`` shifted slices
-    of that bound column — referencing the hash expression inside a
-    per-window lambda would re-run the md5 transform per window
-    position (the HOF re-evaluation trap).
+    Evaluated as an Arrow-batched ``mapInPandas`` kernel (the
+    ``brute_force_topk_gemm`` precedent): Catalyst's higher-order
+    lambdas run interpreted (never codegen'd), so an md5 + hex-slice +
+    base-conversion per character position costs ~15× a vectorized
+    evaluation. Here hashlib.md5 (C) hashes each k-gram and numpy's
+    ``sliding_window_view`` takes the window minima — same digests,
+    same selection, so the DuckDB oracle is byte-identical. Per-row
+    projection, zero shuffle; each partition streams through as Arrow
+    batches, so the cost at 100 TB is one scan at C speed.
+
+    Hash = first 8 hex chars of md5(utf-8 bytes of the lowercased
+    k-gram) read base-16 (equivalently: first 4 digest bytes
+    big-endian). Docs shorter than k, or with fewer than ``window``
+    k-grams, select nothing (empty fps) — matching the slice/zip_with
+    formulation this kernel replaced.
     """
-    lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
-    txt = F.col("_t")  # bound column — cheap to re-read per lambda element
-    n_grams = F.length(txt) - (k - 1)
-    hashes = F.when(
-        F.length(txt) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.conv(F.substring(F.md5(F.substring(txt, i, k)), 1, 8), 16, 10).cast(
-                "long"
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    staged = lowered.select(F.col(id_col), hashes.alias("_h"))
-    n_windows = F.greatest(F.size("_h") - (window - 1), F.lit(0))
-    mins = F.slice("_h", 1, n_windows)
-    for i in range(1, window):
-        mins = F.zip_with(
-            mins, F.slice("_h", i + 1, n_windows), lambda a, b: F.least(a, b)
-        )
-    return staged.select(
-        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps")
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("fps", T.ArrayType(T.LongType()), True)]
     )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fps_out: list[list[int]] = []
+            for text in pdf[text_col]:
+                t = ("" if text is None else str(text)).lower()
+                n = len(t) - (k - 1)
+                if n < window:
+                    fps_out.append([])
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:4],
+                            "big",
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                fps_out.append(np.unique(mins).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "fps": fps_out})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
 def token_counts(
