@@ -608,6 +608,15 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select(F.col("doc_id"), F.explode("fps").alias("fp"))
 
 
+def q_winnow_fingerprint_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint over a Rabin-Karp polynomial hash
+    (base-31 mod 2^32 over code points) — O(1)-per-position variant
+    of the md5 winnow; same window-min selection, exploded to scalar
+    (doc_id, fp) rows."""
+    fps = textstats.winnow_fingerprint_rk(_docs(spark, sf_dir), k=5, window=4)
+    return fps.select(F.col("doc_id"), F.explode("fps").alias("fp"))
+
+
 def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column → Arrow-batched mapInPandas
     byte stats; oracle checks the same digests SQL-side."""
@@ -666,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "token_count_bpe": q_token_count_bpe,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "blob_stats": q_blob_stats,
     }
 
@@ -1015,6 +1025,32 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN length(t) >= 5 THEN
                        list_transform(range(1, length(t) - 5 + 2), i ->
                          ('0x' || substring(md5(substring(t, i, 5)), 1, 8))::BIGINT)
+                     ELSE [] END AS hs
+              FROM g
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_transform(range(1, len(hs) - 4 + 2), i ->
+                         list_min(hs[i:i+3]))
+                     ELSE [] END AS mins
+              FROM h
+            )
+            SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m
+        """,
+        # Rabin-Karp winnow: base-31 polynomial over code points, mod
+        # 2^32. Max pre-mod term ~2^41 so BIGINT arithmetic is exact.
+        "winnow_fingerprint_rk": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) >= 5 THEN
+                       list_transform(range(1, length(t) - 5 + 2), i ->
+                         (ord(substring(t, i, 1)) * 923521
+                          + ord(substring(t, i + 1, 1)) * 29791
+                          + ord(substring(t, i + 2, 1)) * 961
+                          + ord(substring(t, i + 3, 1)) * 31
+                          + ord(substring(t, i + 4, 1))) % 4294967296)
                      ELSE [] END AS hs
               FROM g
             ), m AS (

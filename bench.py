@@ -51,10 +51,25 @@ BENCH_QUERIES = [
     "language_id",
     "fingerprint",
     "winnow_fingerprint",
+    "winnow_fingerprint_rk",
     "token_histogram",
     "token_count_bpe",
     "blob_stats",
 ]
+
+
+def budget_violations(timings: dict[str, float], factor: float = 5.0, floor: float = 5.0) -> list[str]:
+    """Per-query regression gate: queries slower than
+    max(factor × suite median, floor) seconds. The floor keeps the
+    gate quiet on a suite of uniformly-light queries; the median
+    multiple catches a single degenerate plan (round 2's 38.9s
+    winnow_fingerprint would trip this at any suite composition)."""
+    if not timings:
+        return []
+    vals = sorted(timings.values())
+    median = vals[len(vals) // 2]
+    limit = max(factor * median, floor)
+    return sorted(n for n, t in timings.items() if t > limit)
 
 
 def main() -> None:
@@ -85,6 +100,29 @@ def main() -> None:
         cold[name] = round(per_run[0], 3)
         timings[name] = round(min(per_run), 3)
 
+    # Shared-warm pass: cache the two corpus scans every text/vector
+    # query re-reads (Spark's CacheManager substitutes the cached
+    # InMemoryRelation by analyzed-plan match, so the queries()
+    # callables are untouched). Isolates the per-query scheduling
+    # floor + re-scan constant from real operator cost — at lake
+    # scale the inputs are hot in the page cache / shuffle-free
+    # anyway, so `warm` is the closer model of marginal query cost.
+    shared = [entrymod._docs(spark, SF_DIR), entrymod._emb(spark, SF_DIR)]
+    for df in shared:
+        df.cache().count()
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        per_run = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            per_run.append(time.perf_counter() - t0)
+        warm[name] = round(min(per_run), 3)
+    for df in shared:
+        df.unpersist()
+
+    violations = budget_violations(timings)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -94,11 +132,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_value": round(sum(cold.values()), 3),
+                "warm_value": round(sum(warm.values()), 3),
+                "warm_queries": warm,
+                "budget_violations": violations,
                 "sf": float(sf),
             }
         )
     )
     spark.stop()
+    if violations and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

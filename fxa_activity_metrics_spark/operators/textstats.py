@@ -210,6 +210,67 @@ def winnow_fingerprint(
     return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
+def winnow_fingerprint_rk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    base: int = 31,
+    mod: int = 1 << 32,
+) -> DataFrame:
+    """Winnowing fingerprint over a polynomial (Rabin-Karp) k-gram
+    hash instead of md5: hash(c_1..c_k) = sum(c_i * base^(k-i)) mod
+    2^32 over Unicode code points of the lowercased text.
+
+    The polynomial hash is O(1) amortized per position (vs md5's O(k)
+    digest per gram) and is exactly expressible in ANSI-ish SQL (a
+    sum of ord()*base^j terms per position), so the DuckDB oracle
+    computes the byte-identical selection. md5 winnowing
+    (``winnow_fingerprint``) is kept for MOSS-digest compatibility;
+    this variant is the cheaper default for fingerprint-only use.
+
+    Vectorized the same way as the md5 kernel: utf-32 decode gives
+    the code-point array for free, Horner's rule over k shifted
+    slices builds all gram hashes in k vector ops (max value
+    ~2^41 < 2^63, so one trailing mod suffices), then
+    sliding_window_view minima + unique. Zero shuffle, one scan.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("fps", T.ArrayType(T.LongType()), True)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fps_out: list[list[int]] = []
+            for text in pdf[text_col]:
+                t = ("" if text is None else str(text)).lower()
+                n = len(t) - (k - 1)
+                if n < window:
+                    fps_out.append([])
+                    continue
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.uint64
+                )
+                hs = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    hs = hs * np.uint64(base) + codes[j : j + n]
+                hs = (hs % np.uint64(mod)).astype(np.int64)
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                fps_out.append(np.unique(mins).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "fps": fps_out})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def token_counts(
     docs: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

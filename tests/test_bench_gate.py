@@ -1,0 +1,39 @@
+"""Per-query bench budget gate (VERDICT r2 #4): a single degenerate
+plan must not be able to ship silently again. The gate is exercised
+against the round-2 recorded timings, where winnow_fingerprint's
+interpreted-HOF plan cost 38.9s of a 60.2s suite."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import budget_violations  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_gate_triggers_on_round2_winnow():
+    with open(os.path.join(REPO, "BENCH_r02.json")) as f:
+        r2 = json.load(f)
+    assert budget_violations(r2["parsed"]["queries"]) == ["winnow_fingerprint"]
+
+
+def test_gate_quiet_on_uniform_suite():
+    timings = {f"q{i}": 0.3 + 0.01 * i for i in range(30)}
+    assert budget_violations(timings) == []
+
+
+def test_gate_floor_tolerates_one_moderately_heavy_query():
+    # 2.4s among 0.3s queries is 8x the median but under the 5s
+    # floor — a legitimately heavier operator, not a degenerate plan
+    timings = {f"q{i}": 0.3 for i in range(20)}
+    timings["heavy"] = 2.4
+    assert budget_violations(timings) == []
+    timings["degenerate"] = 6.0
+    assert budget_violations(timings) == ["degenerate"]
+
+
+def test_gate_empty():
+    assert budget_violations({}) == []
