@@ -157,6 +157,36 @@ class ImportJob:
 # ---------------------------------------------------------------------------
 
 
+def _touched_export_dates(existing, probe_ids, day: dt.date) -> set[dt.date]:
+    """export_date partitions of ``existing`` holding at least one row
+    whose flow_id appears in ``probe_ids``, plus ``day`` itself.
+
+    The semi-join scan is column-pruned to (flow_id, export_date) and
+    the collected result is a handful of dates — metadata-scale. Rows
+    outside these partitions cannot be altered by any of the per-flow
+    enrichment joins, so their partitions need neither re-enrichment
+    nor rewrite."""
+    touched = {
+        r["export_date"]
+        for r in existing.join(probe_ids.distinct(), "flow_id", "left_semi")
+        .select("export_date")
+        .distinct()
+        .collect()
+    }
+    touched.add(day)
+    return touched
+
+
+def _partition_slice(existing, export_dates: set[dt.date], day_lit):
+    """Rows of the affected export_date partitions, minus the
+    re-imported day (rebuilt from its begin events). The isin filter
+    prunes the scan to the matching partition directories."""
+    date_lits = [F.lit(str(d)).cast("date") for d in sorted(export_dates)]
+    return existing.filter(
+        F.col("export_date").isin(*date_lits) & (F.col("export_date") != day_lit)
+    )
+
+
 def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, percent: int) -> None:
     """Per-day flow sessionization, reproducing the hook order at
     import_flow_events.py:322-369 for one sampled variant:
@@ -197,14 +227,28 @@ def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, pe
     ).select(*perm_cols)
     grace = staging_day.select(*perm_cols).unionByName(next_day)
 
-    # 1-2. metadata for this day + whole-table enrichment.
-    # J2/J3/J4 read the begin-consumed frame (the reference deletes the
-    # day's begin events from perm before Q_UPDATE_METADATA).
+    # 1-2. metadata for this day + enrichment. The reference's
+    # Q_UPDATE_* statements touch the WHOLE session table, but every
+    # enrichment is a per-row left join keyed on flow_id — a row can
+    # only change if its flow_id appears in this import's event
+    # horizon. Both session tables are export_date-PARTITIONED, so the
+    # rewrite is partition-granular: a cheap flow_id semi-join probe
+    # (column-pruned to flow_id+export_date) finds the partitions
+    # holding touchable rows; only those are re-enriched and
+    # dynamically overwritten. At 100 TB this turns the per-imported-
+    # day cost from O(whole-session-table rewrite) into O(day's
+    # partitions + matched stragglers) — the untouched partitions are
+    # never rewritten (mtime-pinned in tests/test_flows_partitioned.py).
     grace_meta = flow_ops.metadata_grace_frame(grace)
     meta_tbl = f"flow_metadata{suffix}"
     existing = lake.read(meta_tbl, FLOW_METADATA_SCHEMA)
     new_rows = flow_ops.begin_sessions(staging_day, day)
-    meta = existing.filter(F.col("export_date") != d_lit).unionByName(new_rows)
+    probe_ids = grace.select("flow_id")
+    if day < flow_ops.BACKFILL_CUTOFF:
+        # the context backfill joins the full staging frame too
+        probe_ids = probe_ids.unionByName(typed.select("flow_id"))
+    affected = _touched_export_dates(existing, probe_ids, day)
+    meta = _partition_slice(existing, affected, d_lit).unionByName(new_rows)
     meta = flow_ops.enrich_duration_locale_uid(meta, grace_meta)
     meta = flow_ops.mark_flag(meta, grace_meta, "flow.complete", "completed")
     meta = flow_ops.mark_flag(meta, grace_meta, "account.created", "new_account")
@@ -214,16 +258,26 @@ def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, pe
         # the perm-col grace frame doesn't carry the context columns.
         meta = flow_ops.backfill_context(meta, typed)
     meta = flow_ops.set_continued_from(meta, grace)
-    lake.overwrite(meta_tbl, meta)
+    day_has_begins = bool(new_rows.take(1))
+    lake.write_parts(meta_tbl, meta, "export_date", sort_cols=["begin_time"])
+    if not day_has_begins:
+        # dynamic overwrite only rewrites partitions present in the
+        # frame — a re-imported day that lost all its begin events
+        # needs its stale partition dropped explicitly
+        lake.drop_part(meta_tbl, "export_date", day)
 
     # 3. experiments. J7 reads the frame with the day's begin AND
     # continued events consumed (experiment events still live).
     exp_tbl = f"flow_experiments{suffix}"
     existing_exp = lake.read(exp_tbl, FLOW_EXPERIMENTS_SCHEMA)
     new_exp = flow_ops.experiments_from_events(staging_day, day)
-    exp = existing_exp.filter(F.col("export_date") != d_lit).unionByName(new_exp)
+    affected_exp = _touched_export_dates(existing_exp, grace.select("flow_id"), day)
+    exp = _partition_slice(existing_exp, affected_exp, d_lit).unionByName(new_exp)
     exp = flow_ops.enrich_experiment_uid(exp, flow_ops.experiments_grace_frame(grace))
-    lake.overwrite(exp_tbl, exp)
+    day_has_exp = bool(new_exp.take(1))
+    lake.write_parts(exp_tbl, exp, "export_date", sort_cols=["timestamp"])
+    if not day_has_exp:
+        lake.drop_part(exp_tbl, "export_date", day)
 
     # 4. perm flow_events for this day, control events consumed
     perm = staging_day.filter(~flow_ops.consumed_condition()).select(*perm_cols)
