@@ -30,6 +30,7 @@ from fxa_activity_metrics_spark.operators.summaries import (
     daily_activity_per_device,
     multi_device_users_grouped,
     multi_device_users_join,
+    multi_device_users_join_salted,
     multi_device_users_window,
 )
 
@@ -140,6 +141,14 @@ def q_multi_device_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     on uid, in-group expansion); must equal the join form."""
     da = q_daily_activity(spark, sf_dir)
     return multi_device_users_grouped(da, 7, device_col="device")
+
+
+def q_multi_device_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, salted-join formulation — the uid-skew fallback (SURVEY §4):
+    join key (uid, salt) spreads a power user across n_salts shuffle
+    partitions; must equal the join form."""
+    da = q_daily_activity(spark, sf_dir)
+    return multi_device_users_join_salted(da, 7, device_col="device")
 
 
 def q_cohort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_device_users_join": q_multi_device_join,
         "multi_device_users_window": q_multi_device_window,
         "multi_device_users_grouped": q_multi_device_grouped,
+        "multi_device_users_salted": q_multi_device_salted,
         "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
         "cohort_sample": q_cohort_sample,
         "flow_sessionize": q_flow_sessionize,
@@ -693,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_device_users_join": _MDU_SQL,
         "multi_device_users_window": _MDU_SQL,
         "multi_device_users_grouped": _MDU_SQL,
+        "multi_device_users_salted": _MDU_SQL,
         "cohort_sample": """
             WITH ids AS (
               SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hex_id FROM events

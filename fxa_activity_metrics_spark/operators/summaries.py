@@ -89,6 +89,56 @@ def multi_device_users_join(
     return joined.select("day", "uid", "device_now", "device_prev").distinct()
 
 
+def multi_device_users_join_salted(
+    activity: DataFrame,
+    lookback_days: int = 7,
+    n_salts: int = 8,
+    day_col: str = "day",
+    user_col: str = "uid",
+    device_col: str = "device_id",
+) -> DataFrame:
+    """Join formulation with explicit key salting — the documented
+    fallback for power-user uid skew (SURVEY §4) when AQE's runtime
+    skew-split isn't available or a single uid still overflows one
+    shuffle partition at 100 TB.
+
+    The present side carries a deterministic salt
+    ``pmod(hash(day, device), n_salts)``; the past side is replicated
+    once per salt value via an exploded sequence (a ``lookback×n_salts``
+    row multiplier on the SMALLER deduped projection, not the raw
+    table). The join key becomes (uid, salt), so one hot uid's rows
+    spread across ``n_salts`` shuffle partitions instead of one
+    straggler task. Row-identical to ``multi_device_users_join`` —
+    salting only re-routes the shuffle.
+    """
+    present = activity.select(
+        F.col(day_col).alias("day"),
+        F.col(user_col).alias("uid"),
+        F.col(device_col).alias("device_now"),
+    ).withColumn(
+        "salt", F.pmod(F.hash(F.col("day"), F.col("device_now")), F.lit(n_salts))
+    )
+    past = activity.select(
+        F.col(day_col).alias("p_day"),
+        F.col(user_col).alias("p_uid"),
+        F.col(device_col).alias("device_prev"),
+    ).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = present.join(
+        past,
+        on=[
+            present["uid"] == past["p_uid"],
+            present["salt"] == past["salt"],
+            present["device_now"] != past["device_prev"],
+            past["p_day"] <= present["day"],
+            past["p_day"] >= F.date_sub(present["day"], lookback_days),
+        ],
+        how="inner",
+    )
+    return joined.select("day", "uid", "device_now", "device_prev").distinct()
+
+
 def gap_sessions(
     events: DataFrame,
     gap: str = "30 minutes",
