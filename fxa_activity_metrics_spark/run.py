@@ -89,7 +89,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
     args = ap.parse_args(argv)
 
     owns_session = spark is None
-    spark = spark or get_spark("fxa-import")
+    if spark is None:
+        from fxa_activity_metrics_spark.config import EngineConfig
+
+        spark = get_spark("fxa-import", config=EngineConfig.from_env())
     report = run_full_import(
         spark, Lake(spark, args.lake), args.source, force_reload=args.force_reload
     )

@@ -23,13 +23,27 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    config=None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
     real cluster the deploy environment sets the master and these
     defaults still apply (they are all cluster-safe).
+
+    ``config`` (an :class:`~fxa_activity_metrics_spark.config.
+    EngineConfig`) supplies the same knobs as one object with
+    explicit-beats-env precedence (C6), including the storage
+    credential chain; per-argument values beat the config object.
     """
+    if config is not None:
+        app_name = app_name if app_name != ENGINE_NAME else (config.app_name or app_name)
+        master = master or config.master
+        if shuffle_partitions is None:
+            shuffle_partitions = config.shuffle_partitions
+        merged = config.spark_conf()
+        merged.update(extra_conf or {})
+        extra_conf = merged
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
