@@ -126,8 +126,18 @@ class Lake:
         if schema is not None:
             # partitioned reads surface the partition column LAST;
             # normalize to the declared field order so unionByName /
-            # downstream selects see one stable shape either way
-            df = df.select(*[f.name for f in schema.fields])
+            # downstream selects see one stable shape either way.
+            # Fields absent from the stored files (schema evolution:
+            # a column added after the table was written) come back
+            # as typed nulls rather than an AnalysisException.
+            present = set(df.columns)
+            df = df.select(
+                *[
+                    F.col(f.name) if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         return df
 
     def read_days(
@@ -164,8 +174,13 @@ class Lake:
         return sorted(out)
 
     def drop_part(self, table: str, part_col: str, day: dt.date | str) -> None:
-        """Drop one partition directory — O(1) metadata, no rewrite."""
-        part = os.path.join(self.path(table), f"{part_col}={day}")
+        """Drop one partition directory — O(1) metadata, no rewrite.
+
+        ``day`` is normalized through ISO date parsing before the path
+        is built, so a malformed value raises instead of aiming the
+        rmtree at an unintended directory."""
+        day_str = dt.date.fromisoformat(str(day)).isoformat()
+        part = os.path.join(self.path(table), f"{part_col}={day_str}")
         if os.path.isdir(part):
             shutil.rmtree(part)
 
