@@ -72,9 +72,31 @@ def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no shuffle is added at scale."""
     df = read_table(spark, sf_dir, name)
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores // 2:
+    if _estimated_splits(spark, df) < cores // 2:
         df = df.repartition(cores)
     return df
+
+
+def _estimated_splits(spark: SparkSession, df: DataFrame) -> int:
+    """Input-split estimate from the scan's file listing + sizes vs
+    spark.sql.files.maxPartitionBytes — a metadata-only probe (the
+    former df.rdd.getNumPartitions() forced a plan-to-RDD conversion
+    just to read the same number)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    total = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            size = _os.path.getsize(p)
+        except OSError:
+            return len(files)  # non-local store: files is the floor
+        total += max(1, -(-size // max_bytes))
+    return total
 
 
 _EMB_DIM: dict[str, int] = {}
@@ -405,6 +427,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
 
 
+def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs, GEMM-vectorized (per-partition numpy
+    matmul against the broadcast corpus matrix) — same rows and
+    oracle as the fold baseline."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_neardup_pairs_gemm(emb, threshold=0.4)
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
     filter. Approximate — no SQL oracle; tests assert the result is a
@@ -669,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "injection_filter": q_injection_filter,
         "empty_backfill": q_empty_backfill,
@@ -860,23 +891,11 @@ def oracle_sql() -> dict[str, str]:
         # the GEMM path ranks on the same 6dp-rounded cosine, so the
         # identical oracle hash-verifies the vectorized scale path too
         "ann_bruteforce_gemm": _ANN_TOPK_SQL,
-        "embedding_neardup": """
-            WITH v AS (
-              SELECT vec_id AS id, embedding AS e,
-                     sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
-                       i -> CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE)))) AS nrm
-              FROM embeddings
-            ), p AS (
-              SELECT a.id AS id_a, b.id AS id_b,
-                     list_sum(list_transform(range(1, 1 + len(a.e)),
-                       i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
-                     / (a.nrm * b.nrm) AS cos
-              FROM v a JOIN v b ON a.id < b.id
-            )
-            SELECT id_a, id_b, round(cos, 6) AS cosine
-            FROM p WHERE cos >= 0.4
-        """,
+        "embedding_neardup": _NEARDUP_SQL,
+        # the GEMM form filters on the unrounded float64 product and
+        # rounds to 6dp on output, exactly like the fold form — one
+        # oracle hash-verifies both
+        "embedding_neardup_gemm": _NEARDUP_SQL,
         "injection_filter": """
             WITH staged AS (
               SELECT doc_id,
@@ -1083,6 +1102,26 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally no oracle — approximate operator,
         # rows-only check; recall vs brute force asserted in tests.
     }
+
+
+# Exact near-dup-pairs oracle, shared by the fold and GEMM paths.
+_NEARDUP_SQL = """
+    WITH v AS (
+      SELECT vec_id AS id, embedding AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_sum(list_transform(range(1, 1 + len(a.e)),
+               i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON a.id < b.id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine
+    FROM p WHERE cos >= 0.4
+"""
 
 
 # Exact cosine top-k oracle, shared by the fold and GEMM paths: both

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "daily_activity_per_device",
     "multi_device_users_join",
     "multi_device_users_window",
+    "multi_device_users_salted",
     "flow_sessionize",
     "asof_join",
     "session_window",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "embedding_neardup",
+    "embedding_neardup_gemm",
     "embedding_neardup_lsh",
     "injection_filter",
     "empty_backfill",
