@@ -647,6 +647,48 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select(F.col("doc_id"), F.explode("fps").alias("fp"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    Jaccard-verified near-dup pairs (min-reachable-id label
+    propagation); cluster_id = the cluster's canonical keeper."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_n=3)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=3, candidates=cands)
+    return dedup.duplicate_clusters(pairs)
+
+
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: corpus docs sharing any word
+    4-gram with the probe slice (doc_id % 20 == 0 stands in for a
+    benchmark; the synthetic corpus is high-entropy so 4-grams play
+    the role 8-13-grams do on real text)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.ngram_decontaminate(corpus, probe, n=4)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails/IPv4/long digit runs replaced with typed
+    placeholders + per-category counts. The corpus carries no PII, so
+    each doc is salted with a deterministic doc_id-derived email, IP,
+    and account number — the scrub must redact exactly those."""
+    docs = _docs(spark, sf_dir)
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" acct "),
+            (F.col("doc_id") + 900000000).cast("string"),
+        ),
+    )
+    return textstats.pii_scrub(salted)
+
+
 def q_winnow_fingerprint_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint over a Rabin-Karp polynomial hash
     (base-31 mod 2^32 over code points) — O(1)-per-position variant
@@ -717,6 +759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_decontam": q_ngram_decontam,
+        "pii_scrub": q_pii_scrub,
         "blob_stats": q_blob_stats,
     }
 
@@ -1066,6 +1111,85 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m
+        """,
+        # Connected components over the Jaccard-verified pair graph:
+        # transitive closure via recursive CTE, cluster = min reachable
+        # id — the declarative mirror of the label-propagation loop.
+        "dedup_clusters": _LSH_PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+            , scored AS (
+              SELECT p.id_a, p.id_b,
+                     CASE WHEN len(list_distinct(ta.sh || tb.sh)) > 0
+                          THEN CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                               / CAST(len(list_distinct(ta.sh || tb.sh)) AS DOUBLE)
+                          ELSE 0.0 END AS jaccard
+              FROM pairs p
+              JOIN toks ta ON ta.doc_id = p.id_a
+              JOIN toks tb ON tb.doc_id = p.id_b
+            ), vp AS (
+              SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM vp
+              UNION
+              SELECT id_b, id_a FROM vp
+            ), nodes AS (
+              SELECT DISTINCT a AS id FROM e
+            ), reach AS (
+              SELECT id, id AS r FROM nodes
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "ngram_decontam": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 4 THEN
+                       list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                     ELSE [] END AS gs
+              FROM tk
+            ), u AS (
+              SELECT doc_id, unnest(gs) AS gram FROM g
+            ), e AS (
+              SELECT doc_id, md5(gram) AS gh FROM u
+            )
+            SELECT d.doc_id, p.doc_id AS probe_id, count(*) AS n_shared
+            FROM (SELECT * FROM e WHERE doc_id % 20 != 0) d
+            JOIN (SELECT * FROM e WHERE doc_id % 20 = 0) p USING (gh)
+            GROUP BY 1, 2
+        """,
+        "pii_scrub": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ip 10.0.0.'
+                          || CAST(doc_id % 255 AS VARCHAR)
+                          || ' acct ' || CAST(doc_id + 900000000 AS VARCHAR)
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g'),
+                     '\\b[0-9]{9,}\\b', '<LONG_DIGITS>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                     AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{9,}\\b')) AS BIGINT) AS n_long_digits
+            FROM salted
         """,
         # Rabin-Karp winnow: base-31 polynomial over code points, mod
         # 2^32. Max pre-mod term ~2^41 so BIGINT arithmetic is exact.

@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "fingerprint",
     "winnow_fingerprint",
     "winnow_fingerprint_rk",
+    "dedup_clusters",
+    "ngram_decontam",
+    "pii_scrub",
     "token_histogram",
     "token_count_bpe",
     "blob_stats",

@@ -288,3 +288,113 @@ def simhash(
         ),
     )
     return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve duplicate candidate/verified PAIRS into CLUSTERS —
+    the step a real dedup pipeline needs after LSH + verification:
+    connected components over the pair graph, cluster id = the
+    minimum doc id reachable (so the canonical keeper of a cluster
+    is ``cluster_id`` itself).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels — one
+    edges-to-labels equi-join + groupBy per round, converging in
+    O(component diameter) rounds (near-dup clusters are dense and
+    shallow; diameter beyond ~20 would indicate a chaining-threshold
+    problem, so that is surfaced as an error rather than silently
+    iterated). Each round is localCheckpoint-ed: the driver loop
+    would otherwise stack lineage into an exponentially re-analyzed
+    plan. At 100 TB scale each round shuffles O(edges) — the
+    large-star/small-star variant halves rounds on high-diameter
+    graphs but is not needed for the shallow clusters dedup produces.
+
+    Output: (doc_id, cluster_id) for every node that appears in at
+    least one pair; singleton documents are their own cluster by
+    definition and are omitted (join back against the corpus for the
+    full assignment).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.coalesce(F.col("nbr"), F.col("cluster_id")) < F.col("cluster_id")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the expected dedup-cluster shape"
+        )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing
+    any word n-gram with a benchmark/eval ("probe") document — the
+    standard n-gram-overlap test applied before training.
+
+    Both sides explode their DISTINCT n-grams and join on the md5
+    digest of the gram (the shuffle carries 32-hex digests, not
+    arbitrary-length gram strings). The probe side — benchmarks are
+    small — is marked broadcast-able, so at 100 TB the corpus side
+    never shuffles: each scan task hash-probes the broadcast gram
+    set and only matches leave the stage.
+
+    Output: (doc_id, probe_id, n_shared) — number of distinct shared
+    n-grams per contaminated (corpus doc, probe doc) pair.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    p = probe.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(shingles(probe_text_col, n)).alias("g"),
+    ).select("probe_id", F.md5("g").alias("gh"))
+    return (
+        d.join(F.broadcast(p), "gh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -282,3 +282,36 @@ def token_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+# PII patterns restricted to syntax shared verbatim by Java regex
+# (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "long_digits": r"\b[0-9]{9,}\b",  # phone/SSN/account-shaped runs
+}
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: replace email addresses,
+    IPv4 addresses, and long digit runs with typed placeholder tokens
+    (``<EMAIL>`` etc.), and count each category per document.
+
+    Pure JVM regexp_replace/regexp_count projections — one scan, no
+    shuffle, whole-stage codegen'd; patterns are in the dialect
+    intersection of Java regex and RE2 so the DuckDB oracle computes
+    the byte-identical scrubbed text. Order matters: emails are
+    redacted before digit runs so an address containing digits isn't
+    double-redacted; counts are taken on the ORIGINAL text.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), out.alias("clean_text"), *counts)

@@ -1,0 +1,84 @@
+"""Unit semantics for the round-3 LLM-pipeline operators: duplicate
+cluster resolution (connected components), n-gram decontamination,
+and PII scrubbing. Oracle hash-parity is covered by
+test_oracle_parity.py; these pin the operator contracts directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators.dedup import (
+    duplicate_clusters,
+    ngram_decontaminate,
+)
+from fxa_activity_metrics_spark.operators.textstats import pii_scrub
+
+
+def _clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = duplicate_clusters(df).collect()
+    return {r["doc_id"]: r["cluster_id"] for r in rows}
+
+
+def test_clusters_transitive_chain(spark):
+    # 1-2, 2-3, 3-4 form ONE cluster rooted at 1; 10-11 a second
+    got = _clusters(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_clusters_direction_irrelevant(spark):
+    assert _clusters(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
+
+
+def test_clusters_long_path_converges(spark):
+    # a 12-node path needs ~diameter rounds of propagation
+    path = [(i, i + 1) for i in range(12)]
+    got = _clusters(spark, path)
+    assert set(got.values()) == {0}
+
+
+def test_clusters_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        duplicate_clusters(df, max_iter=2)
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unrelated tail"),
+            (2, "totally different words here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    rows = ngram_decontaminate(corpus, probe, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shared distinct 4-grams: "alpha beta gamma delta" and
+    # "beta gamma delta epsilon"
+    assert (r["doc_id"], r["probe_id"], r["n_shared"]) == (1, 100, 2)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org ip 10.0.0.7 acct 123456789 ok"),
+            (2, "clean text with short 12345 digits and no at-signs"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 2 and r1["n_ipv4"] == 1 and r1["n_long_digits"] == 1
+    assert (
+        r1["clean_text"]
+        == "mail <EMAIL> and <EMAIL> ip <IPV4> acct <LONG_DIGITS> ok"
+    )
+    r2 = rows[2]
+    assert r2["n_email"] == 0 and r2["n_ipv4"] == 0 and r2["n_long_digits"] == 0
+    assert r2["clean_text"] == "clean text with short 12345 digits and no at-signs"
