@@ -305,14 +305,17 @@ def duplicate_clusters(
     Iterative min-label propagation: each round every node takes the
     minimum of its own label and its neighbors' labels — one
     edges-to-labels equi-join + groupBy per round, converging in
-    O(component diameter) rounds (near-dup clusters are dense and
-    shallow; diameter beyond ~20 would indicate a chaining-threshold
-    problem, so that is surfaced as an error rather than silently
-    iterated). Each round is localCheckpoint-ed: the driver loop
-    would otherwise stack lineage into an exponentially re-analyzed
-    plan. At 100 TB scale each round shuffles O(edges) — the
-    large-star/small-star variant halves rounds on high-diameter
-    graphs but is not needed for the shallow clusters dedup produces.
+    O(component diameter) rounds. Near-dup clusters are dense and
+    shallow (diameter 1-3); a pointer-jumping variant (labels
+    self-join per round, O(log diameter) rounds) was measured 50%
+    SLOWER at sf0.1 because the extra join exceeds the rounds it
+    saves on shallow graphs — use it only for high-diameter inputs.
+    Diameter needing more than ``max_iter`` rounds would indicate a
+    chaining-threshold problem, so that is surfaced as an error
+    rather than silently iterated. Each round is localCheckpoint-ed:
+    the driver loop would otherwise stack lineage into an
+    exponentially re-analyzed plan. At 100 TB scale each round
+    shuffles O(edges).
 
     Output: (doc_id, cluster_id) for every node that appears in at
     least one pair; singleton documents are their own cluster by
