@@ -689,6 +689,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(salted)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: block-sharded greedy next-fit
+    into 512-token bins (deterministic doc_id-block shards, globally
+    unique bin ids)."""
+    return textstats.pack_sequences(
+        _docs(spark, sf_dir), capacity=512, block_size=64
+    )
+
+
 def q_winnow_fingerprint_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint over a Rabin-Karp polynomial hash
     (base-31 mod 2^32 over code points) — O(1)-per-position variant
@@ -762,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_decontam": q_ngram_decontam,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
         "blob_stats": q_blob_stats,
     }
 
@@ -1190,6 +1200,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                      '\\b[0-9]{9,}\\b')) AS BIGINT) AS n_long_digits
             FROM salted
+        """,
+        # Sequence packing: the same block-sharded next-fit recurrence,
+        # expressed as a recursive CTE advancing one row per block per
+        # step (depth ≤ block size).
+        "pack_sequences": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          AS BIGINT) AS n_tokens,
+                     doc_id // 64 AS grp,
+                     row_number() OVER (PARTITION BY doc_id // 64
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), state AS (
+              SELECT grp, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_local, n_tokens AS fill
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN s.fill + t.n_tokens > 512
+                          THEN s.bin_local + 1 ELSE s.bin_local END,
+                     CASE WHEN s.fill + t.n_tokens > 512
+                          THEN t.n_tokens ELSE s.fill + t.n_tokens END
+              FROM state s JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
+            )
+            SELECT doc_id, n_tokens, grp * 64 + bin_local AS bin_id FROM state
         """,
         # Rabin-Karp winnow: base-31 polynomial over code points, mod
         # 2^32. Max pre-mod term ~2^41 so BIGINT arithmetic is exact.

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ngram_decontam",
     "pii_scrub",
+    "pack_sequences",
     "token_histogram",
     "token_count_bpe",
     "blob_stats",

@@ -315,3 +315,60 @@ def pii_scrub(
         )
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return docs.select(F.col(id_col), out.alias("clean_text"), *counts)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    block_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign documents to packed
+    training sequences (bins) of at most ``capacity`` tokens — the
+    token-budget batching step of a pretraining data pipeline.
+
+    Packing is sequential by nature, so it is made distributed the
+    way production packers are: documents are sharded into
+    deterministic BLOCKS (``doc_id // block_size``), each block packs
+    independently with next-fit in doc_id order, and bin ids are
+    globally unique by construction (``grp * block_size + local``,
+    local < block items). Blocks are embarrassingly parallel —
+    ``applyInPandas`` runs one tiny sequential loop per block, one
+    shuffle on the block key; at 100 TB block packing is the standard
+    trade (a ≤1-bin-per-block fragmentation cost for linear scaling).
+
+    Next-fit recurrence (also the SQL oracle's recursive CTE): a doc
+    opens a new bin when the current bin's fill plus its tokens would
+    exceed ``capacity``; docs longer than ``capacity`` occupy a bin
+    alone (the recurrence needs no special case: their fill then
+    forces the next doc into a fresh bin).
+
+    Output: (doc_id, n_tokens, bin_id).
+    """
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("grp", F.floor(F.col("doc_id") / block_size).cast("long"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        local = []
+        bin_local, fill = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                fill = int(n)
+            elif fill + int(n) > capacity:
+                bin_local += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            local.append(bin_local)
+        pdf["bin_id"] = pdf["grp"] * block_size + local
+        return pdf[["doc_id", "n_tokens", "bin_id"]]
+
+    return base.groupBy("grp").applyInPandas(
+        pack, "doc_id long, n_tokens long, bin_id long"
+    )

@@ -82,3 +82,46 @@ def test_pii_scrub_redacts_and_counts(spark):
     r2 = rows[2]
     assert r2["n_email"] == 0 and r2["n_ipv4"] == 0 and r2["n_long_digits"] == 0
     assert r2["clean_text"] == "clean text with short 12345 digits and no at-signs"
+
+
+def test_pack_sequences_respects_capacity(spark):
+    from fxa_activity_metrics_spark.operators.textstats import pack_sequences
+
+    # doc i has i+1 tokens
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, capacity=10, block_size=16).collect()
+    assert len(out) == 40
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for r in out:
+        bins.setdefault(r["bin_id"], []).append((r["doc_id"], r["n_tokens"]))
+    for bin_id, members in bins.items():
+        total = sum(n for _, n in members)
+        # a bin only exceeds capacity when a single overlong doc owns it
+        assert total <= 10 or len(members) == 1
+    # next-fit in doc_id order: members of one bin are contiguous ids
+    for members in bins.values():
+        ids = sorted(i for i, _ in members)
+        assert ids == list(range(ids[0], ids[-1] + 1))
+    # bin ids never collide across blocks: doc 0-15 and 16-31 disjoint bins
+    b0 = {r["bin_id"] for r in out if r["doc_id"] < 16}
+    b1 = {r["bin_id"] for r in out if 16 <= r["doc_id"] < 32}
+    assert not (b0 & b1)
+
+
+def test_pack_sequences_overlong_doc_alone(spark):
+    from fxa_activity_metrics_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, " ".join(["x"] * 50)), (2, "c d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, capacity=10).collect()}
+    assert out[1]["bin_id"] not in (out[0]["bin_id"], out[2]["bin_id"]), (
+        "an overlong doc must occupy its own bin"
+    )
+    assert out[0]["bin_id"] != out[2]["bin_id"], (
+        "the doc after an overlong one starts a fresh bin"
+    )
