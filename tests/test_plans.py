@@ -112,3 +112,31 @@ def test_no_pushdown_duplicated_folds(spark):
                 assert "aggregate(" not in line and "array_sort(" not in line, (
                     f"{name}: expression-substituted filter:\n{line[:300]}"
                 )
+
+
+def test_decontam_broadcasts_probe(spark):
+    """The benchmark/probe gram set must broadcast so the corpus side
+    never shuffles (the scale contract of decontamination)."""
+    plan = _plan(E.queries()["ngram_decontam"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(gh" not in plan, (
+        "corpus grams must not shuffle on the digest key"
+    )
+
+
+def test_pii_scrub_is_shuffle_free_projection(spark):
+    """pii_scrub is a per-row JVM projection: no exchange beyond the
+    parallelism-floor repartition of the single-file test input, and
+    no Python eval (regexp stays codegen-side)."""
+    plan = _plan(E.queries()["pii_scrub"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "pii_scrub must not hash-shuffle"
+    )
+
+
+def test_pack_sequences_single_block_shuffle(spark):
+    """Sequence packing shuffles exactly once, on the block key."""
+    plan = _plan(E.queries()["pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
