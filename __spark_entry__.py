@@ -698,6 +698,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data manifest, the pipeline composition the
+    extension operators exist for: quality gate (quality_score ≥ 0.5)
+    → exact-dedup keepers among survivors → block-sharded sequence
+    packing into 512-token bins. Output: (doc_id, n_tokens, bin_id)."""
+    docs = _docs(spark, sf_dir)
+    passing = (
+        textstats.text_stats(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+    )
+    kept0 = docs.join(passing, "doc_id")
+    keepers = dedup.exact_duplicates(kept0).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = kept0.join(keepers, "doc_id")
+    return textstats.pack_sequences(kept, capacity=512, block_size=64)
+
+
 def q_winnow_fingerprint_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint over a Rabin-Karp polynomial hash
     (base-31 mod 2^32 over code points) — O(1)-per-position variant
@@ -772,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontam": q_ngram_decontam,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "training_manifest": q_training_manifest,
         "blob_stats": q_blob_stats,
     }
 
@@ -780,7 +800,7 @@ _TOKS = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "daily_activity_per_device": """
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid,
                    event_type AS device
@@ -1262,6 +1282,43 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally no oracle — approximate operator,
         # rows-only check; recall vs brute force asserted in tests.
     }
+    # End-to-end manifest: composed from the already-verified pieces —
+    # the quality oracle gates, exact-dedup keepers survive, the
+    # packing recurrence assigns bins over the surviving set.
+    out["training_manifest"] = f"""
+        WITH RECURSIVE q AS ({out["text_quality"]}
+        ), kept0 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN q ON q.doc_id = d.doc_id
+          WHERE q.quality_score >= 0.5
+        ), keep AS (
+          SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)
+        ), kept AS (
+          SELECT k0.doc_id, k0.text FROM kept0 k0
+          JOIN keep ON keep.doc_id = k0.doc_id
+        ), t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS BIGINT) AS n_tokens,
+                 doc_id // 64 AS grp,
+                 row_number() OVER (PARTITION BY doc_id // 64
+                                    ORDER BY doc_id) AS rn
+          FROM kept
+        ), state AS (
+          SELECT grp, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS bin_local, n_tokens AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN s.fill + t.n_tokens > 512
+                      THEN s.bin_local + 1 ELSE s.bin_local END,
+                 CASE WHEN s.fill + t.n_tokens > 512
+                      THEN t.n_tokens ELSE s.fill + t.n_tokens END
+          FROM state s JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
+        )
+        SELECT doc_id, n_tokens, grp * 64 + bin_local AS bin_id FROM state
+    """
+    return out
 
 
 # Exact near-dup-pairs oracle, shared by the fold and GEMM paths.

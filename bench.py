@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ngram_decontam",
     "pii_scrub",
     "pack_sequences",
+    "training_manifest",
     "token_histogram",
     "token_count_bpe",
     "blob_stats",
