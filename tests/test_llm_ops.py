@@ -125,3 +125,38 @@ def test_pack_sequences_overlong_doc_alone(spark):
     assert out[0]["bin_id"] != out[2]["bin_id"], (
         "the doc after an overlong one starts a fresh bin"
     )
+
+
+def test_operators_handle_empty_input(spark):
+    """Every round-3 operator must accept an empty frame (empty Arrow
+    batches, zero groups, zero pairs) without erroring."""
+    from fxa_activity_metrics_spark.operators.textstats import (
+        pack_sequences,
+        winnow_fingerprint,
+        winnow_fingerprint_rk,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty_pairs).count() == 0
+    assert ngram_decontaminate(empty_docs, empty_docs, n=4).count() == 0
+    assert pii_scrub(empty_docs).count() == 0
+    assert pack_sequences(empty_docs).count() == 0
+    assert winnow_fingerprint(empty_docs).count() == 0
+    assert winnow_fingerprint_rk(empty_docs).count() == 0
+
+
+def test_winnow_null_and_short_text(spark):
+    from fxa_activity_metrics_spark.operators.textstats import (
+        winnow_fingerprint,
+        winnow_fingerprint_rk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcd"), (4, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    for op in (winnow_fingerprint, winnow_fingerprint_rk):
+        got = {r["doc_id"]: list(r["fps"]) for r in op(docs).collect()}
+        assert got[1] == [] and got[2] == [] and got[3] == []
+        assert len(got[4]) >= 1, "8 chars -> 4 k-grams -> 1 window"
