@@ -86,15 +86,28 @@ def _estimated_splits(spark: SparkSession, df: DataFrame) -> int:
     from urllib.parse import urlparse
 
     files = df.inputFiles()
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult, digits = 1, raw
+    for suffix, m in units.items():
+        if raw.rstrip("b").endswith(suffix):
+            mult, digits = m, raw.rstrip("b")[: -1]
+            break
+    else:
+        digits = raw.rstrip("b")
+    try:
+        max_bytes = int(digits) * mult
+    except ValueError:
+        max_bytes = 134217728
     total = 0
     for f in files:
         p = urlparse(f).path or f
         try:
             size = _os.path.getsize(p)
         except OSError:
-            return len(files)  # non-local store: files is the floor
+            # non-local store: sizes unknown — assume the layout is
+            # adequate rather than injecting a shuffle at scale
+            return spark.sparkContext.defaultParallelism
         total += max(1, -(-size // max_bytes))
     return total
 

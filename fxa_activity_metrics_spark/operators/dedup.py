@@ -358,10 +358,26 @@ def duplicate_clusters(
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds — "
-            "component diameter exceeds the expected dedup-cluster shape"
+        # the final allowed round still changed labels; it may have
+        # been the last change needed, so probe once more (failure
+        # path only) before declaring non-convergence
+        probe = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr"))
+            .join(
+                labels.select(F.col("id").alias("dst2"), F.col("cluster_id").alias("_cur")),
+                F.col("dst") == F.col("dst2"),
+            )
+            .filter(F.col("nbr") < F.col("_cur"))
+            .limit(1)
+            .count()
         )
+        if probe > 0:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iter} rounds — "
+                "component diameter exceeds the expected dedup-cluster shape"
+            )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

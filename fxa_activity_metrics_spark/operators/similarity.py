@@ -294,6 +294,10 @@ def embedding_neardup_pairs_gemm(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     nrm = np.sqrt((mat * mat).sum(axis=1))

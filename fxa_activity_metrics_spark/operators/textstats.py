@@ -351,7 +351,13 @@ def pack_sequences(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-    ).withColumn("grp", F.floor(F.col("doc_id") / block_size).cast("long"))
+    ).withColumn(
+        # integer DIV, not float floor-division: doubles lose exact
+        # integers above 2^53, which would mis-shard hash-derived
+        # 64-bit doc ids (the oracle's `doc_id // 64` is exact)
+        "grp",
+        F.expr(f"doc_id DIV {int(block_size)}"),
+    )
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -129,8 +129,17 @@ class Lake:
             # downstream selects see one stable shape either way.
             # Fields absent from the stored files (schema evolution:
             # a column added after the table was written) come back
-            # as typed nulls rather than an AnalysisException.
+            # as typed nulls rather than an AnalysisException — but a
+            # MOSTLY-missing schema is a wrong-table/wrong-schema read,
+            # not evolution, and stays a loud failure.
             present = set(df.columns)
+            missing = [f.name for f in schema.fields if f.name not in present]
+            if len(missing) * 2 > len(schema.fields):
+                raise ValueError(
+                    f"lake table '{table}' is missing most declared fields "
+                    f"{missing} — wrong schema for this table? Stored "
+                    f"columns: {sorted(present)}"
+                )
             df = df.select(
                 *[
                     F.col(f.name) if f.name in present

@@ -85,3 +85,17 @@ def test_read_schema_missing_field_null_filled(lake, spark):
     assert df.schema["new_col"].dataType == T.StringType()
     row = df.collect()[0]
     assert row["new_col"] is None and row["v"] == 1
+
+
+def test_read_schema_mostly_missing_raises(lake, spark):
+    lake.write_parts("t", _frame(spark, [(D1, "a", 1)]), "export_date")
+    wrong = T.StructType(
+        [
+            T.StructField("export_date", T.DateType()),
+            T.StructField("flow_id", T.StringType()),
+            T.StructField("begin_time", T.TimestampType()),
+            T.StructField("duration", T.LongType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="missing most declared fields"):
+        lake.read("t", wrong)

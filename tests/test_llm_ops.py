@@ -160,3 +160,40 @@ def test_winnow_null_and_short_text(spark):
         got = {r["doc_id"]: list(r["fps"]) for r in op(docs).collect()}
         assert got[1] == [] and got[2] == [] and got[3] == []
         assert len(got[4]) >= 1, "8 chars -> 4 k-grams -> 1 window"
+
+
+def test_neardup_gemm_empty_corpus(spark):
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_neardup_pairs_gemm,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs_gemm(empty)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_clusters_boundary_diameter_converges(spark):
+    """A component whose last label change lands exactly on round
+    max_iter must return the correct result, not raise — the
+    post-loop probe confirms convergence."""
+    chain = [(i, i + 1) for i in range(6)]  # diameter 6 path
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(df, max_iter=6).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_pack_sequences_exact_blocks_above_2_53(spark):
+    """Block sharding must use integer division — doubles lose exact
+    integers above 2^53 and would mis-shard hash-derived doc ids."""
+    from fxa_activity_metrics_spark.operators.textstats import pack_sequences
+
+    big = (1 << 55) + 63
+    docs = spark.createDataFrame(
+        [(big, "a b c"), (big + 1, "d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(docs, capacity=10, block_size=64).collect()}
+    # big is the LAST id of its block; big+1 starts the next block
+    assert out[big] // 64 == big // 64
+    assert out[big + 1] // 64 == (big + 1) // 64
+    assert out[big] != out[big + 1]
