@@ -181,9 +181,14 @@ def q_multi_device_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multi_device_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1, salted-join formulation — the uid-skew fallback (SURVEY §4):
     join key (uid, salt) spreads a power user across n_salts shuffle
-    partitions; must equal the join form."""
+    partitions; must equal the join form. Partial salting: only
+    detected heavy hitters (≥60 activity rows — exercises BOTH the
+    hot/salted and cold/plain branches on the test distribution) pay
+    the n_salts replication."""
     da = q_daily_activity(spark, sf_dir)
-    return multi_device_users_join_salted(da, 7, device_col="device")
+    return multi_device_users_join_salted(
+        da, 7, hot_min_rows=60, device_col="device"
+    )
 
 
 def q_cohort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

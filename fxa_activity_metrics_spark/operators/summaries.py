@@ -93,6 +93,7 @@ def multi_device_users_join_salted(
     activity: DataFrame,
     lookback_days: int = 7,
     n_salts: int = 8,
+    hot_min_rows: int | None = None,
     day_col: str = "day",
     user_col: str = "uid",
     device_col: str = "device_id",
@@ -110,33 +111,79 @@ def multi_device_users_join_salted(
     spread across ``n_salts`` shuffle partitions instead of one
     straggler task. Row-identical to ``multi_device_users_join`` —
     salting only re-routes the shuffle.
+
+    ``hot_min_rows`` switches on PARTIAL salting — the production
+    shape: uids with at least that many activity rows are detected
+    with one aggregation (the heavy-hitter frame is small by
+    construction: ≤ total_rows / hot_min_rows keys, broadcastable),
+    the hot slice joins salted, the cold majority joins plain, and
+    only the hot slice pays the n_salts replication. The broadcast
+    semi/anti splits reuse one exchange (ReuseExchange) and no key
+    list ever reaches the driver. ``None`` salts everything.
     """
     present = activity.select(
         F.col(day_col).alias("day"),
         F.col(user_col).alias("uid"),
         F.col(device_col).alias("device_now"),
-    ).withColumn(
-        "salt", F.pmod(F.hash(F.col("day"), F.col("device_now")), F.lit(n_salts))
     )
     past = activity.select(
         F.col(day_col).alias("p_day"),
         F.col(user_col).alias("p_uid"),
         F.col(device_col).alias("device_prev"),
-    ).withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    joined = present.join(
-        past,
-        on=[
-            present["uid"] == past["p_uid"],
-            present["salt"] == past["salt"],
-            present["device_now"] != past["device_prev"],
-            past["p_day"] <= present["day"],
-            past["p_day"] >= F.date_sub(present["day"], lookback_days),
-        ],
-        how="inner",
+
+    def _join(pres: DataFrame, pst: DataFrame, salted: bool) -> DataFrame:
+        conds = [
+            pres["uid"] == pst["p_uid"],
+            pres["device_now"] != pst["device_prev"],
+            pst["p_day"] <= pres["day"],
+            pst["p_day"] >= F.date_sub(pres["day"], lookback_days),
+        ]
+        if salted:
+            pres = pres.withColumn(
+                "salt",
+                F.pmod(F.hash(F.col("day"), F.col("device_now")), F.lit(n_salts)),
+            )
+            pst = pst.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            )
+            conds = [
+                pres["uid"] == pst["p_uid"],
+                pres["salt"] == pst["salt"],
+                pres["device_now"] != pst["device_prev"],
+                pst["p_day"] <= pres["day"],
+                pst["p_day"] >= F.date_sub(pres["day"], lookback_days),
+            ]
+        return pres.join(pst, on=conds, how="inner").select(
+            "day", "uid", "device_now", "device_prev"
+        )
+
+    if hot_min_rows is None:
+        return _join(present, past, salted=True).distinct()
+
+    hot = (
+        activity.groupBy(F.col(user_col).alias("_hot_uid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_min_rows)
+        .select("_hot_uid")
     )
-    return joined.select("day", "uid", "device_now", "device_prev").distinct()
+    pres_hot = present.join(
+        F.broadcast(hot), present["uid"] == hot["_hot_uid"], "left_semi"
+    )
+    pres_cold = present.join(
+        F.broadcast(hot), present["uid"] == hot["_hot_uid"], "left_anti"
+    )
+    past_hot = past.join(
+        F.broadcast(hot), past["p_uid"] == hot["_hot_uid"], "left_semi"
+    )
+    past_cold = past.join(
+        F.broadcast(hot), past["p_uid"] == hot["_hot_uid"], "left_anti"
+    )
+    return (
+        _join(pres_hot, past_hot, salted=True)
+        .unionByName(_join(pres_cold, past_cold, salted=False))
+        .distinct()
+    )
 
 
 def gap_sessions(

@@ -87,3 +87,40 @@ def test_power_uid_spreads_across_salts(spark, skewed_activity):
     assert max(r["count"] for r in sizes) <= total / N_SALTS * 2, (
         "no salt bucket may dominate — the hot uid must split ~evenly"
     )
+
+
+def test_partial_salting_equals_unsalted(spark, skewed_activity):
+    """hot_min_rows isolates the power uid into the salted branch
+    (300 rows vs 3 per background uid); output must still equal the
+    plain join exactly."""
+    plain = multi_device_users_join(skewed_activity, 7)
+    partial = multi_device_users_join_salted(
+        skewed_activity, 7, n_salts=N_SALTS, hot_min_rows=100
+    )
+    a = {tuple(map(str, r)) for r in plain.collect()}
+    b = {tuple(map(str, r)) for r in partial.collect()}
+    assert a == b
+
+
+def test_partial_salting_splits_hot_from_cold(spark, skewed_activity):
+    """The plan must contain BOTH join shapes: a salted join for the
+    hot slice and a plain join for the cold majority, unioned."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = multi_device_users_join_salted(
+            skewed_activity, 7, n_salts=N_SALTS, hot_min_rows=100
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Union" in plan
+    # salted branch shuffles on (uid, salt); cold branch on uid alone
+    assert "hashpartitioning(uid" in plan
+    salted_exchanges = [
+        seg.split(")", 1)[0]
+        for seg in plan.split("hashpartitioning(")[1:]
+        if seg.split(")", 1)[0].startswith("uid")
+    ]
+    assert any("salt" in seg for seg in salted_exchanges)
+    assert any("salt" not in seg for seg in salted_exchanges)
