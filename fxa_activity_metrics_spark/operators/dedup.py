@@ -322,12 +322,17 @@ def duplicate_clusters(
     definition and are omitted (join back against the corpus for the
     full assignment).
     """
+    # materialize the edge list ONCE: every propagation round joins
+    # against it, and `pairs` is typically the tail of an expensive
+    # candidate pipeline (LSH + verify) that must not re-execute per
+    # round
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
