@@ -86,3 +86,46 @@ def test_near_identical_docs_share_fingerprints(spark):
     assert len(inter) / len(union) > 0.5, (
         "a one-word edit must leave most winnow fingerprints shared"
     )
+
+
+def _py_next_fit(counts, capacity, block_size):
+    """Pure-Python reference of the block-sharded next-fit packer."""
+    out = {}
+    by_grp = {}
+    for doc_id, n in counts:
+        by_grp.setdefault(doc_id // block_size, []).append((doc_id, n))
+    for grp, items in by_grp.items():
+        items.sort()
+        bin_local, fill = 0, 0
+        for i, (doc_id, n) in enumerate(items):
+            if i == 0:
+                fill = n
+            elif fill + n > capacity:
+                bin_local += 1
+                fill = n
+            else:
+                fill += n
+            out[doc_id] = grp * block_size + bin_local
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    capacity=st.integers(min_value=1, max_value=25),
+)
+def test_pack_matches_pure_python(spark, sizes, capacity):
+    from fxa_activity_metrics_spark.operators.textstats import pack_sequences
+
+    rows = [(i * 7, " ".join(["w"] * n) if n else "") for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(docs, capacity=capacity, block_size=16).collect()
+    }
+    want = _py_next_fit([(i * 7, n) for i, n in enumerate(sizes)], capacity, 16)
+    assert got == want
