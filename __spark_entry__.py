@@ -707,6 +707,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(salted)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (duplicate 2-/3-gram fractions + flag) —
+    the Gopher-rule-style repetition gate of a curation pipeline."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: block-sharded greedy next-fit
     into 512-token bins (deterministic doc_id-block shards, globally
@@ -808,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_decontam": q_ngram_decontam,
         "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "training_manifest": q_training_manifest,
         "blob_stats": q_blob_stats,
@@ -1238,6 +1245,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                      '\\b[0-9]{9,}\\b')) AS BIGINT) AS n_long_digits
             FROM salted
+        """,
+        "repetition_stats": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END AS g2,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS g3
+              FROM tk
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN len(g2) > 0 THEN
+                       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                     ELSE 0.0 END AS d2,
+                     CASE WHEN len(g3) > 0 THEN
+                       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END AS d3
+              FROM g
+            )
+            SELECT doc_id,
+                   round(d2, 6) AS dup_2gram_frac,
+                   round(d3, 6) AS dup_3gram_frac,
+                   (d2 > 0.4 OR d3 > 0.3) AS repetitive
+            FROM f
         """,
         # Sequence packing: the same block-sharded next-fit recurrence,
         # expressed as a recursive CTE advancing one row per block per

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ngram_decontam",
     "pii_scrub",
+    "repetition_stats",
     "pack_sequences",
     "training_manifest",
     "token_histogram",

@@ -378,3 +378,46 @@ def pack_sequences(
     return base.groupBy("grp").applyInPandas(
         pack, "doc_id long, n_tokens long, bin_id long"
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition signals for quality filtering (the duplicate-n-gram
+    family of Gopher/RefinedWeb-style curation rules): the fraction
+    of word 2-grams and 3-grams that are duplicates of an earlier
+    gram in the same document, and a composite `repetitive` flag.
+
+    A document that repeats itself has many non-distinct n-grams;
+    natural prose rarely exceeds ~0.2. Pure JVM array expressions
+    (the shared shingle machinery, NOT distinct-ed here since the
+    duplicate fraction needs the raw gram count) — one scan, no
+    shuffle.
+    """
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+
+    toks = tokens(text_col)
+
+    def dup_frac(n: int):
+        length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        z = F.slice(toks, 1, length)
+        for i in range(1, n):
+            z = F.zip_with(
+                z,
+                F.slice(toks, i + 1, length),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        total = F.size(z)
+        uniq = F.size(F.array_distinct(z))
+        return F.when(
+            total > 0, (total - uniq).cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    d2 = dup_frac(2)
+    d3 = dup_frac(3)
+    return docs.select(
+        F.col(id_col),
+        F.round(d2, 6).alias("dup_2gram_frac"),
+        F.round(d3, 6).alias("dup_3gram_frac"),
+        ((d2 > 0.4) | (d3 > 0.3)).alias("repetitive"),
+    )

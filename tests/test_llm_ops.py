@@ -197,3 +197,22 @@ def test_pack_sequences_exact_blocks_above_2_53(spark):
     assert out[big] // 64 == big // 64
     assert out[big + 1] // 64 == (big + 1) // 64
     assert out[big] != out[big + 1]
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from fxa_activity_metrics_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "each word here appears exactly once today"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["repetitive"] is True
+    assert rows[1]["dup_2gram_frac"] == 0.8  # 5 grams, 1 distinct
+    assert rows[2]["repetitive"] is False
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["repetitive"] is False
