@@ -707,6 +707,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(salted)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified deterministic sampling: five fixed quality
+    bands, per-band md5-cohort keep rates (5/10/25/50/100%)."""
+    return textstats.stratified_sample(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals (duplicate 2-/3-gram fractions + flag) —
     the Gopher-rule-style repetition gate of a curation pipeline."""
@@ -815,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontam": q_ngram_decontam,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "training_manifest": q_training_manifest,
         "blob_stats": q_blob_stats,
@@ -1337,6 +1344,22 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: intentionally no oracle — approximate operator,
         # rows-only check; recall vs brute force asserted in tests.
     }
+    # Stratified sampling: quality bands from the verified quality
+    # oracle + the engine's 7-hex md5 cohort rule.
+    out["stratified_sample"] = f"""
+        WITH q AS ({out["text_quality"]}
+        ), s AS (
+          SELECT doc_id,
+                 CAST(least(floor(quality_score * 5), 4) AS INTEGER)
+                   AS quality_band,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   % 100 AS cohort
+          FROM q
+        )
+        SELECT doc_id, quality_band, cohort,
+               cohort < ([5, 10, 25, 50, 100])[quality_band + 1] AS keep
+        FROM s
+    """
     # End-to-end manifest: composed from the already-verified pieces —
     # the quality oracle gates, exact-dedup keepers survive, the
     # packing recurrence assigns bins over the surviving set.

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ngram_decontam",
     "pii_scrub",
     "repetition_stats",
+    "stratified_sample",
     "pack_sequences",
     "training_manifest",
     "token_histogram",

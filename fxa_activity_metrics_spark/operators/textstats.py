@@ -421,3 +421,47 @@ def repetition_stats(
         F.round(d3, 6).alias("dup_3gram_frac"),
         ((d2 > 0.4) | (d3 > 0.3)).alias("repetitive"),
     )
+
+
+# keep-rates per quality band [0,.2) [.2,.4) [.4,.6) [.6,.8) [.8,1]:
+# low-quality strata are downsampled hard, top strata kept whole
+STRATA_KEEP_PCT: tuple[int, ...] = (5, 10, 25, 50, 100)
+
+
+def stratified_sample(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-stratified deterministic sampling — the corpus-balance
+    step of a curation pipeline: band documents by quality_score into
+    five fixed strata and keep a deterministic id-cohort percentage
+    per band (``STRATA_KEEP_PCT``), downsampling low-quality text
+    while keeping the best stratum whole.
+
+    Fixed score bands, NOT quantiles: a global ntile would need a
+    total sort (one partition at 100 TB); fixed bands are a per-row
+    projection. The keep decision reuses the engine's 7-hex md5
+    cohort rule (functions/core.py, import_events.py:114) on the doc
+    id, so sampling is reproducible across runs and engines — the
+    DuckDB oracle computes the identical cohort. One scan, no
+    shuffle.
+
+    Output: (doc_id, quality_band, cohort, keep).
+    """
+    q = text_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "quality_score"
+    )
+    band = F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int")
+    cohort = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.element_at(
+        F.array(*[F.lit(p) for p in STRATA_KEEP_PCT]), band + 1
+    )
+    return q.select(
+        F.col(id_col),
+        band.alias("quality_band"),
+        cohort.alias("cohort"),
+        (cohort < rate).alias("keep"),
+    )

@@ -216,3 +216,31 @@ def test_repetition_stats_flags_repeats(spark):
     assert rows[2]["repetitive"] is False
     assert rows[2]["dup_2gram_frac"] == 0.0
     assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["repetitive"] is False
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from fxa_activity_metrics_spark.operators.textstats import stratified_sample
+
+    # many docs with crafted quality extremes: short junk (low band)
+    # and long varied prose (high band)
+    rows = []
+    for i in range(200):
+        rows.append((i, "!!! ###"))  # low quality
+        rows.append((1000 + i, " ".join(f"word{j}x{i}" for j in range(120)) + " the of and to in is a"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = stratified_sample(docs).collect()
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["quality_band"], []).append(r)
+    bands = sorted(by_band)
+    assert bands[0] <= 1 and bands[-1] >= 3, "both extremes must appear"
+    # top band keeps everything (rate 100)
+    top = by_band[bands[-1]]
+    assert all(r["keep"] for r in top)
+    # bottom band keeps roughly its rate (5% or 10%), never all
+    bottom = by_band[bands[0]]
+    kept = sum(1 for r in bottom if r["keep"])
+    assert 0 < kept < len(bottom) * 0.3
+    # deterministic: second run identical
+    again = stratified_sample(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
