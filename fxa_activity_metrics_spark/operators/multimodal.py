@@ -9,10 +9,15 @@ Decode / feature-extraction runs as Arrow-batched `mapInPandas`
 codec library is invoked per batch, and partitioning is preserved so
 a 100 TB corpus decodes embarrassingly parallel with zero shuffle.
 
-The actual codec libraries (Pillow / torchaudio / av) are NOT in this
-container — the decode kernels are stubbed behind
-`NotImplementedError` with a deterministic fake used by tests (SPARK
-plumbing — schema, batching, UDF signature — is real and tested).
+Kernel status: image decode / resize are REAL for binary PPM (P6)
+and audio features are REAL for RIFF PCM16 WAV — pure-numpy parsers,
+no codec library needed, exercised end-to-end in tests. Compressed
+formats (JPEG/PNG/mp3/ogg) require codec libraries (Pillow /
+torchaudio / av) that are NOT in this container; those branches
+raise `NotImplementedError`, with deterministic fake kernels used by
+tests to pin the Spark plumbing (schema, batching, UDF signature,
+1→N fan-out). Video frame sampling remains fully stubbed (no
+container-safe format exists).
 """
 
 from __future__ import annotations
@@ -72,16 +77,67 @@ def blob_stats(docs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
     return docs.select(id_col, blob_col).mapInPandas(compute, BLOB_STATS_SCHEMA)
 
 
-def decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
-    """Decode kernel — requires an image codec library.
+def _ppm_parse(b: bytes):
+    """Parse a binary PPM (P6) image: header tokens (magic, width,
+    height, maxval; '#' comments allowed), then one whitespace byte,
+    then h×w×3 raw samples. Pure numpy — no codec library."""
+    import numpy as np
 
-    STUB: Pillow is not available in this environment. The Spark-side
-    plumbing (image_features below) is real; swap this kernel for a
-    `PIL.Image.open` implementation in production.
-    """
-    raise NotImplementedError(
-        "image decode requires Pillow/libjpeg; not present in this container"
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    i, tokens = 0, []
+    while len(tokens) < 4:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(b[i:j])
+        i = j
+    i += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
     )
+    return w, h, maxval, data
+
+
+def decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
+    """Image decode kernel. REAL for binary PPM (P6) — a pure-numpy
+    parser, no codec library needed; feature = (mean R, mean G,
+    mean B, mean luminance), maxval-normalized. Compressed formats
+    (JPEG/PNG) need Pillow/libjpeg, absent from this container, and
+    raise — swap in a `PIL.Image.open` branch in production.
+    """
+    import numpy as np
+
+    rows = []
+    for b in blobs:
+        b = bytes(b)
+        if not b.startswith(b"P6"):
+            raise NotImplementedError(
+                "only PPM(P6) decodes without Pillow/libjpeg; "
+                f"got magic {b[:2]!r}"
+            )
+        w, h, maxval, data = _ppm_parse(b)
+        means = data.reshape(-1, 3).mean(axis=0) / maxval
+        luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+        rows.append(
+            {
+                "width": w,
+                "height": h,
+                "feature": [float(means[0]), float(means[1]), float(means[2]), luma],
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def _fake_decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
@@ -130,9 +186,24 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def resize_image_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
-    """Resize kernel — STUB (needs Pillow); swap for
-    `Image.open(...).resize((width, height))` in production."""
-    raise NotImplementedError("image resize requires Pillow; not in this container")
+    """Resize kernel. REAL for binary PPM (P6): nearest-neighbor via
+    numpy fancy indexing, re-emitted as P6 bytes. Other formats need
+    Pillow and raise."""
+    import numpy as np
+
+    def resize_one(b) -> bytes:
+        b = bytes(b)
+        if not b.startswith(b"P6"):
+            raise NotImplementedError(
+                "only PPM(P6) resizes without Pillow; swap the kernel in production"
+            )
+        src_w, src_h, maxval, data = _ppm_parse(b)
+        ys = (np.arange(height) * src_h) // height
+        xs = (np.arange(width) * src_w) // width
+        out = data[ys][:, xs]
+        return f"P6\n{width} {height}\n{maxval}\n".encode() + out.tobytes()
+
+    return blobs.map(resize_one)
 
 
 def _fake_resize_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
@@ -210,8 +281,46 @@ def sample_video_frames(
 
 
 def audio_features_batch(blobs: pd.Series) -> pd.DataFrame:
-    """Audio feature kernel — STUB (needs torchaudio/soundfile)."""
-    raise NotImplementedError("audio decode requires torchaudio; not in this container")
+    """Audio feature kernel. REAL for RIFF/WAVE PCM16 — a pure-numpy
+    chunk parser (fmt + data), yielding duration_ms / sample_rate /
+    rms over normalized samples. Compressed audio (mp3/ogg/flac)
+    needs torchaudio/soundfile and raises."""
+    import numpy as np
+
+    rows = []
+    for b in blobs:
+        b = bytes(b)
+        if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "only PCM WAV decodes without torchaudio/soundfile"
+            )
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            body = b[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        channels = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if bits != 16:
+            raise NotImplementedError("only PCM16 WAV supported")
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        n_frames = len(samples) // max(channels, 1)
+        rows.append(
+            {
+                "duration_ms": int(n_frames * 1000 // max(rate, 1)),
+                "sample_rate": rate,
+                "rms": float(np.sqrt((samples * samples).mean())) if len(samples) else 0.0,
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def _fake_audio_features_batch(blobs: pd.Series) -> pd.DataFrame:

@@ -65,3 +65,79 @@ def test_mapinpandas_is_shuffle_free(blobs):
         mm.blob_stats(blobs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, "multimodal maps must not shuffle"
+
+
+# -- real codec kernels (pure numpy, no libraries) ------------------------
+
+
+def _make_ppm(w, h, rgb):
+    """Solid-color binary PPM."""
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(rgb) * (w * h)
+
+
+def _make_wav(rate, samples16):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_real_ppm_decode_through_spark(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import image_features
+
+    docs = spark.createDataFrame(
+        [(1, _make_ppm(4, 2, (255, 0, 0))), (2, _make_ppm(3, 3, (0, 255, 0)))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in image_features(docs).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
+    assert rows[1]["feature"][0] == pytest.approx(1.0)  # pure red
+    assert rows[1]["feature"][1] == pytest.approx(0.0)
+    assert rows[2]["feature"][1] == pytest.approx(1.0)  # pure green
+    assert rows[2]["feature"][3] == pytest.approx(0.587, abs=1e-6)  # luma of green
+
+
+def test_real_ppm_resize_roundtrip(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _make_ppm(8, 8, (10, 20, 30)))], "doc_id long, blob binary"
+    )
+    resized = resize_images(docs, 4, 2)
+    r = resized.collect()[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    # the resized blob is itself a decodable PPM with the new dims
+    feats = image_features(
+        spark.createDataFrame([(1, bytes(r["blob"]))], "doc_id long, blob binary")
+    ).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 2)
+    assert feats["feature"][0] == pytest.approx(10 / 255)
+
+
+def test_real_wav_decode_through_spark(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import audio_features
+
+    # 1 second of a constant half-amplitude signal at 8 kHz
+    wav = _make_wav(8000, [16384] * 8000)
+    docs = spark.createDataFrame([(1, wav)], "doc_id long, blob binary")
+    r = audio_features(docs).collect()[0]
+    assert r["sample_rate"] == 8000
+    assert r["duration_ms"] == 1000
+    assert r["rms"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_non_ppm_still_raises(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import decode_image_batch
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError, match="PPM"):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0jpegdata"]))
