@@ -481,29 +481,15 @@ def ivf_topk(
             n_cells=n_cells,
             seed=seed,
         )
-    # ONE nested-array literal (a single py4j call + constant-folded
-    # JVM value). Building it as n_cells × dim individual F.lit calls
-    # would cost thousands of driver round-trips per plan.
-    cents_lit = F.lit(centroids)
-    # Centroid norms are plan-time constants: Python floats are IEEE
-    # binary64 with the same sequential fold order as dot()/norm(), so
-    # these literals are bitwise-equal to computing norm(cv) in the
-    # JVM — and cost nothing per row.
-    cnorms_lit = F.lit([_py_norm(cv) for cv in centroids])
-
-    def nearest_cells(vec: F.Column, nrm: F.Column, n: int) -> F.Column:
-        """array of the n cell ids with highest cosine to vec. The
-        row's own norm is bound OUTSIDE the lambda — cosine() inline
-        would re-fold norm(vec) once per centroid."""
-        scored = F.transform(
-            cents_lit,
-            lambda cv, i: F.struct(
-                (dot(vec, cv) / (nrm * F.element_at(cnorms_lit, i + 1))).alias("cos"),
-                i.alias("cell"),
-            ),
-        )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
+    # _cell_exprs builds the centroid matrix/norms as ONE nested-array
+    # literal each (a single py4j call, constant-folded JVM-side;
+    # per-scalar F.lit loops would cost thousands of driver round
+    # trips) and binds the row norm OUTSIDE the per-centroid lambda
+    # (cosine() inline would re-fold norm(vec) once per centroid).
+    # Centroid norms are plan-time Python floats — IEEE binary64 with
+    # the same sequential fold order as norm(), bitwise-equal to JVM
+    # evaluation.
+    nearest_cells = _cell_exprs(centroids)
 
     # Per-row norms are projected once per side: cell assignment and
     # the per-pair score both reuse them (cosine() inline = 3 array
@@ -534,6 +520,130 @@ def ivf_topk(
     # (query, neighbor) pairs are already unique: each neighbor lives
     # in exactly ONE cell and a query's probe cells are distinct — no
     # dedup shuffle needed
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _cell_exprs(centroids: list[list[float]]):
+    """Shared cell-assignment expressions over a centroid literal:
+    (cents_lit, cnorms_lit, nearest_cells(vec, nrm, n))."""
+    cents_lit = F.lit([list(c) for c in centroids])
+    cnorms_lit = F.lit([_py_norm(cv) for cv in centroids])
+
+    def nearest_cells(vec: F.Column, nrm: F.Column, n: int) -> F.Column:
+        scored = F.transform(
+            cents_lit,
+            lambda cv, i: F.struct(
+                (dot(vec, cv) / (nrm * F.element_at(cnorms_lit, i + 1))).alias("cos"),
+                i.alias("cell"),
+            ),
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    return nearest_cells
+
+
+def ivf_build_index(
+    lake,
+    corpus: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: str = "fxa-ivf",
+    centroid_source: DataFrame | None = None,
+) -> None:
+    """Persist the IVF index to the lake — the build-once/query-many
+    index story at storage level:
+
+    - ``{name}_centroids``: (cell, centroid) — n_cells rows;
+    - ``{name}_cells``: the assigned corpus (neighbor_id, c_vec,
+      c_nrm, cell), PARTITIONED BY cell.
+
+    Because assignments are cell-partition directories, a query's
+    n_probe probed cells become partition-PRUNED scans: at 100 TB the
+    index read touches ~n_probe/n_cells of the corpus bytes instead
+    of filtering a full scan (pinned via PartitionFilters in tests).
+    Norms are precomputed at build time, so queries never re-fold
+    corpus vectors.
+    """
+    centroids = ivf_centroids(
+        centroid_source if centroid_source is not None else corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        seed=seed,
+    )
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, list(cv)) for i, cv in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    lake.overwrite(f"{name}_centroids", cents_df)
+    nearest_cells = _cell_exprs(centroids)
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+        )
+        .withColumn("c_nrm", norm(F.col("c_vec")))
+        .withColumn(
+            "cell",
+            F.coalesce(nearest_cells(F.col("c_vec"), F.col("c_nrm"), 1)[0], F.lit(0)),
+        )
+    )
+    lake.write_parts(f"{name}_cells", assigned, "cell")
+
+
+def ivf_query_index(
+    lake,
+    queries: DataFrame,
+    name: str = "ivf",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF index: probe cells are chosen against
+    the stored centroids (driver-side, n_cells rows) and ONLY those
+    cell partitions are read (isin over the partition column →
+    partition pruning). Identical semantics/ranking to ``ivf_topk``
+    with the same centroids.
+    """
+    crows = sorted(
+        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+    )
+    centroids = [list(r["centroid"]) for r in crows]
+    nearest_cells = _cell_exprs(centroids)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_nrm", norm(F.col("q_vec")))
+        .withColumn(
+            "cell", F.explode(nearest_cells(F.col("q_vec"), F.col("q_nrm"), n_probe))
+        )
+    )
+    # ANN probe sets are small by contract (same as ivf_topk's
+    # driver-collected centroids): collect the probed cell ids so the
+    # cells read is a static partition-pruned scan
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = lake.read(f"{name}_cells").filter(F.col("cell").isin(*[F.lit(p) for p in probed]))
+    cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
         "neighbor_id",

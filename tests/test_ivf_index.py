@@ -1,0 +1,56 @@
+"""Persisted IVF index: build-once/query-many at storage level.
+Queries against the lake-persisted index must return exactly what
+the in-session ivf_topk computes with the same centroids, and the
+cells read must be partition-PRUNED to the probed cells."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fxa_activity_metrics_spark.operators.similarity import (
+    ivf_build_index,
+    ivf_query_index,
+    ivf_topk,
+)
+from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark.sources.testdata import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    lake = Lake(spark, str(tmp_path_factory.mktemp("ivf_lake")))
+    emb = read_table(spark, SF, "embeddings")
+    ivf_build_index(lake, emb, name="ivf", n_cells=16)
+    return lake, emb
+
+
+def test_index_layout(env):
+    lake, _ = env
+    assert lake.read("ivf_centroids").count() == 16
+    cells_root = lake.path("ivf_cells")
+    parts = [d for d in os.listdir(cells_root) if d.startswith("cell=")]
+    assert len(parts) > 1, "assignments must be cell-partition directories"
+
+
+def test_persisted_query_equals_fresh(env, spark):
+    lake, emb = env
+    queries = emb.filter("vec_id < 20")
+    fresh = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    persisted = ivf_query_index(lake, queries, name="ivf", k=5, n_probe=4)
+    a = sorted(map(tuple, fresh.collect()))
+    b = sorted(map(tuple, persisted.collect()))
+    assert a == b
+
+
+def test_query_scan_is_partition_pruned(env, spark):
+    lake, emb = env
+    queries = emb.filter("vec_id < 3")
+    df = ivf_query_index(lake, queries, name="ivf", k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], (
+        "the probed-cell isin must prune cell partitions at the scan"
+    )
