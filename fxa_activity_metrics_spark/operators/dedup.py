@@ -33,7 +33,9 @@ def tokens(text_col: str | F.Column = "text") -> F.Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
-def shingles(text_col: str | F.Column = "text", n: int = 3) -> F.Column:
+def shingles(
+    text_col: str | F.Column = "text", n: int = 3, distinct: bool = True
+) -> F.Column:
     """Word n-gram shingles as strings ("w1 w2 w3"), all JVM-side.
 
     Built by zip_with over n shifted slices of the token array —
@@ -42,17 +44,20 @@ def shingles(text_col: str | F.Column = "text", n: int = 3) -> F.Column:
     lambda are re-evaluated PER ELEMENT, which turns the construction
     quadratic (and re-runs the upstream split per element). Here every
     reference to the token array sits at top level → once per row.
-    Docs with fewer than n tokens get an empty shingle set."""
+    Docs with fewer than n tokens get an empty shingle set.
+
+    ``distinct=False`` keeps duplicate grams (positional gram list) —
+    used by repetition detection, which needs the raw gram count."""
     toks = tokens(text_col)
     if n == 1:
-        return F.array_distinct(toks)
+        return F.array_distinct(toks) if distinct else toks
     length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     z = F.slice(toks, 1, length)
     for i in range(1, n):
         z = F.zip_with(
             z, F.slice(toks, i + 1, length), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.array_distinct(z)
+    return F.array_distinct(z) if distinct else z
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -538,8 +538,9 @@ def ivf_topk(
 
 
 def _cell_exprs(centroids: list[list[float]]):
-    """Shared cell-assignment expressions over a centroid literal:
-    (cents_lit, cnorms_lit, nearest_cells(vec, nrm, n))."""
+    """Build the shared cell-assignment closure over a centroid
+    literal; returns ``nearest_cells(vec, nrm, n) -> Column`` (array
+    of the n cell ids with highest cosine to vec)."""
     cents_lit = F.lit([list(c) for c in centroids])
     cnorms_lit = F.lit([_py_norm(cv) for cv in centroids])
 
@@ -594,6 +595,16 @@ def ivf_build_index(
         "cell int, centroid array<double>",
     )
     lake.overwrite(f"{name}_centroids", cents_df)
+    # a REBUILD must drop the whole cells table first: dynamic
+    # partition overwrite only replaces cells present in the new
+    # assignment, so a cell emptied by new centroids would otherwise
+    # keep its stale rows from the previous build
+    import os
+    import shutil
+
+    cells_path = lake.path(f"{name}_cells")
+    if os.path.exists(cells_path):
+        shutil.rmtree(cells_path)
     nearest_cells = _cell_exprs(centroids)
     assigned = (
         corpus.select(
@@ -637,6 +648,11 @@ def ivf_query_index(
         .withColumn(
             "cell", F.explode(nearest_cells(F.col("q_vec"), F.col("q_nrm"), n_probe))
         )
+        # materialize once: the probed-cell collect below and the
+        # candidate join both consume q — without this the queries
+        # lineage would execute twice (and a non-deterministic source
+        # could probe different cells than it joins)
+        .localCheckpoint()
     )
     # ANN probe sets are small by contract (same as ivf_topk's
     # driver-collected centroids): collect the probed cell ids so the

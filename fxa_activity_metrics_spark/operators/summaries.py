@@ -114,12 +114,15 @@ def multi_device_users_join_salted(
 
     ``hot_min_rows`` switches on PARTIAL salting — the production
     shape: uids with at least that many activity rows are detected
-    with one aggregation (the heavy-hitter frame is small by
-    construction: ≤ total_rows / hot_min_rows keys, broadcastable),
-    the hot slice joins salted, the cold majority joins plain, and
-    only the hot slice pays the n_salts replication. The broadcast
-    semi/anti splits reuse one exchange (ReuseExchange) and no key
-    list ever reaches the driver. ``None`` salts everything.
+    with one aggregation, the hot slice joins salted, the cold
+    majority joins plain, and only the hot slice pays the n_salts
+    replication. The hot-key frame is bounded by
+    total_rows / hot_min_rows; the semi/anti splits carry NO
+    broadcast hint — at a genuinely-skew threshold the frame is tiny
+    and AQE broadcasts it from runtime stats, while a mis-set
+    threshold that matches most keys degrades to a shuffled semi-join
+    instead of forcing an unbounded broadcast through the driver.
+    ``None`` salts everything.
     """
     present = activity.select(
         F.col(day_col).alias("day"),
@@ -167,18 +170,10 @@ def multi_device_users_join_salted(
         .filter(F.col("_n") >= hot_min_rows)
         .select("_hot_uid")
     )
-    pres_hot = present.join(
-        F.broadcast(hot), present["uid"] == hot["_hot_uid"], "left_semi"
-    )
-    pres_cold = present.join(
-        F.broadcast(hot), present["uid"] == hot["_hot_uid"], "left_anti"
-    )
-    past_hot = past.join(
-        F.broadcast(hot), past["p_uid"] == hot["_hot_uid"], "left_semi"
-    )
-    past_cold = past.join(
-        F.broadcast(hot), past["p_uid"] == hot["_hot_uid"], "left_anti"
-    )
+    pres_hot = present.join(hot, present["uid"] == hot["_hot_uid"], "left_semi")
+    pres_cold = present.join(hot, present["uid"] == hot["_hot_uid"], "left_anti")
+    past_hot = past.join(hot, past["p_uid"] == hot["_hot_uid"], "left_semi")
+    past_cold = past.join(hot, past["p_uid"] == hot["_hot_uid"], "left_anti")
     return (
         _join(pres_hot, past_hot, salted=True)
         .unionByName(_join(pres_cold, past_cold, salted=False))

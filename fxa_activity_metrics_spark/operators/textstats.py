@@ -25,7 +25,12 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_PROFILES["en"]
 
 
-def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: list[F.Column] | None = None,
+) -> DataFrame:
     """Per-document quality stats:
 
     n_chars, n_tokens, avg_token_len, punct_ratio (non-alnum,
@@ -33,6 +38,11 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     composite quality_score in [0,1] (simple monotone blend — long
     enough, not too punctuation-heavy, some stopwords, lexical
     variety).
+
+    ``extra``: additional columns evaluated in the SAME projection
+    (passthroughs or other per-row expressions over the input) — lets
+    callers enrich without a join, keeping one scan and no dup-key
+    fan-out.
     """
     toks = tokens(text_col)
     n_chars = F.length(text_col)
@@ -69,6 +79,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(uniq_ratio, 6).alias("uniq_token_ratio"),
         F.round(quality, 6).alias("quality_score"),
+        *(extra or []),
     )
 
 
@@ -293,6 +304,16 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_count_cols(text_col: str = "text") -> list[F.Column]:
+    """Per-category PII match counts over the ORIGINAL text — shared
+    by pii_scrub and the streaming stats sink (pure per-row
+    expressions, safe to evaluate inside any projection)."""
+    return [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -308,13 +329,11 @@ def pii_scrub(
     double-redacted; counts are taken on the ORIGINAL text.
     """
     out = F.col(text_col)
-    counts = []
     for name, pat in PII_PATTERNS.items():
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
-        )
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
-    return docs.select(F.col(id_col), out.alias("clean_text"), *counts)
+    return docs.select(
+        F.col(id_col), out.alias("clean_text"), *pii_count_cols(text_col)
+    )
 
 
 def pack_sequences(
@@ -389,24 +408,15 @@ def repetition_stats(
     gram in the same document, and a composite `repetitive` flag.
 
     A document that repeats itself has many non-distinct n-grams;
-    natural prose rarely exceeds ~0.2. Pure JVM array expressions
-    (the shared shingle machinery, NOT distinct-ed here since the
-    duplicate fraction needs the raw gram count) — one scan, no
-    shuffle.
+    natural prose rarely exceeds ~0.2. Pure JVM array expressions —
+    the shared shingle machinery with ``distinct=False`` (the
+    duplicate fraction needs the raw positional gram list) — one
+    scan, no shuffle.
     """
-    from fxa_activity_metrics_spark.operators.dedup import tokens
-
-    toks = tokens(text_col)
+    from fxa_activity_metrics_spark.operators.dedup import shingles
 
     def dup_frac(n: int):
-        length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        z = F.slice(toks, 1, length)
-        for i in range(1, n):
-            z = F.zip_with(
-                z,
-                F.slice(toks, i + 1, length),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
+        z = shingles(text_col, n, distinct=False)
         total = F.size(z)
         uniq = F.size(F.array_distinct(z))
         return F.when(
@@ -447,15 +457,15 @@ def stratified_sample(
 
     Output: (doc_id, quality_band, cohort, keep).
     """
+    from fxa_activity_metrics_spark.functions.core import cohort_bucket
+
     q = text_stats(docs, id_col=id_col, text_col=text_col).select(
         id_col, "quality_score"
     )
     band = F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int")
-    cohort = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
-        .cast("long")
-        % 100
-    )
+    # the engine's 7-hex cohort rule (functions/core.py guards the
+    # 7-vs-8-char fidelity trap) over the id's md5
+    cohort = cohort_bucket(F.md5(F.col(id_col).cast("string"))).cast("long")
     rate = F.element_at(
         F.array(*[F.lit(p) for p in STRATA_KEEP_PCT]), band + 1
     )

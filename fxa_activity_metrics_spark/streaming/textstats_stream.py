@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fxa_activity_metrics_spark.operators.textstats import pii_scrub, text_stats
+from fxa_activity_metrics_spark.operators.textstats import (
+    pii_count_cols,
+    text_stats,
+)
 from fxa_activity_metrics_spark.sources.lake import Lake
 from fxa_activity_metrics_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
@@ -46,13 +49,12 @@ def run_text_stats_stream(
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
-        stats = text_stats(batch_df)
-        pii = pii_scrub(batch_df).select(
-            "doc_id", "n_email", "n_ipv4", "n_long_digits"
-        )
-        out = (
-            stats.join(pii, "doc_id")
-            .join(batch_df.select("doc_id", "day"), "doc_id")
+        # ONE projection: quality stats, PII counts, and the day are
+        # all per-row expressions — no joins, so a dirty drop with a
+        # duplicated doc_id stays two rows (as in batch) instead of
+        # fanning out across self-joins
+        out = text_stats(
+            batch_df, extra=[*pii_count_cols("text"), F.col("day")]
         )
         lake.write_days(table, out, sort_cols=["doc_id"])
 

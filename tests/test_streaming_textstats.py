@@ -94,3 +94,16 @@ def test_stream_restart_is_idempotent_and_extends(spark, src_dir, tmp_path):
     assert _table_rows(lake, "doc_stats") == _batch_rows(
         spark, _DAY1 + _DAY2 + day3
     )
+
+
+def test_duplicated_doc_id_does_not_fan_out(spark, tmp_path):
+    """A dirty drop repeating a doc_id must produce exactly as many
+    stats rows as input rows (per-row projection, no join fan-out)."""
+    d = tmp_path / "dup_drops"
+    d.mkdir()
+    rows = [(5, "alpha beta"), (5, "alpha beta"), (6, "gamma delta")]
+    _write_drop(str(d), "documents-2024-07-01.json", rows, time.time() - 60)
+    lake = Lake(spark, str(tmp_path / "dup_lake"))
+    q = run_text_stats_stream(spark, str(d), lake, str(tmp_path / "dup_ckpt"))
+    q.awaitTermination(120)
+    assert lake.read("doc_stats").count() == 3
