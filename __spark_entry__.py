@@ -416,9 +416,11 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (recall < 1 by design); the
-    driver records a rows-only check, and tests assert recall ≥ 0.4
-    vs the brute-force baseline."""
+    """Approximate ANN (recall < 1 vs brute force), but fully
+    DETERMINISTIC: buckets are md5-derived hyperplane signs, so the
+    candidate set and ranking are reproduced exactly by _ANN_LSH_SQL
+    (hash-checked); tests additionally assert recall ≥ 0.4 vs the
+    brute-force baseline."""
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.lsh_topk(
@@ -455,8 +457,9 @@ def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
-    filter. Approximate — no SQL oracle; tests assert the result is a
-    subset of the exact pairs with recall ≥ 0.5."""
+    filter. Approximate vs the all-pairs baseline but deterministic —
+    _NEARDUP_LSH_SQL reproduces the Hamming-≤1 candidate set exactly
+    (hash-checked); tests also assert subset-of-exact + recall ≥ 0.5."""
     emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_lsh(
         emb, threshold=0.4, n_planes=4, n_tables=3, dim=_emb_dim(spark, sf_dir)
@@ -465,8 +468,10 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic hash-sampled centroids, cell-bucketed
-    candidate join, n_probe cells per query. Approximate — rows-only
-    check; recall vs brute force asserted in tests."""
+    candidate join, n_probe cells per query. Approximate vs brute
+    force but deterministic — _ANN_IVF_SQL replays the md5-smallest
+    centroid pick and cell assignment exactly (hash-checked); recall
+    asserted in tests."""
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     if sf_dir not in _IVF_CENTROIDS:
@@ -998,11 +1003,20 @@ def oracle_sql() -> dict[str, str]:
         # the GEMM path ranks on the same 6dp-rounded cosine, so the
         # identical oracle hash-verifies the vectorized scale path too
         "ann_bruteforce_gemm": _ANN_TOPK_SQL,
+        # the approximate ANN paths are DETERMINISTIC approximations:
+        # buckets are md5-derived ±1 hyperplane signs and centroids
+        # are the md5-smallest corpus ids, so the candidate sets and
+        # rankings are fully reproducible in SQL — exact oracles, not
+        # rows-only checks (recall vs brute force is asserted in
+        # tests/test_similarity_recall.py on top of this)
+        "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         # the GEMM form filters on the unrounded float64 product and
         # rounds to 6dp on output, exactly like the fold form — one
         # oracle hash-verifies both
         "embedding_neardup_gemm": _NEARDUP_SQL,
+        "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "injection_filter": """
             WITH staged AS (
               SELECT doc_id,
@@ -1341,8 +1355,6 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS blob_md5
             FROM documents
         """,
-        # ann_lsh: intentionally no oracle — approximate operator,
-        # rows-only check; recall vs brute force asserted in tests.
     }
     # Stratified sampling: quality bands from the verified quality
     # oracle + the engine's 7-hex md5 cohort rule.
@@ -1447,6 +1459,175 @@ _ANN_TOPK_SQL = """
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
+
+# Exact oracle for the hyperplane-LSH ANN path. The engine's buckets
+# are deterministic (bit p = sign of dot(vec, plane_p); plane entries
+# are ±1 from md5("fxa-lsh:p:i") parity — similarity.py:192-236), so
+# the candidate set (own bucket + one-bit-flip multiprobe) and the
+# 6dp-round-then-rank rule are reproducible in SQL. n_planes=4, k=5,
+# queries = vec_id < 20, matching q_ann_lsh.
+_ANN_LSH_SQL = """
+    WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+    planes AS (
+      SELECT p, list_transform(range(0, (SELECT d FROM dim)), i ->
+        CASE WHEN ('0x' || substring(md5('fxa-lsh:' || CAST(p AS VARCHAR)
+                     || ':' || CAST(i AS VARCHAR)), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS pl
+      FROM range(0, 4) t(p)
+    ),
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    bkt AS (
+      SELECT v.id, v.e, v.nrm,
+             CAST(COALESCE(SUM(CASE WHEN
+               list_sum(list_transform(range(1, 1 + len(v.e)),
+                 i -> v.e[i] * p.pl[i])) > 0
+               THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END), 0) AS BIGINT)
+               AS bucket
+      FROM v CROSS JOIN planes p
+      GROUP BY v.id, v.e, v.nrm
+    ),
+    probes AS (
+      SELECT b.id, b.e, b.nrm, u.pb AS bucket
+      FROM bkt b,
+           (SELECT unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
+                   xor(b.bucket, 4), xor(b.bucket, 8)]) AS pb) u
+      WHERE b.id < 20
+    ),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 1 + len(q.e)),
+                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM probes q JOIN bkt c ON c.bucket = q.bucket AND c.id <> q.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank,
+             cos AS cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# Exact oracle for the IVF ANN path: centroids are the md5-smallest
+# 16 corpus ids (cell = rank in md5 order — similarity.py:424-442);
+# cell assignment ranks cosine DESC with ties by cell DESC (the
+# reverse(array_sort(struct(cos, cell))) order in _cell_exprs).
+# Corpus rows take their top-1 cell, queries probe their top-4.
+_ANN_IVF_SQL = """
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT (row_number() OVER (
+                ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id) - 1)
+               AS cell,
+             e AS cv, nrm AS cnrm
+      FROM v
+      ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id
+      LIMIT 16
+    ),
+    assign AS (
+      SELECT v.id, v.e, v.nrm, c.cell,
+             list_sum(list_transform(range(1, 1 + len(v.e)),
+               i -> v.e[i] * c.cv[i])) / (v.nrm * c.cnrm) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    corpus AS (
+      SELECT id, e, nrm, cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY id
+                 ORDER BY ccos DESC, cell DESC) AS r
+        FROM assign a) WHERE r = 1
+    ),
+    qcells AS (
+      SELECT id, e, nrm, cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY id
+                 ORDER BY ccos DESC, cell DESC) AS r
+        FROM assign a WHERE id < 20) WHERE r <= 4
+    ),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 1 + len(q.e)),
+                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM qcells q JOIN corpus c ON c.cell = q.cell AND c.id <> q.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank,
+             cos AS cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# Exact oracle for the LSH near-dup path: 3 tables × 4 planes (seeds
+# "fxa-lsh:t"), pair (a<b) is a candidate iff their buckets in some
+# table are within Hamming distance 1 (one-bit multiprobe is
+# symmetric), then the exact cosine ≥ θ filter — similarity.py:333-421.
+_NEARDUP_LSH_SQL = """
+    WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t, p, list_transform(range(0, (SELECT d FROM dim)), i ->
+        CASE WHEN ('0x' || substring(md5('fxa-lsh:' || CAST(t AS VARCHAR)
+                     || ':' || CAST(p AS VARCHAR)
+                     || ':' || CAST(i AS VARCHAR)), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS pl
+      FROM range(0, 3) tt(t) CROSS JOIN range(0, 4) pp(p)
+    ),
+    bkt AS (
+      SELECT v.id, pl.t,
+             CAST(COALESCE(SUM(CASE WHEN
+               list_sum(list_transform(range(1, 1 + len(v.e)),
+                 i -> v.e[i] * pl.pl[i])) > 0
+               THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END), 0) AS BIGINT)
+               AS bucket
+      FROM v CROSS JOIN planes pl
+      GROUP BY v.id, pl.t
+    ),
+    probes AS (
+      SELECT b.id, b.t, u.pb AS bucket
+      FROM bkt b,
+           (SELECT unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
+                   xor(b.bucket, 4), xor(b.bucket, 8)]) AS pb) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM probes a JOIN bkt c ON c.t = a.t AND c.bucket = a.bucket
+                              AND a.id < c.id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             list_sum(list_transform(range(1, 1 + len(va.e)),
+               i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS cos
+      FROM cand JOIN v va ON va.id = cand.id_a
+                JOIN v vb ON vb.id = cand.id_b
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
+"""
+
 
 _MDU_SQL = """
     WITH da AS (
