@@ -246,6 +246,61 @@ class Lake:
             if d not in remaining and self.day_populated(table, d):
                 shutil.rmtree(os.path.join(self.path(table), f"day={d.isoformat()}"))
 
+    def merge_replace(
+        self,
+        table: str,
+        df: DataFrame,
+        part_col: str,
+        key_col: str,
+        schema: T.StructType | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Partition-granular replace-by-key merge — the MERGE INTO
+        analogue for entity tables partitioned on a date column.
+
+        Replaces every existing row whose ``key_col`` appears in
+        ``df`` and inserts ``df``'s rows, rewriting ONLY the
+        partitions that can change: the partitions present in ``df``
+        plus those holding a replaced key (found with a semi-join
+        probe column-pruned to (key, partition) — metadata-scale
+        collect). Untouched partitions keep their exact files (the
+        property that makes a per-micro-batch session merge O(touched
+        partitions), not O(table) — pinned byte-identical in
+        tests/test_streaming.py). A partition emptied by the merge
+        (its only rows' keys moved to another partition) is dropped
+        explicitly, since dynamic overwrite never rewrites a
+        partition absent from the frame.
+        """
+        if part_col not in df.columns:
+            raise ValueError(f"merge_replace requires a '{part_col}' column")
+        if not self.exists(table):
+            self.write_parts(table, df, part_col, sort_cols=sort_cols)
+            return
+        existing = self.read(table, schema)
+        keys = df.select(key_col).distinct()
+        touched = {
+            r[part_col]
+            for r in existing.join(keys, key_col, "left_semi")
+            .select(part_col)
+            .distinct()
+            .collect()
+        }
+        new_parts = {r[part_col] for r in df.select(part_col).distinct().collect()}
+        touched |= new_parts
+        if not touched:
+            return
+        lits = [F.lit(str(p)).cast("date") for p in sorted(touched)]
+        kept = existing.filter(F.col(part_col).isin(*lits)).join(
+            keys, key_col, "left_anti"
+        )
+        # materialize the surviving-partition set BEFORE the overwrite
+        # replaces the very files `kept` reads from
+        kept_parts = {r[part_col] for r in kept.select(part_col).distinct().collect()}
+        merged = kept.unionByName(df.select(*kept.columns))
+        self.write_parts(table, merged, part_col, sort_cols=sort_cols)
+        for p in sorted(touched - kept_parts - new_parts):
+            self.drop_part(table, part_col, p)
+
     def compact(self, table: str, target_files_per_day: int = 1) -> None:
         """VACUUM analogue (S7): rewrite each day partition into
         ``target_files_per_day`` sorted files. Run after heavy

@@ -112,7 +112,15 @@ def session_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
 def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):
     """foreachBatch upsert: replace changed flow_ids, keep the rest.
     Idempotent per micro-batch — replaying an epoch converges to the
-    same table state (exactly-once effect on the lake)."""
+    same table state (exactly-once effect on the lake).
+
+    The sink table is export_date-PARTITIONED and the merge is
+    partition-granular (Lake.merge_replace): only the partitions
+    holding an updated flow plus the batch's own export_dates are
+    rewritten — the same treatment the batch session tables got in
+    plans/incremental.py (flow_after_day). A minutes-level trigger
+    therefore costs O(touched partitions) per micro-batch, never a
+    full-table rewrite."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         # localCheckpoint severs the micro-batch lineage: joining a
@@ -120,15 +128,16 @@ def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):
         # table otherwise trips attribute resolution (and would
         # recompute the micro-batch per downstream action)
         batch_df = batch_df.localCheckpoint(eager=True)
-        if lake.exists(table):
-            existing = lake.read(table)
-            kept = existing.join(
-                batch_df.select("flow_id"), "flow_id", "left_anti"
-            )
-            merged = kept.unionByName(batch_df)
-        else:
-            merged = batch_df
-        lake.overwrite(table, merged)
+        if batch_df.isEmpty():
+            return
+        lake.merge_replace(
+            table,
+            batch_df,
+            "export_date",
+            "flow_id",
+            schema=FLOW_METADATA_SCHEMA,
+            sort_cols=["begin_time"],
+        )
 
     return write
 
@@ -238,7 +247,13 @@ def run_session_stats_stream(
     timeout_ms: int = 24 * 3600 * 1000,
     watermark: str = "1 day",
 ):
-    """Wire the stateful operator to an append-mode lake sink."""
+    """Wire the stateful operator to an append-mode lake sink.
+
+    The sink table is day-PARTITIONED on the session's begin day
+    (first_ts) and merged partition-granularly: a re-emitted flow
+    (new events after its state timed out) replaces its prior row,
+    and only the touched day partitions are rewritten — untouched
+    partitions keep their exact files."""
     events = read_flow_stream(spark, source_dir)
     stats = stateful_session_stats(events, timeout_ms=timeout_ms, watermark=watermark)
 
@@ -246,15 +261,12 @@ def run_session_stats_stream(
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        existing = lake.read(table) if lake.exists(table) else None
-        merged = (
-            existing.join(batch_df.select("flow_id"), "flow_id", "left_anti").unionByName(
-                batch_df
-            )
-            if existing is not None
-            else batch_df
+        lake.merge_replace(
+            table,
+            batch_df.withColumn("day", F.col("first_ts").cast("date")),
+            "day",
+            "flow_id",
         )
-        lake.overwrite(table, merged)
 
     return (
         stats.writeStream.outputMode("append")

@@ -47,11 +47,16 @@ def test_stream_matches_batch_sessions(spark, src_dir, tmp_path):
     assert not q.isActive
 
     got = lake.read("flow_metadata_stream")
-    # batch oracle: the same aggregate over a static read
+    # batch oracle: the same aggregate over a static read (select in
+    # the oracle's column order — the partitioned sink surfaces
+    # export_date last on a raw read)
     want = session_aggregate(_static_events(spark, src_dir))
-    got_rows = sorted(tuple(str(v) for v in r) for r in got.collect())
+    got_rows = sorted(tuple(str(v) for v in r) for r in got.select(*want.columns).collect())
     want_rows = sorted(tuple(str(v) for v in r) for r in want.collect())
     assert got_rows == want_rows
+    assert lake.part_days("flow_metadata_stream", "export_date"), (
+        "session sink must be export_date-partitioned"
+    )
 
     # semantic spot-checks across micro-batch boundaries (files arrive
     # one per trigger: flow B's begin and complete are in different
@@ -74,6 +79,72 @@ def test_stream_restart_is_idempotent(spark, src_dir, tmp_path):
     q2.awaitTermination(120)
     after = sorted(tuple(str(v) for v in r) for r in lake.read("flow_metadata_stream").collect())
     assert after == before
+
+
+def _partition_files(lake, table):
+    """path → (mtime_ns, size) for every data file under the table."""
+    import os
+
+    out = {}
+    for root, _, files in os.walk(lake.path(table)):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_stream_session_sink_is_partition_granular(spark, tmp_path):
+    """A micro-batch whose flows touch only NEW export_dates must
+    leave the other partitions' files byte-identical — the streaming
+    twin of the batch-side touched-partition contract
+    (tests/test_flows_partitioned.py). This is the 100 TB property:
+    a minutes-level trigger costs O(touched partitions), never a
+    full-table rewrite."""
+    import datetime as dt
+
+    from tests.fixtures import _frow, epoch, hex_id, write_csv, write_flow_days
+
+    src = str(tmp_path / "src_grain")
+    write_flow_days(src, D1, D2)
+    lake = Lake(spark, str(tmp_path / "lake_grain"))
+    ckpt = str(tmp_path / "ckpt_grain")
+    q = run_flow_sessions_stream(spark, src, lake, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    before = _partition_files(lake, "flow_metadata_stream")
+    old_parts = set(lake.part_days("flow_metadata_stream", "export_date"))
+    assert {D1, D2} <= old_parts
+
+    # a third day's drop with a brand-new flow — no old flow_id appears
+    d3 = D2 + dt.timedelta(days=1)
+    f_e = hex_id(9, "flowE")
+    write_csv(
+        src,
+        "flow_events",
+        d3,
+        [
+            _frow(epoch(d3, 8, 0), "flow.begin", f_e, 0),
+            _frow(epoch(d3, 8, 5), "flow.complete", f_e, 300000, "en-GB", f_e),
+        ],
+    )
+    q2 = run_flow_sessions_stream(spark, src, lake, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    after = _partition_files(lake, "flow_metadata_stream")
+    assert set(lake.part_days("flow_metadata_stream", "export_date")) == old_parts | {d3}
+    untouched_before = {
+        p: v for p, v in before.items() if f"export_date={d3}" not in p
+    }
+    untouched_after = {
+        p: v for p, v in after.items() if f"export_date={d3}" not in p
+    }
+    assert untouched_before == untouched_after, (
+        "micro-batch must not rewrite partitions it doesn't touch"
+    )
+    got = {r["flow_id"] for r in lake.read("flow_metadata_stream").collect()}
+    assert f_e in got
 
 
 def test_daily_counts_stream_plan_and_semantics(spark, src_dir, tmp_path):
