@@ -21,7 +21,7 @@ Spark deployment:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 
 
 @dataclass(frozen=True)
@@ -88,7 +88,18 @@ class EngineConfig:
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":
         """Environment-driven config; keyword overrides win over env
-        (explicit > env > default)."""
+        (explicit > env > default). Passing an explicit ``None``
+        forces that knob back to "defer to default" even when the
+        environment sets it — absence and None are distinguished by
+        key presence, not value. Unknown keys fail here with a clear
+        message instead of surfacing as a dataclass TypeError."""
+        valid = {f.name for f in fields(cls)}
+        unknown = sorted(set(overrides) - valid)
+        if unknown:
+            raise TypeError(
+                f"unknown EngineConfig override(s) {unknown}; "
+                f"valid fields: {sorted(valid)}"
+            )
         env_master = os.environ.get("SPARK_GRAFT_MASTER") or None
         env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
         base = {
@@ -97,7 +108,9 @@ class EngineConfig:
             "driver_memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM") or None,
             "credentials": Credentials.from_env(),
         }
-        base.update({k: v for k, v in overrides.items() if v is not None})
+        base.update(overrides)
+        if base.get("credentials") is None:
+            base["credentials"] = Credentials()
         return cls(**base)
 
     def spark_conf(self) -> dict[str, str]:

@@ -290,16 +290,40 @@ def embedding_neardup_pairs_gemm(
     exact all-pairs op — but at BLAS throughput instead of
     interpreted fold eval; the sub-quadratic 100 TB path remains
     ``embedding_neardup_lsh``.
+
+    DRIVER-MEMORY BOUND: a Spark broadcast is driver-created, so the
+    corpus matrix (N × dim float64 + N int64 ids) must fit on the
+    driver — the irreducible cost of the broadcast formulation. The
+    pull uses ``toLocalIterator`` (one partition in flight at a
+    time, accumulated straight into numpy blocks), so the peak is
+    ~the matrix itself rather than a full Row-object materialization
+    (~10× larger) that ``collect()`` would hold alongside it. Beyond
+    driver memory, use ``embedding_neardup_pairs`` (corpus stays on
+    executors) or ``embedding_neardup_lsh`` (sub-quadratic).
     """
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).collect()
-    if not rows:
+    id_blocks: list[np.ndarray] = []
+    mat_blocks: list[np.ndarray] = []
+    buf_ids: list[int] = []
+    buf_vecs: list[list[float]] = []
+    for r in corpus.select(id_col, vec_col).toLocalIterator(prefetchPartitions=True):
+        buf_ids.append(r[0])
+        buf_vecs.append(list(r[1]))
+        if len(buf_ids) >= 4096:
+            id_blocks.append(np.array(buf_ids, dtype=np.int64))
+            mat_blocks.append(np.array(buf_vecs, dtype=np.float64))
+            buf_ids, buf_vecs = [], []
+    if buf_ids:
+        id_blocks.append(np.array(buf_ids, dtype=np.int64))
+        mat_blocks.append(np.array(buf_vecs, dtype=np.float64))
+    if not id_blocks:
         return corpus.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    ids = np.concatenate(id_blocks)
+    mat = np.vstack(mat_blocks)
+    del id_blocks, mat_blocks
     nrm = np.sqrt((mat * mat).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, nrm))
 
@@ -558,6 +582,29 @@ def _cell_exprs(centroids: list[list[float]]):
     return nearest_cells
 
 
+def _assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid's cell — the shared
+    kernel of build, upsert, and in-session ivf_topk. One scan, no
+    shuffle; norms are projected once per row."""
+    nearest_cells = _cell_exprs(centroids)
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+        )
+        .withColumn("c_nrm", norm(F.col("c_vec")))
+        .withColumn(
+            "cell",
+            F.coalesce(nearest_cells(F.col("c_vec"), F.col("c_nrm"), 1)[0], F.lit(0)),
+        )
+    )
+
+
 def ivf_build_index(
     lake,
     corpus: DataFrame,
@@ -571,16 +618,26 @@ def ivf_build_index(
     """Persist the IVF index to the lake — the build-once/query-many
     index story at storage level:
 
-    - ``{name}_centroids``: (cell, centroid) — n_cells rows;
-    - ``{name}_cells``: the assigned corpus (neighbor_id, c_vec,
-      c_nrm, cell), PARTITIONED BY cell.
+    - ``{name}_cells_v{N}``: the assigned corpus (neighbor_id, c_vec,
+      c_nrm, cell), PARTITIONED BY cell, staged under a fresh version;
+    - ``{name}_centroids``: (cell, centroid, cells_table) — n_cells
+      rows, written LAST via Lake.overwrite's temp-and-swap. The
+      centroids table is the index MANIFEST: its ``cells_table``
+      column names the live cells version, so the swap is the atomic
+      commit point. A failure before it leaves the previous index
+      fully consistent (old centroids still pointing at old cells); a
+      failure after it leaves only an orphaned staging dir, collected
+      by the next successful build. No path ever mixes one build's
+      centroids with another's cells, and no filesystem call leaves
+      the Lake API (works on any Lake backend, not just local disk).
 
     Because assignments are cell-partition directories, a query's
     n_probe probed cells become partition-PRUNED scans: at 100 TB the
     index read touches ~n_probe/n_cells of the corpus bytes instead
     of filtering a full scan (pinned via PartitionFilters in tests).
     Norms are precomputed at build time, so queries never re-fold
-    corpus vectors.
+    corpus vectors. Rebuilding re-trains centroids; for corpus deltas
+    against FIXED centroids use ``ivf_upsert_index``.
     """
     centroids = ivf_centroids(
         centroid_source if centroid_source is not None else corpus,
@@ -590,34 +647,47 @@ def ivf_build_index(
         seed=seed,
     )
     spark = corpus.sparkSession
+    prior = lake.tables(f"{name}_cells_v")
+    version = 1 + max(
+        (int(t.rsplit("_v", 1)[1]) for t in prior if t.rsplit("_v", 1)[1].isdigit()),
+        default=0,
+    )
+    cells_tbl = f"{name}_cells_v{version}"
+    lake.write_parts(cells_tbl, _assign_cells(corpus, centroids, id_col, vec_col), "cell")
     cents_df = spark.createDataFrame(
-        [(i, list(cv)) for i, cv in enumerate(centroids)],
-        "cell int, centroid array<double>",
+        [(i, list(cv), cells_tbl) for i, cv in enumerate(centroids)],
+        "cell int, centroid array<double>, cells_table string",
     )
-    lake.overwrite(f"{name}_centroids", cents_df)
-    # a REBUILD must drop the whole cells table first: dynamic
-    # partition overwrite only replaces cells present in the new
-    # assignment, so a cell emptied by new centroids would otherwise
-    # keep its stale rows from the previous build
-    import os
-    import shutil
+    lake.overwrite(f"{name}_centroids", cents_df)  # atomic commit
+    for stale in prior:
+        lake.drop_table(stale)
 
-    cells_path = lake.path(f"{name}_cells")
-    if os.path.exists(cells_path):
-        shutil.rmtree(cells_path)
-    nearest_cells = _cell_exprs(centroids)
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("c_vec"),
-        )
-        .withColumn("c_nrm", norm(F.col("c_vec")))
-        .withColumn(
-            "cell",
-            F.coalesce(nearest_cells(F.col("c_vec"), F.col("c_nrm"), 1)[0], F.lit(0)),
-        )
-    )
-    lake.write_parts(f"{name}_cells", assigned, "cell")
+
+def ivf_cells_table(lake, name: str = "ivf") -> str:
+    """Resolve the live cells table from the centroids manifest."""
+    row = lake.read(f"{name}_centroids").select("cells_table").first()
+    return row["cells_table"]
+
+
+def ivf_upsert_index(
+    lake,
+    new_vectors: DataFrame,
+    name: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ``new_vectors`` to the
+    EXISTING centroids and merge them into the live cells table,
+    rewriting ONLY the touched cell partitions (the lake's
+    incremental contract applied to the index). A re-upserted id
+    replaces its prior row — including across cells if its embedding
+    changed (Lake.merge_replace's moved-key handling). Centroids are
+    not re-trained; run ``ivf_build_index`` for that.
+    """
+    crows = sorted(lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"])
+    centroids = [list(r["centroid"]) for r in crows]
+    assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
+    lake.merge_replace(ivf_cells_table(lake, name), assigned, "cell", "neighbor_id")
 
 
 def ivf_query_index(
@@ -631,14 +701,15 @@ def ivf_query_index(
 ) -> DataFrame:
     """Query the persisted IVF index: probe cells are chosen against
     the stored centroids (driver-side, n_cells rows) and ONLY those
-    cell partitions are read (isin over the partition column →
-    partition pruning). Identical semantics/ranking to ``ivf_topk``
-    with the same centroids.
+    cell partitions of the manifest's live cells table are read (isin
+    over the partition column → partition pruning). Identical
+    semantics/ranking to ``ivf_topk`` with the same centroids.
     """
     crows = sorted(
         lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
     )
     centroids = [list(r["centroid"]) for r in crows]
+    cells_tbl = crows[0]["cells_table"]
     nearest_cells = _cell_exprs(centroids)
     q = (
         queries.select(
@@ -658,7 +729,12 @@ def ivf_query_index(
     # driver-collected centroids): collect the probed cell ids so the
     # cells read is a static partition-pruned scan
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    c = lake.read(f"{name}_cells").filter(F.col("cell").isin(*[F.lit(p) for p in probed]))
+    if not probed:
+        # empty query batch: isin() with zero args would raise
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    c = lake.read(cells_tbl).filter(F.col("cell").isin(*[F.lit(p) for p in probed]))
     cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",

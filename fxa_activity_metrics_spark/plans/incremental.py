@@ -258,13 +258,17 @@ def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, pe
         # the perm-col grace frame doesn't carry the context columns.
         meta = flow_ops.backfill_context(meta, typed)
     meta = flow_ops.set_continued_from(meta, grace)
-    day_has_begins = bool(new_rows.take(1))
+    # drop the re-imported day's partition BEFORE the write — the
+    # reference's DELETE-then-INSERT order (import_flow_events.py's
+    # clear-day contract). The enrichment plan never reads it
+    # (_partition_slice excludes export_date == day), dynamic
+    # overwrite recreates it iff the day has begin events, and a
+    # stale partition from a prior import can't survive a day that
+    # lost all its begins. This replaces a take(1) probe job that
+    # re-executed the begin-extraction lineage just to decide the
+    # drop.
+    lake.drop_part(meta_tbl, "export_date", day)
     lake.write_parts(meta_tbl, meta, "export_date", sort_cols=["begin_time"])
-    if not day_has_begins:
-        # dynamic overwrite only rewrites partitions present in the
-        # frame — a re-imported day that lost all its begin events
-        # needs its stale partition dropped explicitly
-        lake.drop_part(meta_tbl, "export_date", day)
 
     # 3. experiments. J7 reads the frame with the day's begin AND
     # continued events consumed (experiment events still live).
@@ -274,10 +278,9 @@ def flow_after_day(job: ImportJob, day: dt.date, raw: DataFrame, suffix: str, pe
     affected_exp = _touched_export_dates(existing_exp, grace.select("flow_id"), day)
     exp = _partition_slice(existing_exp, affected_exp, d_lit).unionByName(new_exp)
     exp = flow_ops.enrich_experiment_uid(exp, flow_ops.experiments_grace_frame(grace))
-    day_has_exp = bool(new_exp.take(1))
+    # same DELETE-then-INSERT order as the metadata table above
+    lake.drop_part(exp_tbl, "export_date", day)
     lake.write_parts(exp_tbl, exp, "export_date", sort_cols=["timestamp"])
-    if not day_has_exp:
-        lake.drop_part(exp_tbl, "export_date", day)
 
     # 4. perm flow_events for this day, control events consumed
     perm = staging_day.filter(~flow_ops.consumed_condition()).select(*perm_cols)

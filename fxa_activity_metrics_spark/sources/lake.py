@@ -182,16 +182,36 @@ class Lake:
                 out.append(dt.date.fromisoformat(m.group(1)))
         return sorted(out)
 
-    def drop_part(self, table: str, part_col: str, day: dt.date | str) -> None:
+    def drop_part(self, table: str, part_col: str, value: dt.date | str | int) -> None:
         """Drop one partition directory — O(1) metadata, no rewrite.
 
-        ``day`` is normalized through ISO date parsing before the path
-        is built, so a malformed value raises instead of aiming the
-        rmtree at an unintended directory."""
-        day_str = dt.date.fromisoformat(str(day)).isoformat()
-        part = os.path.join(self.path(table), f"{part_col}={day_str}")
+        ``value`` is normalized through ISO-date or integer parsing
+        before the path is built, so a malformed value raises instead
+        of aiming the rmtree at an unintended directory."""
+        part = os.path.join(self.path(table), f"{part_col}={_part_str(value)}")
         if os.path.isdir(part):
             shutil.rmtree(part)
+
+    def tables(self, prefix: str = "") -> list[str]:
+        """Table names under the lake root starting with ``prefix`` —
+        directory listing only."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(prefix) and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def drop_table(self, table: str) -> None:
+        """Drop a whole table directory (index GC, staged-build
+        cleanup). The path is rebuilt from the table NAME under the
+        lake root — never an arbitrary filesystem path."""
+        if not table or "/" in table or table in (".", ".."):
+            raise ValueError(f"invalid table name: {table!r}")
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
     def days(self, table: str) -> list[dt.date]:
         """Populated days, from partition directory names — the lake
@@ -256,7 +276,8 @@ class Lake:
         sort_cols: list[str] | None = None,
     ) -> None:
         """Partition-granular replace-by-key merge — the MERGE INTO
-        analogue for entity tables partitioned on a date column.
+        analogue for entity tables partitioned on a date or integer
+        column.
 
         Replaces every existing row whose ``key_col`` appears in
         ``df`` and inserts ``df``'s rows, rewriting ONLY the
@@ -289,7 +310,7 @@ class Lake:
         touched |= new_parts
         if not touched:
             return
-        lits = [F.lit(str(p)).cast("date") for p in sorted(touched)]
+        lits = [_part_lit(p) for p in sorted(touched)]
         kept = existing.filter(F.col(part_col).isin(*lits)).join(
             keys, key_col, "left_anti"
         )
@@ -375,6 +396,29 @@ class Lake:
         """Catalog read that preserves the bucket spec (a plain path
         read would see the same rows but lose co-location)."""
         return self.spark.table(self._catalog_name(table))
+
+
+def _part_str(value: dt.date | str | int) -> str:
+    """Partition value → directory-name fragment, restricted to ISO
+    dates and integers so a malformed value raises loudly."""
+    if isinstance(value, bool):
+        raise ValueError(f"unsupported partition value: {value!r}")
+    if isinstance(value, int):
+        return str(value)
+    try:
+        return dt.date.fromisoformat(str(value)).isoformat()
+    except ValueError:
+        s = str(value)
+        if re.fullmatch(r"-?\d+", s):
+            return s
+        raise ValueError(f"unsupported partition value: {value!r}")
+
+
+def _part_lit(value) -> F.Column:
+    """Partition value → comparison literal of the matching type."""
+    if isinstance(value, dt.date):
+        return F.lit(str(value)).cast("date")
+    return F.lit(value)
 
 
 def _add_months(day: dt.date, months: int) -> dt.date:

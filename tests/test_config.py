@@ -46,6 +46,22 @@ def test_explicit_beats_env(monkeypatch):
     assert conf["spark.sql.shuffle.partitions"] == "64"
 
 
+def test_explicit_none_forces_default(monkeypatch):
+    """An explicit None override must win over the environment —
+    'defer to default' is a stateable choice, not a dropped key."""
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "16")
+    cfg = EngineConfig.from_env(shuffle_partitions=None)
+    assert cfg.shuffle_partitions is None
+    assert "spark.sql.shuffle.partitions" not in cfg.spark_conf()
+
+
+def test_unknown_override_fails_loudly():
+    import pytest
+
+    with pytest.raises(TypeError, match="shuffle_partitons"):
+        EngineConfig.from_env(shuffle_partitons=8)  # typo'd key
+
+
 def test_spark_conf_merges_extra():
     cfg = EngineConfig(
         shuffle_partitions=8,

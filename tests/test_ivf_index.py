@@ -1,7 +1,10 @@
 """Persisted IVF index: build-once/query-many at storage level.
 Queries against the lake-persisted index must return exactly what
-the in-session ivf_topk computes with the same centroids, and the
-cells read must be partition-PRUNED to the probed cells."""
+the in-session ivf_topk computes with the same centroids, the cells
+read must be partition-PRUNED to the probed cells, and index
+maintenance (rebuild, upsert) must follow the lake's incremental
+contract — versioned staging with an atomic manifest commit, and
+touched-partition-only rewrites for deltas."""
 
 from __future__ import annotations
 
@@ -10,9 +13,13 @@ import os
 import pytest
 
 from fxa_activity_metrics_spark.operators.similarity import (
+    _assign_cells,
     ivf_build_index,
+    ivf_cells_table,
+    ivf_centroids,
     ivf_query_index,
     ivf_topk,
+    ivf_upsert_index,
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
 from fxa_activity_metrics_spark.sources.testdata import read_table
@@ -31,7 +38,7 @@ def env(spark, tmp_path_factory):
 def test_index_layout(env):
     lake, _ = env
     assert lake.read("ivf_centroids").count() == 16
-    cells_root = lake.path("ivf_cells")
+    cells_root = lake.path(ivf_cells_table(lake, "ivf"))
     parts = [d for d in os.listdir(cells_root) if d.startswith("cell=")]
     assert len(parts) > 1, "assignments must be cell-partition directories"
 
@@ -56,20 +63,36 @@ def test_query_scan_is_partition_pruned(env, spark):
     )
 
 
+def test_empty_query_batch_returns_empty(env, spark):
+    """An empty queries frame must return an empty result, not crash
+    building an isin() over zero probed cells."""
+    lake, emb = env
+    df = ivf_query_index(lake, emb.filter("vec_id < 0"), name="ivf")
+    assert df.count() == 0
+    assert df.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
 def test_rebuild_drops_stale_cells(spark, tmp_path):
-    """Rebuilding an index must not leave partitions from the prior
-    build: a cell emptied by the new corpus/centroids would otherwise
-    keep stale rows (dynamic overwrite only touches written cells)."""
+    """Rebuilding an index must not leave rows from the prior build
+    visible: the new cells version is staged separately and the
+    centroids-manifest swap retargets queries atomically; the stale
+    version is garbage-collected."""
     lake = Lake(spark, str(tmp_path / "rebuild_lake"))
     emb = read_table(spark, SF, "embeddings")
     ivf_build_index(lake, emb, name="r", n_cells=16)
-    first_cells = set(os.listdir(lake.path("r_cells")))
+    first_tbl = ivf_cells_table(lake, "r")
+    first_cells = set(os.listdir(lake.path(first_tbl)))
     # rebuild on a much smaller corpus with fewer cells: many old
     # cell partitions receive no rows
     small = emb.filter("vec_id < 40")
     ivf_build_index(lake, small, name="r", n_cells=4)
+    live_tbl = ivf_cells_table(lake, "r")
+    assert live_tbl != first_tbl, "rebuild must stage a fresh cells version"
+    assert not os.path.exists(lake.path(first_tbl)), (
+        "the prior cells version must be garbage-collected"
+    )
     cells_now = {
-        d for d in os.listdir(lake.path("r_cells")) if d.startswith("cell=")
+        d for d in os.listdir(lake.path(live_tbl)) if d.startswith("cell=")
     }
     assert all(int(c.split("=")[1]) < 4 for c in cells_now), (
         f"stale cell partitions survived the rebuild: {sorted(cells_now)}"
@@ -82,3 +105,92 @@ def test_rebuild_drops_stale_cells(spark, tmp_path):
         map(tuple, persisted.collect())
     )
     assert first_cells  # sanity: the first build did create partitions
+
+
+def _cell_files(lake, table):
+    """path → (mtime_ns, size) for every data file of the cells table."""
+    out = {}
+    for root, _, files in os.walk(lake.path(table)):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_upsert_matches_assignment_and_leaves_untouched_cells(spark, tmp_path):
+    """Upserting a corpus delta must equal assigning the UNION against
+    the ORIGINAL centroids (upsert never re-trains), and cell
+    partitions receiving no delta rows must keep their exact files."""
+    lake = Lake(spark, str(tmp_path / "upsert_lake"))
+    emb = read_table(spark, SF, "embeddings")
+    base = emb.filter("vec_id >= 3")
+    delta = emb.filter("vec_id < 3")
+    ivf_build_index(lake, base, name="u", n_cells=16)
+    tbl = ivf_cells_table(lake, "u")
+    before = _cell_files(lake, tbl)
+
+    ivf_upsert_index(lake, delta, name="u")
+    assert ivf_cells_table(lake, "u") == tbl, "upsert edits the live version in place"
+
+    # expected: union assigned against the centroids trained on base
+    cents = ivf_centroids(base, n_cells=16)
+    want = sorted(
+        (r["neighbor_id"], r["cell"])
+        for r in _assign_cells(emb, cents).select("neighbor_id", "cell").collect()
+    )
+    got = sorted(
+        (r["neighbor_id"], r["cell"])
+        for r in lake.read(tbl).select("neighbor_id", "cell").collect()
+    )
+    assert got == want
+
+    # cells untouched by the delta keep byte-identical files
+    touched = {
+        r["cell"] for r in _assign_cells(delta, cents).select("cell").distinct().collect()
+    }
+    after = _cell_files(lake, tbl)
+
+    def cell_of(path):
+        for part in path.split(os.sep):
+            if part.startswith("cell="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    untouched_before = {p: v for p, v in before.items() if cell_of(p) not in touched}
+    assert untouched_before, "fixture must leave some cells untouched"
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched cell partition rewritten: {p}"
+
+    # queries see the merged index, identical to in-session IVF on the
+    # union with the original centroids
+    queries = emb.filter("vec_id < 10")
+    fresh = ivf_topk(emb, queries, k=5, centroids=cents, n_probe=4)
+    persisted = ivf_query_index(lake, queries, name="u", k=5, n_probe=4)
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+
+
+def test_upsert_moves_changed_vector_across_cells(spark, tmp_path):
+    """Re-upserting an id whose embedding changed must move the row to
+    its new cell and leave no duplicate in the old cell."""
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "move_lake"))
+    emb = read_table(spark, SF, "embeddings")
+    ivf_build_index(lake, emb, name="m", n_cells=16)
+    tbl = ivf_cells_table(lake, "m")
+
+    # replace vec 5's embedding with vec 999's values (different cell
+    # with high probability; assert no-dup regardless)
+    donor = emb.filter("vec_id = 999").select(F.col("embedding").alias("e"))
+    changed = (
+        emb.filter("vec_id = 5")
+        .crossJoin(donor)
+        .select(F.col("vec_id"), F.col("e").alias("embedding"))
+    )
+    ivf_upsert_index(lake, changed, name="m")
+    rows = lake.read(tbl).filter("neighbor_id = 5").collect()
+    assert len(rows) == 1, "moved key must not leave a stale duplicate"
