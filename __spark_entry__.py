@@ -661,6 +661,15 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count_modes(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL greedy BPE token counting: lowercase, regex pre-split,
+    then rank-ordered pair merges against the deterministic
+    BPE_MERGES table (Arrow mapInPandas kernel with a per-batch word
+    memo). The DuckDB oracle replays the identical algorithm via a
+    recursive CTE over the distinct word vocabulary."""
+    return textstats.token_count_bpe_real(_docs(spark, sf_dir))
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprint (MOSS-style): min hash per
     sliding window over char 5-gram hashes. Exploded to one scalar
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "token_histogram": q_token_histogram,
         "token_count_bpe": q_token_count_bpe,
+        "token_count_bpe_real": q_token_count_bpe_real,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "dedup_clusters": q_dedup_clusters,
@@ -1168,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
                      AS pieces_per_word
             FROM t
         """,
+        "token_count_bpe_real": _BPE_REAL_SQL,
         "winnow_fingerprint": """
             WITH g AS (
               SELECT doc_id, lower(text) AS t FROM documents
@@ -1459,6 +1470,64 @@ _ANN_TOPK_SQL = """
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
+
+def _bpe_real_sql() -> str:
+    """Oracle for the REAL greedy BPE token count: a recursive CTE
+    replays the exact merge algorithm (lowest-rank adjacent pair,
+    left-to-right non-overlapping pass) over the DISTINCT word
+    vocabulary, against the same BPE_MERGES literal the Spark kernel
+    uses (textstats.py). The within-pass fold is equivalent to the
+    kernel's left-to-right scan because a merge's output token never
+    equals the pair's left side — a fold can't chain merges."""
+    merges = textstats.BPE_MERGES
+    map_keys = ", ".join(f"'{left}|{right}'" for left, right in merges)
+    map_vals = ", ".join(str(i) for i in range(len(merges)))
+    rank_map = f"MAP([{map_keys}], [{map_vals}])"
+    best = (
+        "list_min(list_transform(range(1, len(s.toks)), i -> "
+        "{'rk': COALESCE(" + rank_map + "[s.toks[i] || '|' || s.toks[i+1]][1],"
+        " 1000000), 'l': s.toks[i], 'r': s.toks[i+1]}))"
+    )
+    return f"""
+        WITH RECURSIVE words AS (
+          SELECT d.doc_id, u.w
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                         '{textstats.BPE_SPLIT_PATTERN}') AS ws
+                FROM documents) d,
+               (SELECT unnest(d.ws) AS w) u
+        ),
+        vocab AS (SELECT DISTINCT w FROM words),
+        steps AS (
+          SELECT w, string_split(w, '') AS toks FROM vocab
+          UNION ALL
+          SELECT s.w,
+                 list_reduce(list_transform(s.toks, t -> [t]), (acc, x) ->
+                   CASE WHEN len(acc) > 0 AND acc[-1] = b.best.l
+                             AND x[1] = b.best.r
+                        THEN list_append(acc[1:len(acc)-1], acc[-1] || x[1])
+                        ELSE list_concat(acc, x) END)
+          FROM steps s, LATERAL (SELECT {best} AS best) b
+          WHERE len(s.toks) > 1 AND b.best.rk < 1000000
+        ),
+        final AS (
+          SELECT s.w, len(s.toks) AS n
+          FROM steps s
+          WHERE COALESCE((SELECT b.best.rk
+                          FROM (SELECT {best} AS best) b), 1000000) >= 1000000
+        ),
+        counts AS (
+          SELECT wo.doc_id, SUM(f.n) AS n
+          FROM words wo JOIN final f ON f.w = wo.w
+          GROUP BY wo.doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bpe_real
+        FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
+    """
+
+
+_BPE_REAL_SQL = _bpe_real_sql()
+
 
 # Exact oracle for the hyperplane-LSH ANN path. The engine's buckets
 # are deterministic (bit p = sign of dot(vec, plane_p); plane entries

@@ -151,6 +151,109 @@ def token_count_modes(
     )
 
 
+# Deterministic BPE merge table, rank-ordered (rank = list index).
+# A REAL byte-pair-encoding vocabulary in miniature: each entry
+# merges an adjacent token pair, later entries may reference tokens
+# earlier merges create ("th"+"e", "ti"+"on"). Shipped as a literal
+# to both the Arrow kernel and the SQL oracle, which replays the
+# identical greedy algorithm — so the per-document counts are
+# hash-comparable across engines. Production swaps this literal for
+# a learned vocabulary (e.g. a GPT-2 merges.txt) broadcast the same
+# way; the algorithm below is the standard one.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "r"), ("th", "e"), ("e", "s"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("a", "l"), ("s", "t"), ("a", "r"), ("in", "g"),
+    ("i", "s"), ("o", "u"), ("i", "t"), ("l", "e"), ("e", "d"),
+    ("an", "d"), ("t", "o"), ("c", "h"), ("r", "o"), ("o", "f"),
+    ("e", "l"), ("l", "l"), ("b", "e"), ("m", "e"), ("w", "h"),
+    ("v", "e"), ("s", "e"), ("c", "o"), ("d", "e"), ("u", "r"),
+    ("h", "a"), ("h", "e"), ("u", "s"), ("n", "o"), ("i", "c"),
+    ("p", "a"), ("m", "a"), ("d", "i"), ("t", "i"), ("ti", "on"),
+    ("w", "i"), ("f", "o"), ("l", "i"),
+]
+
+
+def _bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Greedy BPE encode of one pre-token; returns the token count.
+
+    Standard algorithm: repeatedly merge the lowest-rank adjacent
+    pair present, each pass replacing its occurrences left-to-right
+    non-overlapping, until no pair in the table remains. The SQL
+    oracle replays this exactly (the fold-based pass in
+    _BPE_ORACLE_SQL is provably equivalent to the left-to-right
+    scan: a merge's output token never equals the pair's left side,
+    so a fold can't chain merges within one pass)."""
+    toks = list(word)
+    while len(toks) > 1:
+        best = None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, toks[i], toks[i + 1])
+        if best is None:
+            break
+        _, left, right = best
+        merged: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(toks[i])
+                i += 1
+        toks = merged
+    return len(toks)
+
+
+def token_count_bpe_real(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-document token count under a REAL greedy BPE encode
+    against the deterministic merge table — not the regex-piece
+    proxy of ``token_count_modes``.
+
+    Arrow mapInPandas kernel (the winnow_fingerprint precedent):
+    lowercase, pre-split with BPE_SPLIT_PATTERN, encode each word
+    against the broadcast-as-closure merge table. A per-batch word
+    memo collapses the Zipfian repeat mass — each distinct word is
+    encoded once per batch. One scan, zero shuffle; at 100 TB the
+    cost is the text scan plus C-speed string handling.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    table = merges if merges is not None else BPE_MERGES
+    ranks = {pair: i for i, pair in enumerate(table)}
+    pat = _re.compile(BPE_SPLIT_PATTERN)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            memo: dict[str, int] = {}
+            counts = []
+            for text in pdf[text_col]:
+                n = 0
+                for w in pat.findall((text or "").lower()):
+                    c = memo.get(w)
+                    if c is None:
+                        c = _bpe_encode(w, ranks)
+                        memo[w] = c
+                    n += c
+                counts.append(n)
+            yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_real": counts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, n_bpe_real long"
+    )
+
+
 def winnow_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -244,3 +244,38 @@ def test_stratified_sample_rates_and_determinism(spark):
     # deterministic: second run identical
     again = stratified_sample(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bpe_real_known_encodings(spark):
+    """Hand-checked greedy merges: 'the' collapses via t+h -> th,
+    th+e -> the (rank order 0 then 6); 'aaa' has no merges; digits
+    and punctuation stay single tokens; words memoize per batch."""
+    from fxa_activity_metrics_spark.operators.textstats import (
+        BPE_MERGES,
+        _bpe_encode,
+        token_count_bpe_real,
+    )
+
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    assert _bpe_encode("the", ranks) == 1
+    assert _bpe_encode("and", ranks) == 1
+    assert _bpe_encode("aaa", ranks) == 3
+    assert _bpe_encode("x", ranks) == 1
+    assert _bpe_encode("", ranks) == 0
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The thing!"),      # the=1, thing=2, !=1  -> 4
+            (2, "and and AND"),     # 1+1+1 -> 3
+            (3, ""),                # -> 0
+            (4, None),              # null text -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_real"] for r in token_count_bpe_real(docs).collect()}
+    assert got == {
+        1: 1 + _bpe_encode("thing", ranks) + 1,
+        2: 3,
+        3: 0,
+        4: 0,
+    }
