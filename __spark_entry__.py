@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from fxa_activity_metrics_spark.functions.core import cohort_bucket, sample_cohort
 from fxa_activity_metrics_spark.sources.testdata import read_table
 from fxa_activity_metrics_spark.operators import dedup, similarity, textstats
+from fxa_activity_metrics_spark.operators import multimodal
 from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
 from fxa_activity_metrics_spark.operators.summaries import (
     daily_activity_per_device,
@@ -777,6 +778,25 @@ def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_stats(docs)
 
 
+def q_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash: synthetic P6 images (known-duplicate
+    groups + 1-pixel jitter) through the REAL PPM decode → integer
+    8×8-DCT pHash kernel. All-integer arithmetic, so the oracle
+    replays the exact pixel rule, DCT table, and median bit rule."""
+    return multimodal.phash_images(multimodal.synth_ppm_images(_docs(spark, sf_dir)))
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs via 8-band Hamming LSH over the
+    pHashes — exact for max_hamming ≤ 7 by pigeonhole, so the
+    all-pairs SQL scan is a true oracle; the jittered duplicate
+    groups must pair up."""
+    hashes = multimodal.phash_images(
+        multimodal.synth_ppm_images(_docs(spark, sf_dir))
+    )
+    return multimodal.phash_pairs(hashes, max_hamming=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -840,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_manifest": q_training_manifest,
         "blob_stats": q_blob_stats,
+        "phash": q_phash,
+        "phash_pairs": q_phash_pairs,
     }
 
 
@@ -1179,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "token_count_bpe_real": _BPE_REAL_SQL,
+        "phash": _PHASH_SQL,
+        "phash_pairs": _PHASH_PAIRS_SQL,
         "winnow_fingerprint": """
             WITH g AS (
               SELECT doc_id, lower(text) AS t FROM documents
@@ -1527,6 +1551,88 @@ def _bpe_real_sql() -> str:
 
 
 _BPE_REAL_SQL = _bpe_real_sql()
+
+
+def _phash_base_sql() -> str:
+    """Shared oracle CTEs for the pHash queries: replays the synthetic
+    pixel rule (multimodal.synth_ppm_images — group pattern + member
+    jitter), the 24→16 nearest-neighbor resize, the integer luminance,
+    the integer-DCT (same quantized table, embedded as literals), and
+    the median-of-63-AC bit rule. Every step is integer arithmetic, so
+    the 64-bit hashes are bit-exact vs the numpy kernel."""
+    qb_rows = ", ".join(
+        f"({u}, {x}, {q})"
+        for u, row in enumerate(multimodal._phash_dct_table())
+        for x, q in enumerate(row)
+    )
+    return f"""
+        qb(u, x, q) AS (VALUES {qb_rows}),
+        px AS (
+          SELECT d.doc_id,
+                 t1.y, t2.x,
+                 ((t2.x * 24) // 16) AS sx, ((t1.y * 24) // 16) AS sy,
+                 (d.doc_id % 50) AS g, (d.doc_id // 50) AS m
+          FROM documents d, range(0, 16) t1(y), range(0, 16) t2(x)
+        ),
+        lum AS (
+          SELECT doc_id, y, x,
+                 299 * (CASE WHEN sx = (m * 7) % 24 AND sy = (m * 13) % 24
+                             THEN xor((g * 31 + sx * 7 + sy * 13) % 256, 4)
+                             ELSE (g * 31 + sx * 7 + sy * 13) % 256 END)
+                 + 587 * ((g * 17 + sx * 11 + sy * 5) % 256)
+                 + 114 * ((g * 23 + sx * 3 + sy * 19) % 256) AS luma
+          FROM px
+        ),
+        coef AS (
+          SELECT l.doc_id, qu.u AS u, qv.u AS v,
+                 SUM(l.luma * qu.q * qv.q) AS c
+          FROM lum l JOIN qb qu ON qu.x = l.x JOIN qb qv ON qv.x = l.y
+          GROUP BY l.doc_id, qu.u, qv.u
+        ),
+        med AS (
+          SELECT doc_id, c AS med FROM (
+            SELECT doc_id, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+            FROM coef WHERE NOT (u = 0 AND v = 0)
+          ) WHERE rn = 32
+        ),
+        bits AS (
+          SELECT coef.doc_id,
+                 CAST(SUM(CASE WHEN (u * 8 + v) >= 32 AND c > med
+                               THEN (CAST(1 AS BIGINT) << (u * 8 + v - 32))
+                               ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN (u * 8 + v) < 32
+                               AND NOT (u = 0 AND v = 0) AND c > med
+                               THEN (CAST(1 AS BIGINT) << (u * 8 + v))
+                               ELSE 0 END) AS BIGINT) AS lo
+          FROM coef JOIN med USING (doc_id) GROUP BY coef.doc_id
+        )
+    """
+
+
+_PHASH_SQL = (
+    "WITH "
+    + _phash_base_sql()
+    + """
+    SELECT doc_id, printf('%08x%08x', hi, lo) AS phash,
+           hi AS phash_hi, lo AS phash_lo
+    FROM bits
+"""
+)
+
+# All-pairs Hamming scan — the exactness oracle for the 8-band LSH
+# formulation (pigeonhole: Hamming ≤ 7 over 8 bands shares a band).
+_PHASH_PAIRS_SQL = (
+    "WITH "
+    + _phash_base_sql()
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+"""
+)
 
 
 # Exact oracle for the hyperplane-LSH ANN path. The engine's buckets

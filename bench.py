@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "token_count_bpe_real",
     "blob_stats",
+    "phash",
+    "phash_pairs",
 ]
 
 

@@ -354,6 +354,193 @@ def audio_features(
     return docs.select(id_col, blob_col).mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
 
 
+def _phash_dct_table(n: int = 16, k: int = 8, scale: int = 64) -> list[list[int]]:
+    """Integer-quantized DCT-II basis: q[u][x] = round(scale ·
+    cos(π(2x+1)u / 2n)) for u < k, x < n. Quantizing to integers
+    makes the whole pHash INTEGER arithmetic — bit-exact across
+    numpy, the JVM, and the DuckDB oracle (the same trick JPEG
+    integer-DCT hardware uses). The table is generated here once and
+    the oracle SQL embeds these exact integers."""
+    import math
+
+    return [
+        [round(scale * math.cos(math.pi * (2 * x + 1) * u / (2 * n))) for x in range(n)]
+        for u in range(k)
+    ]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+    ]
+)
+
+
+def phash_batch(blobs: pd.Series) -> pd.DataFrame:
+    """Perceptual image hash kernel (classic 8×8-DCT pHash over the
+    real PPM decode): decode P6 → integer luminance (299R+587G+114B)
+    → nearest-neighbor 16×16 → integer DCT → 8×8 low-frequency block
+    → bit u·8+v set iff its coefficient exceeds the median of the 63
+    AC coefficients (the 32nd-smallest value; DC excluded and its bit
+    always 0). All-integer, so the 64-bit hash is bit-exact across
+    engines. Perceptually-identical images (1-pixel jitter, small
+    noise) collide; different images are distant in Hamming space."""
+    import numpy as np
+
+    q = np.array(_phash_dct_table(), dtype=np.int64)  # 8 × 16
+    rows = []
+    for b in blobs:
+        b = bytes(b)
+        if not b.startswith(b"P6"):
+            raise NotImplementedError(
+                "only PPM(P6) decodes without Pillow/libjpeg; "
+                f"got magic {b[:2]!r}"
+            )
+        w, h, _maxval, data = _ppm_parse(b)
+        ys = (np.arange(16) * h) // 16
+        xs = (np.arange(16) * w) // 16
+        img = data[ys][:, xs].astype(np.int64)
+        luma = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+        # C[u][v] = Σ_x Σ_y luma[y][x] · q[u][x] · q[v][y]
+        coef = (q @ (q @ luma).T).flatten()  # idx = u*8 + v, DC at 0
+        med = int(np.sort(np.delete(coef, 0))[31])
+        bits = coef > med
+        bits[0] = False
+        h_int = 0
+        for i in range(64):
+            if bits[i]:
+                h_int |= 1 << i
+        rows.append(
+            {
+                "phash": f"{h_int:016x}",
+                "phash_hi": h_int >> 32,
+                "phash_lo": h_int & 0xFFFFFFFF,
+            }
+        )
+    return pd.DataFrame(rows, columns=["phash", "phash_hi", "phash_lo"])
+
+
+def phash_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    kernel=None,
+) -> DataFrame:
+    """Perceptual hashes over mapInPandas — partition-parallel, zero
+    shuffle; feeds ``phash_pairs`` (the multimodal arm of the dedup
+    family)."""
+    k = kernel or phash_batch
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = k(pdf[blob_col])
+            hashes.insert(0, "doc_id", pdf[id_col].values)
+            yield hashes
+
+    return docs.select(id_col, blob_col).mapInPandas(compute, PHASH_SCHEMA)
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Perceptual near-duplicate pairs: every (id_a < id_b) with
+    Hamming(phash_a, phash_b) ≤ max_hamming.
+
+    Banded like the text-side MinHash-LSH: the 64-bit hash splits
+    into 8 bands of 8 bits; by pigeonhole a pair within Hamming
+    ``max_hamming ≤ 7`` shares at least one UNTOUCHED band, so the
+    band equi-join is EXACT (identical rows to the all-pairs scan —
+    that is the oracle) while shuffling only (band, value) keys,
+    never materializing N² pairs. The Hamming verify is JVM-side
+    bit_count over the xor'd halves.
+    """
+    if max_hamming >= 8:
+        raise ValueError("banded join is exact only for max_hamming <= 7")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright(F.col("phash_hi"), 8 * i)
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for i in range(4)
+        ],
+        *[
+            F.struct(
+                F.lit(4 + i).alias("b"),
+                F.shiftright(F.col("phash_lo"), 8 * i)
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for i in range(4)
+        ],
+    )
+    base = hashes.select("doc_id", "phash_hi", "phash_lo", F.explode(bands).alias("k"))
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+        "k",
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+        "k",
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def synth_ppm_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 24,
+    height: int = 24,
+    groups: int = 50,
+) -> DataFrame:
+    """Deterministic synthetic P6 blobs with KNOWN duplicate groups:
+    the pixel pattern depends on ``doc_id % groups`` (so ids sharing
+    a group are perceptually identical), plus a per-member one-pixel
+    jitter (xor 4 on one red sample) that pHash must shrug off. Used
+    by the phash queries/tests; real pipelines read blob columns
+    straight from Parquet."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d % groups
+                img = np.empty((height, width, 3), np.uint8)
+                img[:, :, 0] = (g * 31 + xx * 7 + yy * 13) % 256
+                img[:, :, 1] = (g * 17 + xx * 11 + yy * 5) % 256
+                img[:, :, 2] = (g * 23 + xx * 3 + yy * 19) % 256
+                m = d // groups
+                img[(m * 13) % height, (m * 7) % width, 0] ^= 4
+                blobs.append(
+                    f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return docs.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, blob binary"
+    )
+
+
 def image_features(
     docs: DataFrame,
     id_col: str = "doc_id",

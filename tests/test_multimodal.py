@@ -141,3 +141,69 @@ def test_non_ppm_still_raises(spark):
 
     with pytest.raises(NotImplementedError, match="PPM"):
         decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0jpegdata"]))
+
+
+def _ppm(img) -> bytes:
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def test_phash_invariant_to_jitter_and_distinct_for_different_images(spark):
+    """The pHash property: a 1-pixel-jittered copy collides (or is
+    within a few bits); a structurally different image is far away."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    base = np.stack(
+        [(xx * 9 + yy * 5) % 256, (xx * 3 + yy * 11) % 256, (xx * 13 + yy) % 256],
+        axis=-1,
+    )
+    jit = base.copy()
+    jit[5, 7, 0] ^= 4
+    gradient = np.stack([xx * 10 % 256, yy * 10 % 256, (xx + yy) % 256], axis=-1)
+    inverted = 255 - base
+    docs = spark.createDataFrame(
+        [(1, _ppm(base)), (2, _ppm(jit)), (3, _ppm(gradient)), (4, _ppm(inverted))],
+        "doc_id long, blob binary",
+    )
+    h = {r["doc_id"]: r for r in mm.phash_images(docs).collect()}
+
+    def ham(a, b):
+        x = (h[a]["phash_hi"] ^ h[b]["phash_hi"], h[a]["phash_lo"] ^ h[b]["phash_lo"])
+        return bin(x[0]).count("1") + bin(x[1]).count("1")
+
+    assert ham(1, 2) <= 2, "1-pixel jitter must not move the perceptual hash"
+    assert ham(1, 3) > 7, "different structure must be Hamming-distant"
+    assert ham(1, 4) > 7, "inverted image must be Hamming-distant"
+    assert len(h[1]["phash"]) == 16 and h[1]["phash"] == f"{(h[1]['phash_hi'] << 32) | h[1]['phash_lo']:016x}"
+
+
+def test_phash_pairs_banded_equals_allpairs(spark):
+    """The 8-band join must produce EXACTLY the all-pairs Hamming ≤ 7
+    result (pigeonhole exactness) on the synthetic duplicate groups."""
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    hashes = mm.phash_images(mm.synth_ppm_images(docs, groups=10)).cache()
+    banded = sorted(map(tuple, mm.phash_pairs(hashes, max_hamming=7).collect()))
+    rows = hashes.collect()
+    want = []
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ia, ib = sorted((a["doc_id"], b["doc_id"]))
+            d = bin(a["phash_hi"] ^ b["phash_hi"]).count("1") + bin(
+                a["phash_lo"] ^ b["phash_lo"]
+            ).count("1")
+            if d <= 7:
+                want.append((ia, ib, d))
+    hashes.unpersist()
+    assert banded == sorted(want)
+    assert banded, "synthetic duplicate groups must produce pairs"
+
+
+def test_phash_pairs_rejects_unsound_threshold(spark):
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    hashes = mm.phash_images(mm.synth_ppm_images(docs))
+    with pytest.raises(ValueError, match="max_hamming"):
+        mm.phash_pairs(hashes, max_hamming=8)
