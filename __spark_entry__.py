@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.functions.core import cohort_bucket, sample_cohort
 from fxa_activity_metrics_spark.sources.testdata import read_table
-from fxa_activity_metrics_spark.operators import dedup, similarity, textstats
+from fxa_activity_metrics_spark.operators import assembly, dedup, similarity, textstats
 from fxa_activity_metrics_spark.operators import multimodal
 from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
 from fxa_activity_metrics_spark.operators.summaries import (
@@ -797,6 +797,40 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_pairs(hashes, max_hamming=7)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (64-token windows,
+    stride 48): per-row generate+explode, zero shuffle."""
+    return assembly.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=64, stride=48
+    )
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 id bucket —
+    stable under reruns, repartitions, and corpus growth."""
+    return assembly.train_split(_docs(spark, sf_dir))
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source mixing: sqrt-count weighted
+    per-source keep rates, deterministic md5 sampling. Rates built
+    only from IEEE-exact ops so the oracle is bit-identical."""
+    return assembly.source_mixture(_docs(spark, sf_dir), sample_frac=0.5)
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5 shard + within-shard rank —
+    one exchange, per-shard parallel sorts, no global order."""
+    return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality gate with a hard-sigmoid link over text_stats
+    features — piecewise-linear on purpose (exp() is not correctly
+    rounded; clip/FMA-free mul-add are), so the oracle hash-matches."""
+    return assembly.quality_classifier(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -862,6 +896,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_stats": q_blob_stats,
         "phash": q_phash,
         "phash_pairs": q_phash_pairs,
+        "chunk_documents": q_chunk_documents,
+        "train_split": q_train_split,
+        "source_mixture": q_source_mixture,
+        "shard_shuffle": q_shard_shuffle,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1442,6 +1481,122 @@ def oracle_sql() -> dict[str, str]:
           FROM state s JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
         )
         SELECT doc_id, n_tokens, grp * 64 + bin_local AS bin_id FROM state
+    """
+
+    # --- dataset-assembly operators (operators/assembly.py) ---
+
+    out["chunk_documents"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ), b AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 1 + CASE WHEN len(toks) > 64
+                     THEN (len(toks) - 64 + 47) // 48 ELSE 0 END AS n_chunks
+          FROM t WHERE len(toks) > 0
+        ), e AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(0, n_chunks)) AS ci
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(ci AS INT) AS chunk_id,
+               array_to_string(
+                 list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ') AS chunk_text,
+               CAST(least(64, n - ci * 48) AS INT) AS n_chunk_tokens
+        FROM e
+    """
+
+    out["train_split"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                                    1, 7))::BIGINT % 10000 AS split_bucket
+          FROM documents
+        )
+        SELECT doc_id, split_bucket,
+               CASE WHEN split_bucket < 9000 THEN 'train'
+                    WHEN split_bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+
+    # mix_rate replays the engine's exact-integer recipe: per-source
+    # weight w = round(sqrt(c)*1e6)::BIGINT (sqrt correctly rounded,
+    # integer sum order-free), rate = min(1, w/W * (0.5*N)/c) with the
+    # identical left-associated op order — bit-exact, no pow()
+    out["source_mixture"] = """
+        WITH s AS (
+          SELECT source, count(*) AS c FROM documents GROUP BY source
+        ), sw AS (
+          SELECT source, c,
+                 CAST(round(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS w
+          FROM s
+        ), t AS (
+          SELECT SUM(w) AS w_total, SUM(c) AS n_total FROM sw
+        ), r AS (
+          SELECT source, c AS n_source_docs,
+                 least(1.0,
+                       CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)
+                       * (0.5 * CAST(n_total AS DOUBLE))
+                       / CAST(c AS DOUBLE)) AS mix_rate
+          FROM sw, t
+        )
+        SELECT d.doc_id, d.source, r.n_source_docs, r.mix_rate,
+               (('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 10000)
+                 / 10000.0 < r.mix_rate AS keep
+        FROM documents d JOIN r USING (source)
+    """
+
+    out["shard_shuffle"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(hx, 1, 7))::BIGINT % 8 AS INT) AS shard,
+                 substring(hx, 8, 25) AS ok
+          FROM h
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY ok, doc_id) AS INT) AS position
+        FROM s
+    """
+
+    # hard-sigmoid linear gate over the text_quality features (rounded
+    # to 6dp there, so both engines score identical inputs). The
+    # sigmoid is evaluated in integer micro-units: z_micro snaps the
+    # logit to an exact BIGINT (integer weights keep it within float
+    # error of a 6-decimal value, never near a rounding tie), the
+    # clip runs BEFORE the divide-by-4 so DuckDB's flooring // and
+    # Spark's truncating div agree (operand never negative)
+    out["quality_classifier"] = f"""
+        WITH q AS ({out["text_quality"]}
+        ), z AS (
+          SELECT doc_id,
+                 -1.0
+                 + 2.0 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + -3.0 * punct_ratio
+                 + 2.0 * stopword_ratio
+                 + 1.0 * uniq_token_ratio AS zv
+          FROM q
+        ), m AS (
+          SELECT doc_id, zv,
+                 greatest(0, least(4000000,
+                   CAST(round(zv * 1e6) AS BIGINT) + 2000000)) // 4
+                   AS score_micro
+          FROM z
+        )
+        SELECT doc_id,
+               round(zv, 6) AS logit,
+               score_micro,
+               CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+               score_micro >= 500000 AS label
+        FROM m
     """
     return out
 

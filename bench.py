@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "blob_stats",
     "phash",
     "phash_pairs",
+    "chunk_documents",
+    "train_split",
+    "source_mixture",
+    "shard_shuffle",
+    "quality_classifier",
 ]
 
 

@@ -1,0 +1,305 @@
+"""Dataset-assembly operators: the steps that turn a curated corpus
+into training-ready data — fixed-window chunking, deterministic
+train/val/test splits, temperature-based source mixing, sharded
+training-order shuffling, and a linear quality-gate classifier.
+
+Design rules shared by every operator here:
+
+- deterministic: every random-looking decision (split, sample, order)
+  is an md5-derived hash of the row id, so re-runs and re-shards are
+  reproducible and the DuckDB oracle computes the identical result;
+- bit-exact oracles: float thresholds are built only from IEEE
+  correctly-rounded ops (+ - * / sqrt) over exact integers, never
+  pow/exp/log whose last-ulp varies across libm builds;
+- scale-shaped: chunking/splitting/classifying are per-row
+  projections (zero shuffle — cost at 100 TB is one scan); mixture
+  needs one tiny per-source aggregate broadcast back; shard-shuffle
+  is one exchange on the shard key with per-shard local sorts (never
+  a global total order).
+
+Reference parity: the deterministic-cohort machinery extends the
+reference's 7-hex sampling rule (import_events.py:114) from "keep a
+cohort" to splits/mixtures/orderings; the reference itself has no
+dataset-assembly surface, so these are the LLM-pipeline extension
+ops the brief calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.functions.core import hex_to_long
+from fxa_activity_metrics_spark.operators.dedup import tokens
+from fxa_activity_metrics_spark.operators.textstats import text_stats
+
+
+def _hash_bucket(id_col: F.Column, mod: int, salt: str = "") -> F.Column:
+    """Deterministic bucket in [0, mod) from md5 of the row id.
+
+    The engine's 7-hex rule (functions/core.py:41, the reference's
+    P6 sampling trap) applied to an md5 of the id — 7 hex chars
+    (28 bits) so the conv() stays far inside BIGINT, salted so
+    independent decisions (split vs. sample vs. order) decorrelate.
+    """
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return hex_to_long(F.substring(h, 1, 7)) % mod
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    windows with overlap (stride < chunk_size ⇒ consecutive chunks
+    share chunk_size - stride tokens).
+
+    Chunk count is exact-integer: 1 + ceil((n - chunk_size)/stride)
+    when n > chunk_size else 1 — the last chunk always reaches the
+    end of the document and no chunk starts past it. Empty documents
+    produce no chunks.
+
+    Scale: a per-row generate + explode — no shuffle, no window; at
+    100 TB this is one scan whose output is ~n/stride rows per doc.
+    The token array is materialized once per row (not per chunk) and
+    sliced per start offset JVM-side.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(text_col)
+    base = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+    )
+    # integer ceil-div: exact at any doc length (no float floor)
+    extra = F.when(
+        F.col("n") > chunk_size,
+        F.expr(f"(n - {chunk_size} + {stride - 1}) div {stride}"),
+    ).otherwise(F.lit(0))
+    e = base.withColumn("n_chunks", (F.lit(1) + extra).cast("int")).select(
+        F.col(id_col),
+        F.col("toks"),
+        F.col("n"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0), (F.col("n_chunks") - 1) * stride, F.lit(stride)
+            )
+        ).alias("chunk_id", "start"),
+    )
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+    )
+
+
+# cumulative split thresholds in ten-thousandths of the id space:
+# [0, 9000) train, [9000, 9500) val, [9500, 10000) test
+SPLIT_THRESHOLDS: tuple[tuple[str, int], ...] = (
+    ("train", 9000),
+    ("val", 9500),
+    ("test", 10000),
+)
+
+
+def train_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    thresholds: tuple[tuple[str, int], ...] = SPLIT_THRESHOLDS,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 id bucket.
+
+    Hash-based, NOT randomSplit: the assignment is a pure function of
+    the id, so it is stable across runs, engines, repartitions, and
+    incremental corpus growth (a doc never migrates between splits
+    when new data arrives — the property randomSplit loses the moment
+    the input partitioning changes). Cohort containment also holds:
+    shrinking train from 90% to 80% keeps the 80% a subset.
+
+    Per-row projection: zero shuffle, one scan at any scale.
+
+    Output: (id, split_bucket, split).
+    """
+    bucket = _hash_bucket(F.col(id_col), 10_000, salt=salt)
+    assign = F.lit(thresholds[-1][0])
+    for name, upper in reversed(thresholds[:-1]):
+        assign = F.when(bucket < upper, F.lit(name)).otherwise(assign)
+    return docs.select(
+        F.col(id_col),
+        bucket.cast("long").alias("split_bucket"),
+        assign.alias("split"),
+    )
+
+
+def source_mixture(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    sample_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): sample the
+    corpus down to ~sample_frac of its rows with per-source rates
+    proportional to sqrt(count) — the standard multi-source LLM
+    recipe that up-weights small sources and damps head sources
+    (multilingual-BERT / T5-style exponent 0.5).
+
+    Exactness: the rate is built ONLY from correctly-rounded IEEE ops
+    over exact integers — per-source weight w = round(sqrt(c)·1e6) as
+    BIGINT (sqrt is correctly rounded; the integer sum W is
+    order-independent), then rate = min(1, w/W · (frac·N)/c) — so the
+    DuckDB oracle reproduces it bit-for-bit; no pow(), whose last ulp
+    is libm-specific. The keep decision compares the id's md5
+    ten-thousandths bucket against the rate.
+
+    Scale: one map-side-combining aggregate over the source key
+    (output rows = #sources, i.e. tiny), rates broadcast-joined back;
+    the corpus itself never shuffles.
+
+    Output: (id, source, n_source_docs, mix_rate, keep).
+    """
+    stats = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
+    stats = stats.withColumn(
+        "w", F.round(F.sqrt(F.col("c").cast("double")) * 1e6).cast("bigint")
+    )
+    totals = stats.agg(
+        F.sum("w").alias("w_total"), F.sum("c").alias("n_total")
+    )
+    rates = stats.crossJoin(F.broadcast(totals)).select(
+        F.col(source_col),
+        F.col("c").alias("n_source_docs"),
+        F.least(
+            F.lit(1.0),
+            F.col("w").cast("double")
+            / F.col("w_total").cast("double")
+            * (sample_frac * F.col("n_total").cast("double"))
+            / F.col("c").cast("double"),
+        ).alias("mix_rate"),
+    )
+    bucket = _hash_bucket(F.col(id_col), 10_000, salt=salt)
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(F.broadcast(rates), on=source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("n_source_docs"),
+            F.col("mix_rate"),
+            (bucket.cast("double") / 10_000.0 < F.col("mix_rate")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle without a global
+    sort: md5(seed, id) assigns each row a shard (hash % n_shards)
+    and an order key (the remaining digest hex); position is the
+    row's rank within its shard under that key.
+
+    This is how you shuffle 100 TB for training: a single exchange on
+    the shard key plus per-shard local sorts that run in parallel —
+    never a total order (one straggler partition) and never a
+    driver-side permutation. Changing `seed` re-shuffles every epoch
+    reproducibly; a fixed seed makes order stable across reruns for
+    checkpoint-resume.
+
+    Output: (id, shard, position) — position is 1-based within shard.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
+    order_key = F.substring(h, 8, 25)
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col), shard.alias("shard"), order_key.alias("order_key")
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select(id_col, "shard", "position")
+    )
+
+
+# quality-gate linear model: hand-set INTEGER weights over the
+# text_stats features; frozen literals so the classifier is a pure
+# projection (a trained model would ship its coefficients the same
+# way). Integer weights keep the logit within float error of an
+# exact 6-decimal value (the features are 6dp-rounded), so no
+# downstream rounding ever lands on a half-way tie.
+QUALITY_WEIGHTS: dict[str, int] = {
+    "bias": -1,
+    "len_score": 2,  # saturating length feature, see below
+    "punct_ratio": -3,
+    "stopword_ratio": 2,
+    "uniq_token_ratio": 1,
+}
+
+
+def quality_classifier(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Linear quality-gate classifier over text_stats features with a
+    hard-sigmoid link, evaluated in FIXED POINT:
+    z = w·(len_score, punct_ratio, stopword_ratio, uniq_ratio) + b,
+    score = clip(0.25·z + 0.5, 0, 1) computed in integer micro-units.
+
+    Cross-engine reproducibility is the design driver. A logistic
+    link (exp) differs in the last ulp across libm builds, and even a
+    piecewise-linear sigmoid evaluated in doubles creates exact
+    decimal half-way ties (0.25 of a 6-decimal value has 8 decimals)
+    where Spark's HALF_UP and DuckDB's float rounding disagree. So:
+    integer weights keep z within float error of a 6-decimal value;
+    z_micro = round(z·1e6) snaps it to an exact BIGINT (never near a
+    tie); the sigmoid is integer arithmetic — clip z_micro+2e6 into
+    [0, 4e6] FIRST, then divide by 4 (so the truncating/flooring
+    integer-div dialects agree: the operand is never negative).
+    score = score_micro/1e6 is then one correctly-rounded division in
+    both engines. Semantics match a fasttext-style linear gate.
+
+    Per-row projection over one scan — the same single-pass shape as
+    text_stats (whose rounded features it consumes, so engine and
+    oracle see identical inputs).
+    Output: (id, logit, score_micro, score, label).
+    """
+    w = QUALITY_WEIGHTS
+    feats = text_stats(docs, id_col=id_col, text_col=text_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    z = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["len_score"])) * len_score
+        + F.lit(float(w["punct_ratio"])) * F.col("punct_ratio")
+        + F.lit(float(w["stopword_ratio"])) * F.col("stopword_ratio")
+        + F.lit(float(w["uniq_token_ratio"])) * F.col("uniq_token_ratio")
+    )
+    z_micro = F.round(z * 1e6).cast("bigint")
+    score_micro = F.expr(
+        "greatest(0L, least(4000000L, z_micro + 2000000L)) div 4L"
+    )
+    return feats.select(
+        F.col(id_col), z.alias("zv"), z_micro.alias("z_micro")
+    ).select(
+        F.col(id_col),
+        F.round(F.col("zv"), 6).alias("logit"),
+        score_micro.alias("score_micro"),
+        (score_micro.cast("double") / 1_000_000.0).alias("score"),
+        (score_micro >= 500_000).alias("label"),
+    )

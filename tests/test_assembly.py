@@ -1,0 +1,255 @@
+"""Dataset-assembly operators (operators/assembly.py): semantics,
+determinism invariants, and the physical-plan scale contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from fxa_activity_metrics_spark.operators import assembly
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_exact_windows(spark):
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6 (ceil((10-4)/3)=2 extra)
+    docs = _mkdocs(spark, [(1, "a b c d e f g h i j", "s")])
+    out = assembly.chunk_documents(docs, chunk_size=4, stride=3)
+    got = {
+        r.chunk_id: (r.chunk_text, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    assert got == {
+        0: ("a b c d", 4),
+        1: ("d e f g", 4),
+        2: ("g h i j", 4),
+    }
+
+
+def test_chunk_short_and_empty_docs(spark):
+    docs = _mkdocs(spark, [(1, "one two", "s"), (2, "   ", "s")])
+    out = assembly.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    # short doc -> exactly one partial chunk; empty doc -> none
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].n_chunk_tokens == 2
+
+
+def test_chunk_last_window_reaches_end(spark):
+    # n=9, size 4, stride 3 -> starts 0,3,6? ceil((9-4)/3)=2 -> last
+    # start 6 covers tokens 7..9; no chunk starts past the end
+    docs = _mkdocs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "s")])
+    rows = assembly.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    starts = sorted((r.chunk_id, r.n_chunk_tokens) for r in rows)
+    assert starts == [(0, 4), (1, 4), (2, 3)]
+
+
+def test_chunk_exact_boundary_no_extra_window(spark):
+    # n == chunk_size -> exactly one chunk
+    docs = _mkdocs(spark, [(1, "a b c d", "s")])
+    rows = assembly.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    assert len(rows) == 1 and rows[0].n_chunk_tokens == 4
+
+
+def test_chunk_overlap_tokens_shared(spark):
+    docs = _mkdocs(spark, [(1, " ".join(f"w{i}" for i in range(20)), "s")])
+    rows = assembly.chunk_documents(docs, chunk_size=8, stride=4).collect()
+    by_id = {r.chunk_id: r.chunk_text.split(" ") for r in rows}
+    for i in range(len(by_id) - 1):
+        assert by_id[i][4:] == by_id[i + 1][:4], "stride-4 overlap"
+
+
+def test_chunk_plan_no_shuffle(spark):
+    docs = _mkdocs(spark, [(1, "a b c", "s")])
+    plan = _plan(assembly.chunk_documents(docs))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate posexplode" in plan
+
+
+def test_chunk_invalid_params(spark):
+    docs = _mkdocs(spark, [(1, "a", "s")])
+    with pytest.raises(ValueError):
+        assembly.chunk_documents(docs, chunk_size=0)
+    with pytest.raises(ValueError):
+        assembly.chunk_documents(docs, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# train_split
+# ---------------------------------------------------------------------------
+
+
+def test_split_fractions_and_stability(spark):
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(2000)])
+    out = assembly.train_split(docs)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 == pytest.approx(0.9, abs=0.03)
+    # deterministic: re-running on a repartitioned input is identical
+    again = assembly.train_split(docs.repartition(7))
+    assert out.exceptAll(again).count() == 0
+
+
+def test_split_cohort_containment(spark):
+    """Shrinking train 90 -> 80 keeps the smaller train a subset —
+    the property randomSplit loses on repartition."""
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(1000)])
+    t90 = {
+        r.doc_id
+        for r in assembly.train_split(docs).where("split = 'train'").collect()
+    }
+    t80 = {
+        r.doc_id
+        for r in assembly.train_split(
+            docs, thresholds=(("train", 8000), ("val", 9000), ("test", 10000))
+        )
+        .where("split = 'train'")
+        .collect()
+    }
+    assert t80 <= t90
+
+
+def test_split_plan_no_shuffle(spark):
+    docs = _mkdocs(spark, [(1, "x", "s")])
+    plan = _plan(assembly.train_split(docs))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# source_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_upweights_small_sources(spark):
+    rows = [(i, "x", "big") for i in range(900)] + [
+        (1000 + i, "x", "small") for i in range(100)
+    ]
+    out = assembly.source_mixture(_mkdocs(spark, rows), sample_frac=0.5)
+    rates = {
+        r.source: r.mix_rate for r in out.select("source", "mix_rate").distinct().collect()
+    }
+    # sqrt damping: the small source keeps a larger fraction
+    assert rates["small"] > rates["big"]
+    # overall kept fraction lands near sample_frac
+    kept = out.where("keep").count()
+    assert kept / 1000 == pytest.approx(0.5, abs=0.1)
+
+
+def test_mixture_rate_caps_at_one(spark):
+    rows = [(i, "x", "big") for i in range(990)] + [(2000, "x", "tiny")]
+    out = assembly.source_mixture(_mkdocs(spark, rows), sample_frac=0.9)
+    tiny = out.where("source = 'tiny'").first()
+    assert tiny.mix_rate == 1.0 and tiny.keep
+
+
+def test_mixture_corpus_never_shuffles(spark):
+    """The corpus side joins the broadcast rate table without an
+    exchange; the only hash exchange is the tiny per-source agg."""
+    docs = _mkdocs(spark, [(i, "x", f"s{i % 3}") for i in range(30)])
+    plan = _plan(assembly.source_mixture(docs))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "Exchange hashpartitioning(source" in plan  # the agg only
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shard_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_is_permutation(spark):
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(500)])
+    out = assembly.shard_shuffle(docs, n_shards=4).collect()
+    assert len(out) == 500
+    # positions within each shard are 1..n_shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_shuffle_seed_changes_order(spark):
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(300)])
+    a = {
+        (r.doc_id, r.shard, r.position)
+        for r in assembly.shard_shuffle(docs, seed="epoch0").collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.position)
+        for r in assembly.shard_shuffle(docs, seed="epoch1").collect()
+    }
+    assert a != b, "new seed must produce a different order"
+    c = {
+        (r.doc_id, r.shard, r.position)
+        for r in assembly.shard_shuffle(docs, seed="epoch0").collect()
+    }
+    assert a == c, "same seed must reproduce the order exactly"
+
+
+def test_shard_shuffle_single_exchange(spark):
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(50)])
+    plan = _plan(assembly.shard_shuffle(docs, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "one exchange on the shard key; sorts are per-shard, no global order"
+    )
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_shard_shuffle_invalid(spark):
+    with pytest.raises(ValueError):
+        assembly.shard_shuffle(_mkdocs(spark, [(1, "x", "s")]), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_orders_quality(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the old river bank"]
+        * 8
+    )
+    bad = "#### !!!! @@@@ %%%% ^^^^ &&&& **** (((( )))) ____"
+    docs = _mkdocs(spark, [(1, good, "s"), (2, bad, "s")])
+    rows = {r.doc_id: r for r in assembly.quality_classifier(docs).collect()}
+    assert rows[1].score > rows[2].score
+    assert rows[1].label and not rows[2].label
+
+
+def test_classifier_score_bounds_and_fixed_point(spark):
+    docs = E.queries()["quality_classifier"](spark, SF)
+    agg = docs.agg(
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+        F.max(
+            (F.col("score_micro") < 0) | (F.col("score_micro") > 1_000_000)
+        ).alias("oob"),
+    ).first()
+    assert 0.0 <= agg.lo <= agg.hi <= 1.0
+    assert not agg.oob
+
+
+def test_classifier_plan_shuffle_free(spark):
+    df = E.queries()["quality_classifier"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange allowed is _docs()'s round-robin repartition
+    assert "Exchange hashpartitioning" not in plan
