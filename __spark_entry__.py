@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.functions.core import cohort_bucket, sample_cohort
 from fxa_activity_metrics_spark.sources.testdata import read_table
-from fxa_activity_metrics_spark.operators import assembly, dedup, similarity, textstats
+from fxa_activity_metrics_spark.operators import assembly, dedup, search, similarity, textstats
 from fxa_activity_metrics_spark.operators import multimodal
 from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
 from fxa_activity_metrics_spark.operators.summaries import (
@@ -824,6 +824,18 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+BM25_QUERY_TERMS = ["data", "query", "table", "vector"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (lexical complement to the ANN ops): one
+    corpus scan + a 1-row broadcast stats frame + TakeOrdered top-k.
+    idf is micro-quantized so the single ln() can't split engines."""
+    return search.bm25_search(
+        _docs(spark, sf_dir), BM25_QUERY_TERMS, top_k=20
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality gate with a hard-sigmoid link over text_stats
     features — piecewise-linear on purpose (exp() is not correctly
@@ -901,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "shard_shuffle": q_shard_shuffle,
         "quality_classifier": q_quality_classifier,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1597,6 +1610,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # BM25: replays the engine's association order exactly — idf is
+    # micro-quantized (the one ln()), everything else is a
+    # correctly-rounded +,-,*,/ chain; constants 2.2/1.2/0.25/0.75
+    # round-trip to the identical doubles
+    def _bm25_contrib(i: int, term: str) -> str:
+        tf = (
+            f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+        )
+        idf = (
+            f"CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+        )
+        denom = (
+            f"({tf} + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        )
+        return (
+            f"CASE WHEN {tf} > 0 THEN ({idf}) * ({tf} * 2.2) / {denom}"
+            f" ELSE 0.0 END"
+        )
+
+    _bm25_terms = ["data", "query", "table", "vector"]
+    _bm25_dfs = ",\n                 ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_bm25_terms)
+    )
+    _bm25_score = "\n               + ".join(
+        _bm25_contrib(i, t) for i, t in enumerate(_bm25_terms)
+    )
+    out["bm25_search"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ), d AS (
+          SELECT doc_id, toks, len(toks) AS dl FROM t
+        ), s AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                 {_bm25_dfs}
+          FROM d
+        ), sc AS (
+          SELECT doc_id,
+                 round({_bm25_score}, 6) AS score
+          FROM d, s
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank,
+               score
+        FROM sc
+        ORDER BY score DESC, doc_id
+        LIMIT 20
     """
     return out
 

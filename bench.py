@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "source_mixture",
     "shard_shuffle",
     "quality_classifier",
+    "bm25_search",
 ]
 
 
