@@ -52,6 +52,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_size: int = 64,
     stride: int = 48,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split each document's token stream into fixed-length training
     windows with overlap (stride < chunk_size ⇒ consecutive chunks
@@ -67,13 +68,18 @@ def chunk_documents(
     The token array is materialized once per row (not per chunk) and
     sliced per start offset JVM-side.
 
-    Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens[, extra_cols])
+    — ``extra_cols`` are input columns replicated onto every chunk
+    (carried through the explode, no join).
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    passthrough = list(extra_cols or [])
     toks = tokens(text_col)
     base = (
-        docs.select(F.col(id_col), toks.alias("toks"))
+        docs.select(
+            F.col(id_col), toks.alias("toks"), *[F.col(c) for c in passthrough]
+        )
         .withColumn("n", F.size("toks"))
         .where(F.col("n") > 0)
     )
@@ -86,6 +92,7 @@ def chunk_documents(
         F.col(id_col),
         F.col("toks"),
         F.col("n"),
+        *[F.col(c) for c in passthrough],
         F.posexplode(
             F.sequence(
                 F.lit(0), (F.col("n_chunks") - 1) * stride, F.lit(stride)
@@ -101,6 +108,7 @@ def chunk_documents(
         F.least(F.lit(chunk_size), F.col("n") - F.col("start"))
         .cast("int")
         .alias("n_chunk_tokens"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -111,6 +119,23 @@ SPLIT_THRESHOLDS: tuple[tuple[str, int], ...] = (
     ("val", 9500),
     ("test", 10000),
 )
+
+
+def split_col(
+    id_col: F.Column | str,
+    thresholds: tuple[tuple[str, int], ...] = SPLIT_THRESHOLDS,
+    salt: str = "split",
+) -> F.Column:
+    """The split-assignment expression alone (per-row, join-free) —
+    for callers that want to tag a frame in place (e.g. the streaming
+    training-chunks pipeline) rather than produce an assignment
+    table."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = _hash_bucket(c, 10_000, salt=salt)
+    assign = F.lit(thresholds[-1][0])
+    for name, upper in reversed(thresholds[:-1]):
+        assign = F.when(bucket < upper, F.lit(name)).otherwise(assign)
+    return assign
 
 
 def train_split(
@@ -133,13 +158,10 @@ def train_split(
     Output: (id, split_bucket, split).
     """
     bucket = _hash_bucket(F.col(id_col), 10_000, salt=salt)
-    assign = F.lit(thresholds[-1][0])
-    for name, upper in reversed(thresholds[:-1]):
-        assign = F.when(bucket < upper, F.lit(name)).otherwise(assign)
     return docs.select(
         F.col(id_col),
         bucket.cast("long").alias("split_bucket"),
-        assign.alias("split"),
+        split_col(id_col, thresholds=thresholds, salt=salt).alias("split"),
     )
 
 
@@ -255,7 +277,10 @@ QUALITY_WEIGHTS: dict[str, int] = {
 
 
 def quality_classifier(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear quality-gate classifier over text_stats features with a
     hard-sigmoid link, evaluated in FIXED POINT:
@@ -278,10 +303,18 @@ def quality_classifier(
     Per-row projection over one scan — the same single-pass shape as
     text_stats (whose rounded features it consumes, so engine and
     oracle see identical inputs).
-    Output: (id, logit, score_micro, score, label).
+    Output: (id, logit, score_micro, score, label[, extra_cols]) —
+    ``extra_cols`` are input columns carried through both projections
+    (no join, same single scan).
     """
     w = QUALITY_WEIGHTS
-    feats = text_stats(docs, id_col=id_col, text_col=text_col)
+    passthrough = list(extra_cols or [])
+    feats = text_stats(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        extra=[F.col(c) for c in passthrough],
+    )
     len_score = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
     z = (
         F.lit(float(w["bias"]))
@@ -295,11 +328,15 @@ def quality_classifier(
         "greatest(0L, least(4000000L, z_micro + 2000000L)) div 4L"
     )
     return feats.select(
-        F.col(id_col), z.alias("zv"), z_micro.alias("z_micro")
+        F.col(id_col),
+        z.alias("zv"),
+        z_micro.alias("z_micro"),
+        *[F.col(c) for c in passthrough],
     ).select(
         F.col(id_col),
         F.round(F.col("zv"), 6).alias("logit"),
         score_micro.alias("score_micro"),
         (score_micro.cast("double") / 1_000_000.0).alias("score"),
         (score_micro >= 500_000).alias("label"),
+        *[F.col(c) for c in passthrough],
     )
