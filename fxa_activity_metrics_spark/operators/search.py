@@ -23,9 +23,12 @@ association order as the DuckDB oracle.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark.functions.core import hex_to_long
 from fxa_activity_metrics_spark.operators.dedup import tokens
 
 
@@ -110,4 +113,153 @@ def bm25_search(
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index (build-once / query-many, the IVF pattern
+# applied to lexical search)
+# ---------------------------------------------------------------------------
+
+
+def term_bucket_col(term_col: F.Column | str, n_buckets: int) -> F.Column:
+    """Deterministic term → bucket (the postings partition key):
+    md5 7-hex prefix % n_buckets — the engine's cohort rule, so the
+    Python twin below computes the identical bucket driver-side."""
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    return (hex_to_long(F.substring(F.md5(c), 1, 7)) % n_buckets).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of term_bucket_col — used at query time to
+    choose which postings partitions to read (partition pruning)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:7], 16) % n_buckets
+
+
+def build_text_index(
+    lake,
+    docs: DataFrame,
+    name: str = "bm25",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist an inverted index for BM25 to the lake — the
+    build-once/query-many story at storage level (the persisted-IVF
+    pattern, ivf_build_index, applied to lexical search):
+
+    - ``{name}_postings_v{N}``: (term, doc_id, tf, dl), PARTITIONED
+      BY the term's md5 bucket, staged under a fresh version. dl is
+      denormalized onto every posting so queries never join a doc-
+      length table.
+    - ``{name}_stats``: the index MANIFEST — one row (n_docs, sum_dl,
+      postings_table), written LAST via Lake.overwrite's
+      temp-and-swap, the atomic commit point. A failure before it
+      leaves the previous index fully consistent; stale postings
+      versions are collected by the next successful build.
+
+    Query-term buckets become partition-PRUNED scans: at 100 TB a
+    4-term query reads ≤ 4/n_buckets of the postings bytes. The
+    build is one explode + one map-side-combining groupBy on
+    (term, doc) — the standard postings shuffle, run once offline.
+    """
+    toks = tokens(text_col)
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    postings = (
+        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", term_bucket_col("term", n_buckets))
+    )
+    stats = tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    prior = lake.tables(f"{name}_postings_v")
+    version = 1 + max(
+        (int(t.rsplit("_v", 1)[1]) for t in prior if t.rsplit("_v", 1)[1].isdigit()),
+        default=0,
+    )
+    postings_tbl = f"{name}_postings_v{version}"
+    lake.write_parts(postings_tbl, postings, "bucket")
+    manifest = docs.sparkSession.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["sum_dl"]), postings_tbl, n_buckets)],
+        "n_docs long, sum_dl long, postings_table string, n_buckets int",
+    )
+    lake.overwrite(f"{name}_stats", manifest)  # atomic commit
+    for stale in prior:
+        lake.drop_table(stale)
+
+
+def query_text_index(
+    lake,
+    query_terms: list[str],
+    name: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 over the persisted inverted index. BITWISE-identical
+    scores to ``bm25_search`` on the same corpus (same micro-
+    quantized idf, same association order; the per-doc sum is
+    pivoted into fixed term order — one column per query term, each
+    aggregating at most one posting — so float summation order
+    cannot drift from the direct path's left-assoc chain).
+
+    Contract difference: only documents containing ≥1 query term are
+    candidates (zero-score docs never enter the index scan), so the
+    result equals bm25_search whenever ≥ top_k documents match.
+
+    Scale shape: probed buckets are partition-pruned scans of the
+    postings table (~len(terms)/n_buckets of the bytes), df is a
+    tiny per-term aggregate of the pruned scan broadcast back, and
+    the only shuffle is the groupBy over candidate doc_ids.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    m = lake.read(f"{name}_stats").first()
+    n_docs, sum_dl = int(m["n_docs"]), int(m["sum_dl"])
+    buckets = sorted({term_bucket_py(t, int(m["n_buckets"])) for t in query_terms})
+    posts = (
+        lake.read(m["postings_table"])
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+    )
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.lit(float(n_docs))
+    avgdl = F.lit(float(sum_dl)) / n
+    scored = posts.join(F.broadcast(dfreq), "term")
+    df_d = F.col("df").cast("double")
+    idf = (
+        F.round(F.log((n - df_d + 0.5) / (df_d + 0.5) + 1.0) * 1e6)
+        .cast("bigint")
+        .cast("double")
+        / 1e6
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / avgdl))
+    contrib = idf * (tfd * (k1 + 1.0)) / denom
+    # pivot to fixed term order: each per-term agg sees ≤1 posting per
+    # doc, so the final left-assoc chain reproduces bm25_search's
+    # summation order exactly
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, contrib)).alias(f"c_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = F.coalesce(F.col("c_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
+    ranked = (
+        per_term.select(F.col("doc_id"), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", "score"
     )
