@@ -196,6 +196,10 @@ def source_mixture(
     stats = stats.withColumn(
         "w", F.round(F.sqrt(F.col("c").cast("double")) * 1e6).cast("bigint")
     )
+    # materialize the per-source stats ONCE (rows = #sources, tiny):
+    # both the totals agg and the rate join reuse it, so the corpus
+    # is scanned twice total (stats + tagging), not three times
+    stats = stats.localCheckpoint()
     totals = stats.agg(
         F.sum("w").alias("w_total"), F.sum("c").alias("n_total")
     )
