@@ -1,0 +1,77 @@
+"""Property-based checks for chunk_documents: the Spark windows must
+agree with a direct pure-Python chunker on arbitrary token streams
+and parameter combinations, and disjoint chunking (stride ==
+chunk_size) must reconstruct the document exactly."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fxa_activity_metrics_spark.operators.assembly import chunk_documents
+
+
+def _py_chunks(text: str, size: int, stride: int) -> list[tuple[int, str, int]]:
+    toks = [t for t in text.split(" ") if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    extra = (n - size + stride - 1) // stride if n > size else 0
+    return [
+        (i, " ".join(toks[i * stride : i * stride + size]),
+         min(size, n - i * stride))
+        for i in range(1 + extra)
+    ]
+
+
+CASES = st.tuples(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=0, max_size=3), max_size=40
+    ),
+    st.integers(min_value=1, max_value=9),   # chunk_size
+    st.integers(min_value=1, max_value=9),   # stride
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(case=CASES)
+def test_chunks_match_pure_python(spark, case):
+    words, size, stride = case
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(
+            docs, chunk_size=size, stride=stride
+        ).collect()
+    )
+    assert got == _py_chunks(text, size, stride)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    words=st.lists(st.sampled_from(["aa", "bb", "cc", "d"]), min_size=1, max_size=50),
+    size=st.integers(min_value=1, max_value=8),
+)
+def test_disjoint_chunking_reconstructs_document(spark, words, size):
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(
+            docs, chunk_size=size, stride=size
+        ).collect()
+    )
+    rebuilt = " ".join(t for _, t in rows)
+    assert rebuilt == text
+    # token coverage is exact and non-overlapping
+    assert sum(len(t.split(" ")) for _, t in rows) == len(words)
