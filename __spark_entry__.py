@@ -1506,7 +1506,9 @@ def oracle_sql() -> dict[str, str]:
         ), b AS (
           SELECT doc_id, toks, len(toks) AS n,
                  1 + CASE WHEN len(toks) > 64
-                     THEN (len(toks) - 64 + 47) // 48 ELSE 0 END AS n_chunks
+                     THEN least((len(toks) - 64 + 47) // 48,
+                                (len(toks) - 1) // 48)
+                     ELSE 0 END AS n_chunks
           FROM t WHERE len(toks) > 0
         ), e AS (
           SELECT doc_id, toks, n,
@@ -1633,7 +1635,7 @@ def oracle_sql() -> dict[str, str]:
             f" ELSE 0.0 END"
         )
 
-    _bm25_terms = ["data", "query", "table", "vector"]
+    _bm25_terms = BM25_QUERY_TERMS  # same list as the engine query
     _bm25_dfs = ",\n                 ".join(
         f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
         for i, t in enumerate(_bm25_terms)

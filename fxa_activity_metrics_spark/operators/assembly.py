@@ -58,10 +58,13 @@ def chunk_documents(
     windows with overlap (stride < chunk_size ⇒ consecutive chunks
     share chunk_size - stride tokens).
 
-    Chunk count is exact-integer: 1 + ceil((n - chunk_size)/stride)
-    when n > chunk_size else 1 — the last chunk always reaches the
-    end of the document and no chunk starts past it. Empty documents
-    produce no chunks.
+    Chunk count is exact-integer:
+    1 + min(ceil((n - chunk_size)/stride), floor((n - 1)/stride))
+    when n > chunk_size else 1 — the last chunk reaches the end of
+    the document and no start ever falls past the last token (the
+    floor term clamps the gapped-sampling regime stride > chunk_size,
+    where the ceil alone would emit a phantom empty chunk). Empty
+    documents produce no chunks.
 
     Scale: a per-row generate + explode — no shuffle, no window; at
     100 TB this is one scan whose output is ~n/stride rows per doc.
@@ -75,6 +78,12 @@ def chunk_documents(
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
     passthrough = list(extra_cols or [])
+    reserved = {"toks", "n", "n_chunks", "chunk_id", "start", id_col}
+    clash = reserved.intersection(passthrough)
+    if clash:
+        raise ValueError(
+            f"extra_cols collide with internal columns: {sorted(clash)}"
+        )
     toks = tokens(text_col)
     base = (
         docs.select(
@@ -83,10 +92,15 @@ def chunk_documents(
         .withColumn("n", F.size("toks"))
         .where(F.col("n") > 0)
     )
-    # integer ceil-div: exact at any doc length (no float floor)
+    # integer ceil-div, clamped so no start exceeds n-1: exact at any
+    # doc length (no float floor); both operands are non-negative so
+    # truncating and flooring integer division agree
     extra = F.when(
         F.col("n") > chunk_size,
-        F.expr(f"(n - {chunk_size} + {stride - 1}) div {stride}"),
+        F.least(
+            F.expr(f"(n - {chunk_size} + {stride - 1}) div {stride}"),
+            F.expr(f"(n - 1) div {stride}"),
+        ),
     ).otherwise(F.lit(0))
     e = base.withColumn("n_chunks", (F.lit(1) + extra).cast("int")).select(
         F.col(id_col),
@@ -198,8 +212,11 @@ def source_mixture(
     )
     # materialize the per-source stats ONCE (rows = #sources, tiny):
     # both the totals agg and the rate join reuse it, so the corpus
-    # is scanned twice total (stats + tagging), not three times
-    stats = stats.localCheckpoint()
+    # is scanned twice total (stats + tagging), not three times.
+    # eager=False keeps plan CONSTRUCTION lazy (no corpus scan just
+    # for building/explaining the frame) — the checkpoint
+    # materializes on first action and is reused after
+    stats = stats.localCheckpoint(eager=False)
     totals = stats.agg(
         F.sum("w").alias("w_total"), F.sum("c").alias("n_total")
     )
@@ -313,6 +330,17 @@ def quality_classifier(
     """
     w = QUALITY_WEIGHTS
     passthrough = list(extra_cols or [])
+    reserved = {
+        "zv", "z_micro", "logit", "score_micro", "score", "label", id_col,
+        # text_stats output columns the classifier projects over
+        "n_chars", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio", "uniq_token_ratio", "quality_score",
+    }
+    clash = reserved.intersection(passthrough)
+    if clash:
+        raise ValueError(
+            f"extra_cols collide with internal columns: {sorted(clash)}"
+        )
     feats = text_stats(
         docs,
         id_col=id_col,

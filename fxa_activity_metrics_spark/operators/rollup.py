@@ -69,9 +69,12 @@ def range_uniques(
         F.lit(str(day_from)).alias("day_from"),
         F.lit(str(day_until)).alias("day_until"),
         F.count(F.lit(1)).alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("uid_sketch")).alias(
-            "uniques_est"
-        ),
+        # an unpopulated range estimates 0, not NULL (hll_union_agg
+        # over zero rows is NULL; don't let it poison downstream math)
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("uid_sketch")),
+            F.lit(0).cast("long"),
+        ).alias("uniques_est"),
     )
 
 

@@ -39,6 +39,35 @@ def _term_eq(term: str):
     return lambda x: x == F.lit(term)
 
 
+def _bm25_contrib(
+    tf: F.Column,
+    df: F.Column,
+    dl: F.Column,
+    n: F.Column,
+    avgdl: F.Column,
+    k1: float,
+    b: float,
+) -> F.Column:
+    """One term's BM25 contribution — THE single definition of the
+    scoring arithmetic (micro-quantized idf, association order),
+    shared by the direct and index paths so their bitwise-parity
+    contract holds by construction, not by keeping two copies in
+    sync. All inputs are double Columns except tf/df/dl which are
+    cast here."""
+    df_d = df.cast("double")
+    # micro-quantized idf: the ln is the only non-correctly-rounded
+    # op in the whole score — snap it to an exact integer
+    idf = (
+        F.round(F.log((n - df_d + 0.5) / (df_d + 0.5) + 1.0) * 1e6)
+        .cast("bigint")
+        .cast("double")
+        / 1e6
+    )
+    tfd = tf.cast("double")
+    denom = tfd + k1 * ((1.0 - b) + b * (dl.cast("double") / avgdl))
+    return idf * (tfd * (k1 + 1.0)) / denom
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],
@@ -80,26 +109,10 @@ def bm25_search(
     contribs = []
     for i, t in enumerate(query_terms):
         tf = F.size(F.filter(F.col("toks"), _term_eq(t)))
-        df_t = F.col(f"df_{i}").cast("double")
-        # micro-quantized idf: the ln is the only non-correctly-rounded
-        # op in the whole score — snap it to an exact integer
-        idf = (
-            F.round(
-                F.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0) * 1e6
-            )
-            .cast("bigint")
-            .cast("double")
-            / 1e6
+        contrib = _bm25_contrib(
+            tf, F.col(f"df_{i}"), F.col("dl"), n, avgdl, k1, b
         )
-        tfd = tf.cast("double")
-        denom = tfd + k1 * (
-            (1.0 - b) + b * (F.col("dl").cast("double") / avgdl)
-        )
-        contribs.append(
-            F.when(tf > 0, idf * (tfd * (k1 + 1.0)) / denom).otherwise(
-                F.lit(0.0)
-            )
-        )
+        contribs.append(F.when(tf > 0, contrib).otherwise(F.lit(0.0)))
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
@@ -173,6 +186,9 @@ def build_text_index(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", term_bucket_col("term", n_buckets))
     )
+    # stats BEFORE any write: a failed stats job leaves no orphan
+    # postings version (and sum_dl is NULL over an empty corpus —
+    # an empty index is a valid bootstrap state, not a crash)
     stats = tokd.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).first()
@@ -184,7 +200,14 @@ def build_text_index(
     postings_tbl = f"{name}_postings_v{version}"
     lake.write_parts(postings_tbl, postings, "bucket")
     manifest = docs.sparkSession.createDataFrame(
-        [(int(stats["n_docs"]), int(stats["sum_dl"]), postings_tbl, n_buckets)],
+        [
+            (
+                int(stats["n_docs"]),
+                int(stats["sum_dl"] or 0),
+                postings_tbl,
+                n_buckets,
+            )
+        ],
         "n_docs long, sum_dl long, postings_table string, n_buckets int",
     )
     lake.overwrite(f"{name}_stats", manifest)  # atomic commit
@@ -222,6 +245,12 @@ def query_text_index(
         raise ValueError("query_terms must be distinct")
     m = lake.read(f"{name}_stats").first()
     n_docs, sum_dl = int(m["n_docs"]), int(m["sum_dl"])
+    if n_docs == 0:
+        # empty index (valid bootstrap state): no postings partitions
+        # exist to scan
+        return lake.spark.createDataFrame(
+            [], "doc_id long, rank int, score double"
+        )
     buckets = sorted({term_bucket_py(t, int(m["n_buckets"])) for t in query_terms})
     posts = (
         lake.read(m["postings_table"])
@@ -232,16 +261,9 @@ def query_text_index(
     n = F.lit(float(n_docs))
     avgdl = F.lit(float(sum_dl)) / n
     scored = posts.join(F.broadcast(dfreq), "term")
-    df_d = F.col("df").cast("double")
-    idf = (
-        F.round(F.log((n - df_d + 0.5) / (df_d + 0.5) + 1.0) * 1e6)
-        .cast("bigint")
-        .cast("double")
-        / 1e6
+    contrib = _bm25_contrib(
+        F.col("tf"), F.col("df"), F.col("dl"), n, avgdl, k1, b
     )
-    tfd = F.col("tf").cast("double")
-    denom = tfd + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / avgdl))
-    contrib = idf * (tfd * (k1 + 1.0)) / denom
     # pivot to fixed term order: each per-term agg sees ≤1 posting per
     # doc, so the final left-assoc chain reproduces bm25_search's
     # summation order exactly

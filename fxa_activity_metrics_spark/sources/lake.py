@@ -94,14 +94,26 @@ class Lake:
         flow_metadata that are rewritten per enrichment pass).
 
         Writes to a temp location first, then swaps — the source may
-        be a self-read of the same table.
+        be a self-read of the same table. The swap rotates the old
+        data to a trash name BEFORE promoting the new write (instead
+        of rmtree-then-rename): a crash mid-swap leaves the previous
+        table recoverable under ``._old_swap`` rather than deleted —
+        the manifest-consumers (IVF/text-index builds) rely on the
+        old state surviving any failure before the promote. The
+        rename pair is not a single atomic op; readers racing the
+        swap on a live table should retry (single-writer assumed).
         """
         tmp = self.path(table) + "._tmp_swap"
         df.write.mode("overwrite").parquet(tmp)
         dest = self.path(table)
+        trash = dest + "._old_swap"
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
         if os.path.exists(dest):
-            shutil.rmtree(dest)
+            os.replace(dest, trash)
         os.replace(tmp, dest)
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
 
     # -- read -------------------------------------------------------------
 
@@ -200,7 +212,10 @@ class Lake:
         return sorted(
             d
             for d in os.listdir(self.root)
-            if d.startswith(prefix) and os.path.isdir(os.path.join(self.root, d))
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(self.root, d))
+            # crash-leftover swap staging dirs are not tables
+            and not d.endswith(("._tmp_swap", "._old_swap"))
         )
 
     def drop_table(self, table: str) -> None:

@@ -80,6 +80,27 @@ def test_chunk_plan_no_shuffle(spark):
     assert "Generate posexplode" in plan
 
 
+def test_chunk_gapped_sampling_no_phantom_chunk(spark):
+    """stride > chunk_size (gapped sampling): the ceil-count alone
+    would start a window past the end (5 tokens, size 4, stride 9 →
+    phantom empty chunk with negative n_chunk_tokens); the floor
+    clamp must suppress it."""
+    docs = _mkdocs(spark, [(1, "a b c d e", "s")])
+    rows = assembly.chunk_documents(docs, chunk_size=4, stride=9).collect()
+    assert [(r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in rows] == [
+        (0, "a b c d", 4)
+    ]
+    # and a start that IS in range still fires (10 tokens → start 9)
+    docs = _mkdocs(spark, [(1, "a b c d e f g h i j", "s")])
+    rows = sorted(
+        (r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in assembly.chunk_documents(
+            docs, chunk_size=4, stride=9
+        ).collect()
+    )
+    assert rows == [(0, "a b c d", 4), (1, "j", 1)]
+
+
 def test_chunk_invalid_params(spark):
     docs = _mkdocs(spark, [(1, "a", "s")])
     with pytest.raises(ValueError):
@@ -163,8 +184,10 @@ def test_mixture_corpus_never_shuffles(spark):
     docs = _mkdocs(spark, [(i, "x", f"s{i % 3}") for i in range(30)])
     plan = _plan(assembly.source_mixture(docs))
     assert plan.count("BroadcastHashJoin") >= 1
-    assert "Exchange hashpartitioning(source" in plan  # the agg only
-    assert "Exchange hashpartitioning(doc_id" not in plan
+    # the per-source agg's exchange lives inside the stats
+    # localCheckpoint lineage; THIS plan must have no hash exchange
+    # at all — the corpus side only broadcast-joins
+    assert "Exchange hashpartitioning" not in plan
 
 
 # ---------------------------------------------------------------------------
@@ -253,3 +276,11 @@ def test_classifier_plan_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the only exchange allowed is _docs()'s round-robin repartition
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_extra_cols_reserved_names_rejected(spark):
+    docs = _mkdocs(spark, [(1, "a b c", "s")])
+    with pytest.raises(ValueError, match="collide"):
+        assembly.chunk_documents(docs, extra_cols=["n"])
+    with pytest.raises(ValueError, match="collide"):
+        assembly.quality_classifier(docs, extra_cols=["score"])

@@ -17,7 +17,11 @@ def _py_chunks(text: str, size: int, stride: int) -> list[tuple[int, str, int]]:
     n = len(toks)
     if n == 0:
         return []
-    extra = (n - size + stride - 1) // stride if n > size else 0
+    extra = (
+        min((n - size + stride - 1) // stride, (n - 1) // stride)
+        if n > size
+        else 0
+    )
     return [
         (i, " ".join(toks[i * stride : i * stride + size]),
          min(size, n - i * stride))
@@ -51,6 +55,18 @@ def test_chunks_match_pure_python(spark, case):
         ).collect()
     )
     assert got == _py_chunks(text, size, stride)
+    # invariants INDEPENDENT of the shared count formula: every chunk
+    # is non-empty and in-bounds; no start falls past the last token;
+    # with stride <= size the last chunk reaches the document end
+    toks = [t for t in text.split(" ") if t]
+    for cid, ctext, ntok in got:
+        assert 1 <= ntok <= size, (cid, ntok)
+        assert ctext != ""
+        assert cid * stride < len(toks)
+        assert ctext.split(" ") == toks[cid * stride : cid * stride + size]
+    if toks and stride <= size:
+        last_cid = max(c for c, _, _ in got)
+        assert last_cid * stride + size >= len(toks), "must reach the end"
 
 
 @settings(

@@ -96,3 +96,9 @@ def test_range_read_is_partition_pruned(spark, lake):
     # subrange estimate is bounded by the full-range estimate
     full = rollup.range_uniques(lake, days[0], days[-1]).first()
     assert sub.first().uniques_est <= full.uniques_est
+
+
+def test_unpopulated_range_estimates_zero(spark, lake):
+    rollup.build_daily_sketches(lake, _events(spark))
+    r = rollup.range_uniques(lake, "2030-01-01", "2030-01-02").first()
+    assert r.n_days == 0 and r.uniques_est == 0

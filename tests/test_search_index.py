@@ -90,3 +90,13 @@ def test_query_index_invalid_args(spark, lake):
         search.query_text_index(lake, [])
     with pytest.raises(ValueError):
         search.query_text_index(lake, ["a", "a"])
+
+
+def test_empty_corpus_builds_empty_queryable_index(spark, lake):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    search.build_text_index(lake, empty, n_buckets=4)
+    m = lake.read("bm25_stats").first()
+    assert m["n_docs"] == 0 and m["sum_dl"] == 0
+    out = search.query_text_index(lake, ["data"], top_k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "rank", "score"]
