@@ -285,3 +285,71 @@ def query_text_index(
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "rank", "score"
     )
+
+
+def upsert_text_index(
+    lake,
+    new_docs: DataFrame,
+    name: str = "bm25",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance (the ivf_upsert_index analogue):
+    merge ``new_docs``' postings into the live postings table and
+    adjust the manifest totals — history is never re-tokenized.
+
+    A re-imported doc_id replaces ALL its prior postings, including
+    in buckets its new terms no longer touch (Lake.merge_replace's
+    moved-key handling on key=doc_id); manifest n_docs/sum_dl are
+    adjusted by the replaced docs' old totals (recovered from one
+    column-pruned, doc-distinct pass over the postings) so indexed
+    scores stay bitwise-equal to a direct bm25_search over the
+    updated corpus. Bucket granularity caveat: term-hash buckets mean
+    a text-rich doc touches most buckets, so the partition-granular
+    rewrite pays off mainly for small/targeted upserts. Known
+    limitation: a re-imported doc whose PREVIOUS version had zero
+    tokens leaves no postings to detect, so n_docs overcounts it by
+    one — rebuild to reconcile if empty docs are re-imported.
+    Centroids-equivalent state (the tokenizer) is static, so unlike
+    IVF there is nothing to re-train.
+    """
+    m = lake.read(f"{name}_stats").first()
+    postings_tbl = m["postings_table"]
+    n_buckets = int(m["n_buckets"])
+    toks = tokens(text_col)
+    tokd = new_docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    new_postings = (
+        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", term_bucket_col("term", n_buckets))
+    )
+    new_stats = tokd.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    ids = tokd.select("doc_id").distinct()
+    old_stats = (
+        lake.read(postings_tbl)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    lake.merge_replace(postings_tbl, new_postings, "bucket", "doc_id")
+    manifest = new_docs.sparkSession.createDataFrame(
+        [
+            (
+                int(m["n_docs"]) - int(old_stats["n"]) + int(new_stats["n"]),
+                int(m["sum_dl"])
+                - int(old_stats["s"] or 0)
+                + int(new_stats["s"] or 0),
+                postings_tbl,
+                n_buckets,
+            )
+        ],
+        "n_docs long, sum_dl long, postings_table string, n_buckets int",
+    )
+    lake.overwrite(f"{name}_stats", manifest)  # commit the new totals

@@ -100,3 +100,67 @@ def test_empty_corpus_builds_empty_queryable_index(spark, lake):
     out = search.query_text_index(lake, ["data"], top_k=5)
     assert out.count() == 0
     assert out.columns == ["doc_id", "rank", "score"]
+
+
+def test_upsert_equals_full_rebuild(spark, lake):
+    """upsert(delta) over build(head) must give bitwise-identical
+    query results to a one-shot build over head ∪ delta — including
+    a MODIFIED re-imported doc whose old postings must vanish."""
+    docs = _docs(spark)
+    head = docs.where("doc_id < 400")
+    search.build_text_index(lake, head, n_buckets=16)
+    # delta: 100 fresh docs + one modified re-import
+    fresh = docs.where("doc_id >= 400")
+    modified = head.where("doc_id = 7").withColumn(
+        "text", F.lit("data data data only")
+    )
+    search.upsert_text_index(lake, fresh.unionByName(modified))
+    upserted = search.query_text_index(lake, TERMS, top_k=20).collect()
+
+    lake2 = Lake(spark, lake.root + "2")
+    final = docs.where("doc_id <> 7").unionByName(
+        docs.where("doc_id = 7").withColumn(
+            "text", F.lit("data data data only")
+        )
+    )
+    search.build_text_index(lake2, final, n_buckets=16)
+    rebuilt = search.query_text_index(lake2, TERMS, top_k=20).collect()
+    assert [(r.doc_id, r.rank, r.score) for r in upserted] == [
+        (r.doc_id, r.rank, r.score) for r in rebuilt
+    ]
+    # manifest totals reconciled exactly
+    assert (
+        lake.read("bm25_stats").first()["sum_dl"]
+        == lake2.read("bm25_stats").first()["sum_dl"]
+    )
+    assert lake.read("bm25_stats").first()["n_docs"] == final.count()
+
+
+def test_upsert_untouched_buckets_keep_files(spark, lake):
+    """A one-term upsert doc touches one bucket; every other bucket's
+    files must be byte-identical after the upsert."""
+    import os
+
+    docs = _docs(spark)
+    search.build_text_index(lake, docs, n_buckets=16)
+    tbl = lake.read("bm25_stats").first()["postings_table"]
+    root = lake.path(tbl)
+
+    def snapshot():
+        out = {}
+        for dirp, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirp, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot()
+    new_doc = spark.createDataFrame(
+        [(999_999, "zzz_solo_term")], "doc_id long, text string"
+    )
+    search.upsert_text_index(lake, new_doc)
+    after = snapshot()
+    hot = search.term_bucket_py("zzz_solo_term", 16)
+    for p, meta in before.items():
+        if f"bucket={hot}" not in p:
+            assert after.get(p) == meta, f"untouched file rewritten: {p}"
