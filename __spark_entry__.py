@@ -824,6 +824,18 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors within cosine 0.8 of
+    any benchmark probe (every 50th vector; 0.4 is where this synthetic
+    embedding space has genuine near-probe mass). Probe side broadcasts —
+    the corpus never shuffles (the ngram_decontam asymmetry applied
+    to embeddings)."""
+    emb = _emb(spark, sf_dir)
+    probes = _t(spark, sf_dir, "embeddings").where("vec_id % 50 = 0")
+    corpus = emb.where("vec_id % 50 != 0")
+    return similarity.embedding_decontam(corpus, probes, threshold=0.4)
+
+
 BM25_QUERY_TERMS = ["data", "query", "table", "vector"]
 
 
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
+        "embedding_decontam": q_embedding_decontam,
     }
 
 
@@ -1612,6 +1625,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # semantic decontam: same sequential-fold cosine as the exact
+    # near-dup oracles, cross join against the small probe set
+    out["embedding_decontam"] = """
+        WITH v AS (
+          SELECT vec_id, embedding AS e,
+                 sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS corpus_id, e AS cv, nrm AS c_nrm FROM v
+          WHERE vec_id % 50 != 0
+        ), p AS (
+          SELECT vec_id AS probe_id, e AS pv, nrm AS p_nrm FROM v
+          WHERE vec_id % 50 = 0
+        ), s AS (
+          SELECT corpus_id, probe_id,
+                 list_sum(list_transform(range(1, 1 + len(cv)),
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)))
+                 / (c_nrm * p_nrm) AS cos
+          FROM c, p
+        )
+        SELECT corpus_id, probe_id, round(cos, 6) AS cosine
+        FROM s WHERE cos >= 0.4
     """
 
     # BM25: replays the engine's association order exactly — idf is

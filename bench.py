@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "shard_shuffle",
     "quality_classifier",
     "bm25_search",
+    "embedding_decontam",
 ]
 
 

@@ -820,3 +820,52 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+def embedding_decontam(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "vec_id",
+    probe_vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose cosine to
+    ANY benchmark/eval ("probe") vector reaches ``threshold`` — the
+    embedding analogue of ngram_decontaminate, catching paraphrased
+    benchmark leakage the n-gram test misses.
+
+    Same scale asymmetry as the n-gram path: benchmarks are small, so
+    the probe side BROADCASTS (vectors + precomputed norms) and the
+    corpus side is one scan with a per-row fold per probe — the
+    corpus never shuffles and no candidate-generation index is needed
+    because |probes| is benchmark-sized. Deterministic: the cosine is
+    the same sequential fold the exact near-dup ops use, so the
+    DuckDB oracle reproduces it bit-for-bit (rounded to 6dp for the
+    value hash only).
+
+    Output: (corpus_id, probe_id, cosine) — one row per contaminated
+    (corpus, probe) pair; anti-join the distinct corpus_ids to clean.
+    """
+    c = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("c_nrm", norm(F.col("cv")))
+    )
+    p = (
+        probes.select(
+            F.col(probe_id_col).alias("probe_id"),
+            _as_double(F.col(probe_vec_col)).alias("pv"),
+        )
+        .withColumn("p_nrm", norm(F.col("pv")))
+    )
+    pairs = c.crossJoin(F.broadcast(p)).withColumn(
+        "cos", dot(F.col("cv"), F.col("pv")) / (F.col("c_nrm") * F.col("p_nrm"))
+    )
+    return (
+        pairs.filter(F.col("cos") >= threshold)
+        .select("corpus_id", "probe_id", F.round("cos", 6).alias("cosine"))
+    )

@@ -55,3 +55,40 @@ def test_gemm_topk_matches_fold_baseline(spark, exact_topk):
     float ties; sets cannot)."""
     gemm = _neighbor_sets(E.queries()["ann_bruteforce_gemm"](spark, SF))
     assert gemm == exact_topk
+
+
+def test_embedding_decontam_flags_planted_leak(spark):
+    """A corpus vector that IS a benchmark vector (plus tiny noise)
+    must be flagged; orthogonal vectors must not."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_decontam,
+    )
+
+    probes = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0]), (1001, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0]),   # leaked copy of probe 1000
+            (2, [0.0, 0.0, 1.0]),      # orthogonal: clean
+            (3, [0.01, 0.998, 0.0]),   # leaked copy of probe 1001
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.corpus_id, r.probe_id)
+        for r in embedding_decontam(corpus, probes, threshold=0.95).collect()
+    }
+    assert got == {(1, 1000), (3, 1001)}
+
+
+def test_embedding_decontam_probe_side_broadcasts(spark):
+    """The corpus must not shuffle: probe side broadcast, no hash
+    exchange anywhere in the plan (ngram_decontam's asymmetry)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["embedding_decontam"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
