@@ -824,6 +824,38 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the decontamination counterpart
+    of q_training_manifest: fixed-point quality gate (score_micro ≥
+    500000) → exact-dedup keepers among survivors → drop anything
+    sharing a word 4-gram with the benchmark slice (doc_id % 20 == 0,
+    the ngram_decontam probe). Chained from individually hash-green
+    pieces; output (doc_id, content_hash) = the documents safe to
+    train on."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    gated = (
+        assembly.quality_classifier(corpus)
+        .filter(F.col("score_micro") >= 500_000)
+        .select("doc_id")
+    )
+    kept0 = corpus.join(gated, "doc_id")
+    keepers = dedup.exact_duplicates(kept0).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    contaminated = (
+        dedup.ngram_decontaminate(corpus, probe, n=4)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        kept0.join(keepers, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select(F.col("doc_id"), F.md5("text").alias("content_hash"))
+    )
+
+
 def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination: corpus vectors within cosine 0.8 of
     any benchmark probe (every 50th vector; 0.4 is where this synthetic
@@ -927,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "embedding_decontam": q_embedding_decontam,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1625,6 +1658,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # end-to-end corpus cleaning: composed from the hash-green
+    # quality_classifier, exact-dedup, and ngram_decontam pieces
+    out["clean_corpus"] = f"""
+        WITH qc AS ({out["quality_classifier"]}
+        ), gated AS (
+          SELECT doc_id FROM qc
+          WHERE score_micro >= 500000 AND doc_id % 20 != 0
+        ), kept0 AS (
+          SELECT d.doc_id, md5(d.text) AS h
+          FROM documents d JOIN gated USING (doc_id)
+        ), keepers AS (
+          SELECT min(doc_id) AS doc_id, h FROM kept0 GROUP BY h
+        ), tk AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                 ELSE [] END AS gs
+          FROM tk
+        ), u AS (
+          SELECT doc_id, unnest(gs) AS gram FROM g
+        ), e AS (
+          SELECT doc_id, md5(gram) AS gh FROM u
+        ), contaminated AS (
+          SELECT DISTINCT d.doc_id
+          FROM (SELECT * FROM e WHERE doc_id % 20 != 0) d
+          JOIN (SELECT * FROM e WHERE doc_id % 20 = 0) p USING (gh)
+        )
+        SELECT doc_id, h AS content_hash
+        FROM keepers
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     """
 
     # semantic decontam: same sequential-fold cosine as the exact

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "bm25_search",
     "embedding_decontam",
+    "clean_corpus",
 ]
 
 

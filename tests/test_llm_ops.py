@@ -279,3 +279,52 @@ def test_bpe_real_known_encodings(spark):
         3: 0,
         4: 0,
     }
+
+
+def test_clean_corpus_removes_all_three_hazards(spark):
+    """The composed cleaner must drop (a) low-quality docs, (b) exact
+    duplicates (keep the smallest id), (c) benchmark-contaminated
+    docs — and keep everything else."""
+    import __spark_entry__ as E
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs to the "
+        "old river bank where the water is cold "
+    ) * 3
+    probe_text = "secret benchmark phrase alpha beta gamma delta " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good + " one"),                       # keep
+            (2, good + " one"),                       # exact dup of 1: drop
+            (3, "#### !!!! @@@@ %%%%"),               # low quality: drop
+            (4, good + " " + probe_text),             # contaminated: drop
+            (5, good + " five"),                      # keep
+            (20, probe_text),                         # probe slice (id%20==0)
+        ],
+        "doc_id long, text string",
+    )
+    from fxa_activity_metrics_spark.operators import assembly, dedup
+    from pyspark.sql import functions as F
+
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    gated = (
+        assembly.quality_classifier(corpus)
+        .filter(F.col("score_micro") >= 500_000)
+        .select("doc_id")
+    )
+    kept0 = corpus.join(gated, "doc_id")
+    keepers = dedup.exact_duplicates(kept0).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    contaminated = (
+        dedup.ngram_decontaminate(corpus, probe, n=4)
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        kept0.join(keepers, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 5}
