@@ -835,24 +835,29 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
-    gated = (
-        assembly.quality_classifier(corpus)
-        .filter(F.col("score_micro") >= 500_000)
-        .select("doc_id")
-    )
-    kept0 = corpus.join(gated, "doc_id")
-    keepers = dedup.exact_duplicates(kept0).select(
-        F.col("keeper_id").alias("doc_id")
-    )
+    # the quality gate is an INLINE filter (the classifier is a
+    # per-row projection over these same rows — joining a derived
+    # id-list back would be a corpus-sized SortMergeJoin for nothing),
+    # and the dedup keeper is a window-min over the content hash (one
+    # exchange, no groupBy + re-join). Plan: one hash exchange + the
+    # broadcast decontam anti-join — no big-big join anywhere.
+    gated = assembly.quality_classifier(
+        corpus, extra_cols=["text"]
+    ).filter(F.col("score_micro") >= 500_000)
     contaminated = (
         dedup.ngram_decontaminate(corpus, probe, n=4)
         .select("doc_id")
         .distinct()
     )
+    w = Window.partitionBy("content_hash")
     return (
-        kept0.join(keepers, "doc_id")
+        gated.select(
+            F.col("doc_id"), F.md5("text").alias("content_hash")
+        )
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("keeper_id") == F.col("doc_id"))
         .join(contaminated, "doc_id", "left_anti")
-        .select(F.col("doc_id"), F.md5("text").alias("content_hash"))
+        .select("doc_id", "content_hash")
     )
 
 
