@@ -99,3 +99,52 @@ def test_read_schema_mostly_missing_raises(lake, spark):
     )
     with pytest.raises(ValueError, match="missing most declared fields"):
         lake.read("t", wrong)
+
+
+def test_overwrite_swap_leftovers_ignored_and_recovered(lake, spark):
+    """Crash-recovery contract of Lake.overwrite's rotate-swap: a
+    leftover ._old_swap/._tmp_swap staging dir is not listed as a
+    table, and the next overwrite cleans it up."""
+    import os
+    import shutil
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    lake.overwrite("t_swap", df)
+    # simulate a crash that left both staging dirs behind
+    shutil.copytree(lake.path("t_swap"), lake.path("t_swap") + "._old_swap")
+    shutil.copytree(lake.path("t_swap"), lake.path("t_swap") + "._tmp_swap")
+    assert lake.tables("t_swap") == ["t_swap"], "staging dirs are not tables"
+    # recovery: the next overwrite succeeds and clears the leftovers
+    lake.overwrite("t_swap", spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert [r.id for r in lake.read("t_swap").collect()] == [2]
+    assert not os.path.exists(lake.path("t_swap") + "._old_swap")
+    assert lake.tables("t_swap") == ["t_swap"]
+
+
+def test_overwrite_old_data_survives_until_promote(lake, spark, monkeypatch):
+    """If the promote step fails, the previous table data still
+    exists on disk (under the trash name) — nothing was rmtree'd
+    before the new data was in place."""
+    import os
+
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    lake.overwrite("t_crash", df1)
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the promote (tmp -> dest)
+            raise OSError("simulated crash at promote")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    with pytest.raises(OSError, match="simulated crash"):
+        lake.overwrite("t_crash", df2)
+    monkeypatch.undo()
+    # old data is recoverable from the trash dir
+    trash = lake.path("t_crash") + "._old_swap"
+    assert os.path.isdir(trash)
+    recovered = spark.read.parquet(trash)
+    assert [r.id for r in recovered.collect()] == [1]
