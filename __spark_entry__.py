@@ -832,37 +832,11 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ngram_decontam probe). Chained from individually hash-green
     pieces; output (doc_id, content_hash) = the documents safe to
     train on."""
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    probe = docs.filter(F.col("doc_id") % 20 == 0)
-    # the quality gate is an INLINE filter (the classifier is a
-    # per-row projection over these same rows — joining a derived
-    # id-list back would be a corpus-sized SortMergeJoin for nothing),
-    # and the dedup keeper is a window-min over the content hash (one
-    # exchange, no groupBy + re-join). Plan: one hash exchange + the
-    # broadcast decontam anti-join — no big-big join anywhere.
-    gated = assembly.quality_classifier(
-        corpus, extra_cols=["text"]
-    ).filter(F.col("score_micro") >= 500_000)
-    contaminated = (
-        dedup.ngram_decontaminate(corpus, probe, n=4)
-        .select("doc_id")
-        .distinct()
-    )
-    w = Window.partitionBy("content_hash")
-    return (
-        gated.select(
-            F.col("doc_id"), F.md5("text").alias("content_hash")
-        )
-        .withColumn("keeper_id", F.min("doc_id").over(w))
-        .filter(F.col("keeper_id") == F.col("doc_id"))
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "content_hash")
-    )
+    return assembly.clean_corpus(_docs(spark, sf_dir))
 
 
 def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic decontamination: corpus vectors within cosine 0.8 of
+    """Semantic decontamination: corpus vectors within cosine 0.4 of
     any benchmark probe (every 50th vector; 0.4 is where this synthetic
     embedding space has genuine near-probe mass). Probe side broadcasts —
     the corpus never shuffles (the ngram_decontam asymmetry applied

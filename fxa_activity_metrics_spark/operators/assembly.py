@@ -78,7 +78,10 @@ def chunk_documents(
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
     passthrough = list(extra_cols or [])
-    reserved = {"toks", "n", "n_chunks", "chunk_id", "start", id_col}
+    reserved = {
+        "toks", "n", "n_chunks", "chunk_id", "start",
+        "chunk_text", "n_chunk_tokens", id_col,
+    }
     clash = reserved.intersection(passthrough)
     if clash:
         raise ValueError(
@@ -371,4 +374,58 @@ def quality_classifier(
         (score_micro.cast("double") / 1_000_000.0).alias("score"),
         (score_micro >= 500_000).alias("label"),
         *[F.col(c) for c in passthrough],
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_mod: int = 20,
+    min_score_micro: int = 500_000,
+    ngram_n: int = 4,
+) -> DataFrame:
+    """End-to-end corpus cleaning — the decontamination counterpart
+    of the training-manifest composition: fixed-point quality gate →
+    exact-dedup keepers among survivors → drop anything sharing a
+    word n-gram with the benchmark slice (id % probe_mod == 0).
+
+    Plan shape: the quality gate is an INLINE filter (the classifier
+    is a per-row projection over these same rows — joining a derived
+    id-list back would be a corpus-sized SortMergeJoin for nothing),
+    the dedup keeper is a window-min over the content hash (one
+    exchange, no groupBy + re-join), and the decontam anti-join's
+    probe side broadcasts — no big-big join anywhere.
+
+    Output: (id, content_hash) — the documents safe to train on.
+    """
+    from fxa_activity_metrics_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    corpus = docs.filter(F.col(id_col) % probe_mod != 0)
+    probe = docs.filter(F.col(id_col) % probe_mod == 0)
+    gated = quality_classifier(
+        corpus, id_col=id_col, text_col=text_col, extra_cols=[text_col]
+    ).filter(F.col("score_micro") >= min_score_micro)
+    contaminated = (
+        ngram_decontaminate(
+            corpus,
+            probe,
+            n=ngram_n,
+            id_col=id_col,
+            text_col=text_col,
+            probe_id_col=id_col,
+            probe_text_col=text_col,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        gated.select(F.col(id_col), F.md5(text_col).alias("content_hash"))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .filter(F.col("keeper_id") == F.col(id_col))
+        .join(contaminated, id_col, "left_anti")
+        .select(id_col, "content_hash")
     )

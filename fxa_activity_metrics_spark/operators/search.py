@@ -149,6 +149,77 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:7], 16) % n_buckets
 
 
+def _index_frames(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE definition of the index's stored shapes, shared by
+    build and upsert so the 'upsert == rebuild bitwise' contract
+    can't drift between two copies:
+
+    - doclens: (doc_id, dl, bucket) — one row per document INCLUDING
+      zero-token docs, partitioned by the doc id's md5 bucket. The
+      source of truth for the manifest totals (n_docs, sum_dl).
+    - postings: (term, doc_id, tf, dl, bucket) — partitioned by the
+      term's md5 bucket; dl denormalized so queries never join a
+      doc-length table.
+    """
+    toks = tokens(text_col)
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    doclens = tokd.select(
+        "doc_id",
+        "dl",
+        (
+            hex_to_long(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7))
+            % n_buckets
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    postings = (
+        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", term_bucket_col("term", n_buckets))
+    )
+    return doclens, postings
+
+
+def _write_manifest_from_doclens(lake, name: str, version_tag: str, n_buckets: int) -> None:
+    """Recompute the manifest totals FROM the persisted doclens table
+    and swap the manifest. Recompute-from-state (not incremental
+    reconciliation) is what makes upsert replays converge: however
+    many times a crashed batch re-runs its idempotent merges, the
+    totals always describe the state actually on disk."""
+    doclens_tbl = f"{name}_doclens_{version_tag}"
+    if lake.exists(doclens_tbl):
+        totals = (
+            lake.read(doclens_tbl)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+        n_total, s_total = int(totals["n"]), int(totals["s"] or 0)
+    else:
+        # empty-corpus bootstrap: write_parts of an empty frame
+        # leaves a file-less dir
+        n_total, s_total = 0, 0
+    manifest = lake.spark.createDataFrame(
+        [
+            (
+                n_total,
+                s_total,
+                f"{name}_postings_{version_tag}",
+                doclens_tbl,
+                n_buckets,
+            )
+        ],
+        "n_docs long, sum_dl long, postings_table string,"
+        " doclens_table string, n_buckets int",
+    )
+    lake.overwrite(f"{name}_stats", manifest)  # atomic commit
+
+
 def build_text_index(
     lake,
     docs: DataFrame,
@@ -165,10 +236,13 @@ def build_text_index(
       BY the term's md5 bucket, staged under a fresh version. dl is
       denormalized onto every posting so queries never join a doc-
       length table.
+    - ``{name}_doclens_v{N}``: (doc_id, dl), partitioned by the doc
+      id's md5 bucket — one row per document including empty ones;
+      the source of truth the manifest totals are computed from.
     - ``{name}_stats``: the index MANIFEST — one row (n_docs, sum_dl,
-      postings_table), written LAST via Lake.overwrite's
-      temp-and-swap, the atomic commit point. A failure before it
-      leaves the previous index fully consistent; stale postings
+      postings_table, doclens_table), written LAST via
+      Lake.overwrite's rotate-swap, the commit point. A failure
+      before it leaves the previous index fully consistent; stale
       versions are collected by the next successful build.
 
     Query-term buckets become partition-PRUNED scans: at 100 TB a
@@ -176,41 +250,16 @@ def build_text_index(
     build is one explode + one map-side-combining groupBy on
     (term, doc) — the standard postings shuffle, run once offline.
     """
-    toks = tokens(text_col)
-    tokd = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
-    )
-    postings = (
-        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", term_bucket_col("term", n_buckets))
-    )
-    # stats BEFORE any write: a failed stats job leaves no orphan
-    # postings version (and sum_dl is NULL over an empty corpus —
-    # an empty index is a valid bootstrap state, not a crash)
-    stats = tokd.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).first()
-    prior = lake.tables(f"{name}_postings_v")
+    doclens, postings = _index_frames(docs, id_col, text_col, n_buckets)
+    prior = lake.tables(f"{name}_postings_v") + lake.tables(f"{name}_doclens_v")
     version = 1 + max(
         (int(t.rsplit("_v", 1)[1]) for t in prior if t.rsplit("_v", 1)[1].isdigit()),
         default=0,
     )
-    postings_tbl = f"{name}_postings_v{version}"
-    lake.write_parts(postings_tbl, postings, "bucket")
-    manifest = docs.sparkSession.createDataFrame(
-        [
-            (
-                int(stats["n_docs"]),
-                int(stats["sum_dl"] or 0),
-                postings_tbl,
-                n_buckets,
-            )
-        ],
-        "n_docs long, sum_dl long, postings_table string, n_buckets int",
-    )
-    lake.overwrite(f"{name}_stats", manifest)  # atomic commit
+    tag = f"v{version}"
+    lake.write_parts(f"{name}_doclens_{tag}", doclens, "bucket")
+    lake.write_parts(f"{name}_postings_{tag}", postings, "bucket")
+    _write_manifest_from_doclens(lake, name, tag, n_buckets)
     for stale in prior:
         lake.drop_table(stale)
 
@@ -245,9 +294,10 @@ def query_text_index(
         raise ValueError("query_terms must be distinct")
     m = lake.read(f"{name}_stats").first()
     n_docs, sum_dl = int(m["n_docs"]), int(m["sum_dl"])
-    if n_docs == 0:
-        # empty index (valid bootstrap state): no postings partitions
-        # exist to scan
+    if n_docs == 0 or not lake.exists(m["postings_table"]):
+        # empty index (valid bootstrap state), or an index whose docs
+        # all tokenized to nothing (n_docs > 0 but a file-less
+        # postings table): nothing to scan either way
         return lake.spark.createDataFrame(
             [], "doc_id long, rank int, score double"
         )
@@ -295,61 +345,36 @@ def upsert_text_index(
     text_col: str = "text",
 ) -> None:
     """Incremental index maintenance (the ivf_upsert_index analogue):
-    merge ``new_docs``' postings into the live postings table and
-    adjust the manifest totals — history is never re-tokenized.
+    merge ``new_docs`` into the live doclens + postings tables and
+    recompute the manifest totals — history is never re-tokenized.
 
-    A re-imported doc_id replaces ALL its prior postings, including
-    in buckets its new terms no longer touch (Lake.merge_replace's
-    moved-key handling on key=doc_id); manifest n_docs/sum_dl are
-    adjusted by the replaced docs' old totals (recovered from one
-    column-pruned, doc-distinct pass over the postings) so indexed
-    scores stay bitwise-equal to a direct bm25_search over the
-    updated corpus. Bucket granularity caveat: term-hash buckets mean
-    a text-rich doc touches most buckets, so the partition-granular
-    rewrite pays off mainly for small/targeted upserts. Known
-    limitation: a re-imported doc whose PREVIOUS version had zero
-    tokens leaves no postings to detect, so n_docs overcounts it by
-    one — rebuild to reconcile if empty docs are re-imported.
-    Centroids-equivalent state (the tokenizer) is static, so unlike
-    IVF there is nothing to re-train.
+    A re-imported doc_id replaces ALL its prior rows, including
+    postings in buckets its new terms no longer touch
+    (Lake.merge_replace's moved-key handling on key=doc_id).
+
+    REPLAY-SAFE by construction, which is what the streaming
+    exactly-once contract rests on: every step is either an
+    idempotent replace-by-key merge or a recompute-from-state
+    (manifest totals re-derived from the doclens table actually on
+    disk, NOT incrementally reconciled against the previous
+    manifest). A crash after any subset of the merges, followed by a
+    full replay of the batch, converges to the same index as a
+    one-shot build — an incremental n_docs±delta scheme would
+    double-subtract a half-applied batch. Zero-token docs live in
+    doclens (one row per doc), so they count exactly once no matter
+    how often their batch replays.
+
+    Bucket granularity caveat: term-hash buckets mean a text-rich
+    doc touches most postings buckets, so the partition-granular
+    rewrite pays off mainly for small/targeted upserts; the doclens
+    merge is pruned by the doc-id bucket. Centroids-equivalent state
+    (the tokenizer) is static, so unlike IVF there is nothing to
+    re-train.
     """
     m = lake.read(f"{name}_stats").first()
-    postings_tbl = m["postings_table"]
     n_buckets = int(m["n_buckets"])
-    toks = tokens(text_col)
-    tokd = new_docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
-    )
-    new_postings = (
-        tokd.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", term_bucket_col("term", n_buckets))
-    )
-    new_stats = tokd.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).first()
-    ids = tokd.select("doc_id").distinct()
-    old_stats = (
-        lake.read(postings_tbl)
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        .select("doc_id", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .first()
-    )
-    lake.merge_replace(postings_tbl, new_postings, "bucket", "doc_id")
-    manifest = new_docs.sparkSession.createDataFrame(
-        [
-            (
-                int(m["n_docs"]) - int(old_stats["n"]) + int(new_stats["n"]),
-                int(m["sum_dl"])
-                - int(old_stats["s"] or 0)
-                + int(new_stats["s"] or 0),
-                postings_tbl,
-                n_buckets,
-            )
-        ],
-        "n_docs long, sum_dl long, postings_table string, n_buckets int",
-    )
-    lake.overwrite(f"{name}_stats", manifest)  # commit the new totals
+    tag = m["postings_table"].rsplit("_", 1)[1]
+    doclens, postings = _index_frames(new_docs, id_col, text_col, n_buckets)
+    lake.merge_replace(m["doclens_table"], doclens, "bucket", "doc_id")
+    lake.merge_replace(m["postings_table"], postings, "bucket", "doc_id")
+    _write_manifest_from_doclens(lake, name, tag, n_buckets)

@@ -282,11 +282,10 @@ def test_bpe_real_known_encodings(spark):
 
 
 def test_clean_corpus_removes_all_three_hazards(spark):
-    """The composed cleaner must drop (a) low-quality docs, (b) exact
+    """The composed cleaner (the SAME assembly.clean_corpus the
+    registry query runs) must drop (a) low-quality docs, (b) exact
     duplicates (keep the smallest id), (c) benchmark-contaminated
     docs — and keep everything else."""
-    import __spark_entry__ as E
-
     good = (
         "the quick brown fox jumps over a lazy dog and runs to the "
         "old river bank where the water is cold "
@@ -303,28 +302,7 @@ def test_clean_corpus_removes_all_three_hazards(spark):
         ],
         "doc_id long, text string",
     )
-    from fxa_activity_metrics_spark.operators import assembly, dedup
-    from pyspark.sql import functions as F
+    from fxa_activity_metrics_spark.operators import assembly
 
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    probe = docs.filter(F.col("doc_id") % 20 == 0)
-    gated = (
-        assembly.quality_classifier(corpus)
-        .filter(F.col("score_micro") >= 500_000)
-        .select("doc_id")
-    )
-    kept0 = corpus.join(gated, "doc_id")
-    keepers = dedup.exact_duplicates(kept0).select(
-        F.col("keeper_id").alias("doc_id")
-    )
-    contaminated = (
-        dedup.ngram_decontaminate(corpus, probe, n=4)
-        .select("doc_id")
-        .distinct()
-    )
-    kept = (
-        kept0.join(keepers, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id")
-    )
+    kept = assembly.clean_corpus(docs)
     assert {r.doc_id for r in kept.collect()} == {1, 5}

@@ -107,3 +107,52 @@ def test_replayed_upsert_is_idempotent_directly(spark, tmp_path):
     m2 = lake.read("bm25_stats").first()
     assert (m1["n_docs"], m1["sum_dl"]) == (m2["n_docs"], m2["sum_dl"])
     assert _query_rows(lake) == r1
+
+
+def test_crash_between_merge_and_manifest_converges_on_replay(
+    spark, tmp_path
+):
+    """THE replay hazard: merges committed, manifest write lost. A
+    full replay of the batch must still converge to the one-shot
+    index — totals are recomputed from the doclens state, not
+    reconciled incrementally (which would double-subtract)."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    search.build_text_index(
+        lake, spark.createDataFrame(_DAY1, "doc_id long, text string"),
+        n_buckets=16,
+    )
+    pre_manifest = lake.read("bm25_stats").collect()
+    delta = spark.createDataFrame(_DAY2, "doc_id long, text string")
+    search.upsert_text_index(lake, delta)
+    # simulate the crash: merges survived, manifest write did not
+    lake.overwrite(
+        "bm25_stats",
+        spark.createDataFrame(pre_manifest, lake.read("bm25_stats").schema),
+    )
+    # replay the whole batch
+    search.upsert_text_index(lake, delta)
+    got = _query_rows(lake)
+    want = _oneshot_rows(spark, tmp_path, _DAY1 + _DAY2, "crash")
+    assert got == want
+    assert lake.read("bm25_stats").first()["n_docs"] == 4
+
+
+def test_empty_doc_batch_replay_counts_once(spark, tmp_path):
+    """A zero-token doc leaves no postings but must count exactly
+    once in n_docs no matter how many times its batch replays (it
+    lives in the doclens table, replaced idempotently by id)."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    search.build_text_index(
+        lake, spark.createDataFrame(_DAY1, "doc_id long, text string"),
+        n_buckets=16,
+    )
+    delta = spark.createDataFrame(
+        [(30, "   "), (31, "a data point")], "doc_id long, text string"
+    )
+    search.upsert_text_index(lake, delta)
+    search.upsert_text_index(lake, delta)  # replay
+    m = lake.read("bm25_stats").first()
+    assert m["n_docs"] == 4  # 2 + the empty doc + the real doc
+    assert m["sum_dl"] == lake.read(m["doclens_table"]).agg(
+        {"dl": "sum"}
+    ).first()[0]
