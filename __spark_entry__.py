@@ -824,6 +824,28 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-bucketed interval join: each event matched to the
+    30-minute-gap session that contains it. Explode-span + equi-join
+    on (user, epoch) — never a nested loop; identical pairs to the
+    naive theta join (pinned in tests)."""
+    from fxa_activity_metrics_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+    from fxa_activity_metrics_spark.operators.summaries import gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = gap_sessions(ev, "30 minutes", user_col="user_id", ts_col="ts")
+    return interval_join_bucketed(
+        ev,
+        sessions,
+        key="user_id",
+        ts_col="ts",
+        lo_col="session_start",
+        hi_col="session_end",
+    )
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the decontamination counterpart
     of q_training_manifest: fixed-point quality gate (score_micro ≥
@@ -939,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "embedding_decontam": q_embedding_decontam,
         "clean_corpus": q_clean_corpus,
+        "interval_join": q_interval_join,
     }
 
 
@@ -1637,6 +1660,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # interval join: sessions CTE (the session_window gaps-and-islands
+    # oracle) + a plain BETWEEN theta join — the bucketed engine path
+    # must produce the identical pair set
+    out["interval_join"] = """
+        WITH m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        ), s AS (
+          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+          FROM g GROUP BY user_id, sid
+        )
+        SELECT e.user_id, e.ts, s.session_start, s.session_end
+        FROM events e
+        JOIN s ON e.user_id = s.user_id
+              AND e.ts >= s.session_start AND e.ts <= s.session_end
     """
 
     # end-to-end corpus cleaning: composed from the hash-green

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_decontam",
     "clean_corpus",
+    "interval_join",
 ]
 
 
