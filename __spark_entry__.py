@@ -824,6 +824,18 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: the multimodal→dedup loop closed at
+    cluster level — pHash Hamming-LSH pairs resolved into connected
+    components (min-reachable-id labels), so each jittered duplicate
+    group collapses to one canonical keeper."""
+    hashes = multimodal.phash_images(
+        multimodal.synth_ppm_images(_docs(spark, sf_dir))
+    )
+    pairs = multimodal.phash_pairs(hashes, max_hamming=7)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-bucketed interval join: each event matched to the
     30-minute-gap session that contains it. Explode-span + equi-join
@@ -962,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontam": q_embedding_decontam,
         "clean_corpus": q_clean_corpus,
         "interval_join": q_interval_join,
+        "phash_clusters": q_phash_clusters,
     }
 
 
@@ -1661,6 +1674,31 @@ def oracle_sql() -> dict[str, str]:
                score_micro >= 500000 AS label
         FROM m
     """
+
+    # image duplicate clusters: the phash-pairs scan + the same
+    # recursive transitive closure the text dedup_clusters oracle uses
+    out["phash_clusters"] = (
+        "WITH RECURSIVE "
+        + _phash_base_sql()
+        + """
+        , vp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM vp
+          UNION
+          SELECT id_b, id_a FROM vp
+        ), nodes AS (
+          SELECT DISTINCT a AS id FROM e
+        ), reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+    )
 
     # interval join: sessions CTE (the session_window gaps-and-islands
     # oracle) + a plain BETWEEN theta join — the bucketed engine path

@@ -207,3 +207,20 @@ def test_phash_pairs_rejects_unsound_threshold(spark):
     hashes = mm.phash_images(mm.synth_ppm_images(docs))
     with pytest.raises(ValueError, match="max_hamming"):
         mm.phash_pairs(hashes, max_hamming=8)
+
+
+def test_phash_clusters_collapse_jittered_groups(spark):
+    """Every jittered duplicate image group must collapse to one
+    cluster whose id is the group's smallest doc_id (canonical
+    keeper), and cluster membership must be consistent with the
+    pair graph."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["phash_clusters"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "the synthetic images contain duplicate groups"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members), "cluster id is the canonical keeper"
+        assert len(members) >= 2, "clusters come from pairs"
