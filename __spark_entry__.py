@@ -38,6 +38,26 @@ from fxa_activity_metrics_spark.operators.summaries import (
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+# recursive transitive closure over a symmetric pair CTE named `vp`
+# (id_a, id_b): cluster id = min reachable id — the declarative
+# mirror of dedup.duplicate_clusters' label-propagation loop, shared
+# by every clusters oracle (text near-dup, perceptual-hash)
+_CLOSURE_SQL = """
+            , e AS (
+              SELECT id_a AS a, id_b AS b FROM vp
+              UNION
+              SELECT id_b, id_a FROM vp
+            ), nodes AS (
+              SELECT DISTINCT a AS id FROM e
+            ), reach AS (
+              SELECT id, id AS r FROM nodes
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
@@ -1352,19 +1372,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN toks tb ON tb.doc_id = p.id_b
             ), vp AS (
               SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
-            ), e AS (
-              SELECT id_a AS a, id_b AS b FROM vp
-              UNION
-              SELECT id_b, id_a FROM vp
-            ), nodes AS (
-              SELECT DISTINCT a AS id FROM e
-            ), reach AS (
-              SELECT id, id AS r FROM nodes
-              UNION
-              SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
-            )
-            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-        """,
+            )"""
+        + _CLOSURE_SQL,
         "ngram_decontam": """
             WITH tk AS (
               SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
@@ -1685,19 +1694,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bits a JOIN bits b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-        ), e AS (
-          SELECT id_a AS a, id_b AS b FROM vp
-          UNION
-          SELECT id_b, id_a FROM vp
-        ), nodes AS (
-          SELECT DISTINCT a AS id FROM e
-        ), reach AS (
-          SELECT id, id AS r FROM nodes
-          UNION
-          SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
-        )
-        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-    """
+        )"""
+        + _CLOSURE_SQL
     )
 
     # interval join: sessions CTE (the session_window gaps-and-islands

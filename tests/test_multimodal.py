@@ -212,15 +212,38 @@ def test_phash_pairs_rejects_unsound_threshold(spark):
 def test_phash_clusters_collapse_jittered_groups(spark):
     """Every jittered duplicate image group must collapse to one
     cluster whose id is the group's smallest doc_id (canonical
-    keeper), and cluster membership must be consistent with the
-    pair graph."""
+    keeper), and cluster membership must EQUAL the connected
+    components of the pair graph (checked against a pure-Python
+    union-find over the same pairs)."""
     import __spark_entry__ as E
 
-    rows = E.queries()["phash_clusters"](spark, "/root/testdata/sf0.001").collect()
+    rows = E.queries()["phash_clusters"](spark, SF).collect()
     assert rows, "the synthetic images contain duplicate groups"
-    by_cluster = {}
-    for r in rows:
-        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
-    for cid, members in by_cluster.items():
+    got = {r.doc_id: r.cluster_id for r in rows}
+    for cid in set(got.values()):
+        members = [d for d, c in got.items() if c == cid]
         assert cid == min(members), "cluster id is the canonical keeper"
         assert len(members) >= 2, "clusters come from pairs"
+    # independent reference: union-find over the actual pair graph
+    hashes = mm.phash_images(mm.synth_ppm_images(read_table(spark, SF, "documents")))
+    pairs = [(r.id_a, r.id_b) for r in mm.phash_pairs(hashes, max_hamming=7).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    for members in comp.values():
+        root = min(members)
+        for m in members:
+            want[m] = root
+    assert got == want, "clusters == connected components of the pairs"
