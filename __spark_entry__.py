@@ -844,6 +844,13 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: md5 shards, best-quality-band-first
+    within each shard, md5 tiebreak inside a band — one exchange,
+    per-shard sorts, no global quantile sort."""
+    return assembly.curriculum_order(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image duplicate CLUSTERS: the multimodal→dedup loop closed at
     cluster level — pHash Hamming-LSH pairs resolved into connected
@@ -995,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "interval_join": q_interval_join,
         "phash_clusters": q_phash_clusters,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -1682,6 +1690,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # curriculum order: quality band from the text_quality CTE,
+    # md5 shard/order key, rank within (shard) by band desc
+    out["curriculum_order"] = f"""
+        WITH q AS ({out["text_quality"]}
+        ), k AS (
+          SELECT doc_id,
+                 CAST(least(floor(quality_score * 5), 4) AS INT)
+                   AS quality_band,
+                 md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM q
+        )
+        SELECT doc_id,
+               CAST(('0x' || substring(hx, 1, 7))::BIGINT % 8 AS INT) AS shard,
+               quality_band,
+               CAST(row_number() OVER (
+                 PARTITION BY ('0x' || substring(hx, 1, 7))::BIGINT % 8
+                 ORDER BY quality_band DESC, substring(hx, 8, 25), doc_id
+               ) AS INT) AS position
+        FROM k
     """
 
     # image duplicate clusters: the phash-pairs scan + the same

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "embedding_decontam",
     "clean_corpus",
     "interval_join",
+    "curriculum_order",
 ]
 
 

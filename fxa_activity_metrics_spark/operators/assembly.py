@@ -429,3 +429,45 @@ def clean_corpus(
         .join(contaminated, id_col, "left_anti")
         .select(id_col, "content_hash")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Curriculum training order: like shard_shuffle, but within each
+    shard documents are ordered best-quality-first (descending
+    quality band from the text_stats score), with the md5 order key
+    breaking ties INSIDE a band — so training sees high-quality data
+    early in every shard while staying shuffled within each quality
+    tier. The standard curriculum/anti-curriculum knob expressed as a
+    deterministic sort key.
+
+    Same scale shape as shard_shuffle: ONE exchange on the shard key
+    and per-shard local sorts — the quality band is a per-row
+    projection, never a global quantile sort.
+
+    Output: (id, shard, quality_band, position) — position 1-based
+    within shard, band 4 (best) first.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    feats = text_stats(docs, id_col=id_col, text_col=text_col)
+    band = F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
+    keyed = feats.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        band.alias("quality_band"),
+        F.substring(h, 8, 25).alias("order_key"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("quality_band").desc(), F.col("order_key"), F.col(id_col)
+    )
+    return keyed.withColumn("position", F.row_number().over(w)).select(
+        id_col, "shard", "quality_band", "position"
+    )

@@ -284,3 +284,42 @@ def test_extra_cols_reserved_names_rejected(spark):
         assembly.chunk_documents(docs, extra_cols=["n"])
     with pytest.raises(ValueError, match="collide"):
         assembly.quality_classifier(docs, extra_cols=["score"])
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_orders_quality_first_within_shard(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the old river"] * 8
+    )
+    bad = "#### !!!! @@@@ %%%%"
+    docs = _mkdocs(
+        spark,
+        [(i, good if i % 2 == 0 else bad, "s") for i in range(100)],
+    )
+    out = assembly.curriculum_order(docs, n_shards=4).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.position)
+        bands = [r.quality_band for r in rows]
+        assert bands == sorted(bands, reverse=True), (
+            "within a shard, quality bands must be non-increasing"
+        )
+        assert sorted(r.position for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_curriculum_single_exchange(spark):
+    docs = _mkdocs(spark, [(i, "a b c", "s") for i in range(30)])
+    plan = _plan(assembly.curriculum_order(docs, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    with pytest.raises(ValueError):
+        assembly.curriculum_order(docs, n_shards=0)
