@@ -471,3 +471,42 @@ def curriculum_order(
     return keyed.withColumn("position", F.row_number().over(w)).select(
         id_col, "shard", "quality_band", "position"
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    order_within_shard: bool = True,
+) -> None:
+    """The pipeline's last mile: land a training-ready frame as
+    shard-partitioned JSONL (`shard=K/part-*.json`) — the hand-off
+    format a training job's data loader consumes, one directory per
+    shard so loader workers each own a file set.
+
+    Sharding and in-shard order reuse shard_shuffle's deterministic
+    md5 scheme, so the written layout is reproducible across runs
+    and engines: same seed → byte-stable shard membership and row
+    order (order is applied via repartition + sortWithinPartitions —
+    partition-local sorts, never a global order).
+
+    At 100 TB: one exchange on the shard key; each shard writes in
+    parallel. Re-running overwrites in place (idempotent export).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    keyed = df.withColumn(
+        "shard", (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
+    ).withColumn("_ord", F.substring(h, 8, 25))
+    keyed = keyed.repartition(n_shards, "shard")
+    if order_within_shard:
+        keyed = keyed.sortWithinPartitions("shard", "_ord", id_col)
+    (
+        keyed.drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out_dir)
+    )

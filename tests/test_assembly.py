@@ -323,3 +323,63 @@ def test_curriculum_single_exchange(spark):
     assert "Exchange rangepartitioning" not in plan
     with pytest.raises(ValueError):
         assembly.curriculum_order(docs, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# write_training_shards
+# ---------------------------------------------------------------------------
+
+
+def test_training_shards_layout_and_determinism(spark, tmp_path):
+    import json
+    import os
+
+    docs = _mkdocs(spark, [(i, f"text {i}", "s") for i in range(200)])
+    out1 = str(tmp_path / "e1")
+    assembly.write_training_shards(docs, out1, n_shards=4)
+    shard_dirs = sorted(
+        d for d in os.listdir(out1) if d.startswith("shard=")
+    )
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+
+    def read_shards(base):
+        out = {}
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard="):
+                continue
+            rows = []
+            for f in sorted(os.listdir(os.path.join(base, d))):
+                if f.endswith(".json"):
+                    with open(os.path.join(base, d, f)) as fh:
+                        rows.extend(json.loads(line) for line in fh)
+            out[d] = rows
+        return out
+
+    got1 = read_shards(out1)
+    assert sum(len(v) for v in got1.values()) == 200
+    # deterministic: a second export is byte-identical in content+order
+    out2 = str(tmp_path / "e2")
+    assembly.write_training_shards(docs, out2, n_shards=4)
+    assert read_shards(out2) == got1
+    # membership matches shard_shuffle's scheme
+    want = {
+        r.doc_id: r.shard
+        for r in assembly.shard_shuffle(docs, n_shards=4).collect()
+    }
+    for d, rows in got1.items():
+        k = int(d.split("=")[1])
+        for row in rows:
+            assert want[row["doc_id"]] == k
+
+
+def test_training_shards_rerun_overwrites_idempotently(spark, tmp_path):
+    import os
+
+    docs = _mkdocs(spark, [(i, "x", "s") for i in range(50)])
+    out = str(tmp_path / "e")
+    assembly.write_training_shards(docs, out, n_shards=2)
+    assembly.write_training_shards(docs, out, n_shards=2)
+    df = spark.read.json(os.path.join(out))
+    assert df.count() == 50
+    with pytest.raises(ValueError):
+        assembly.write_training_shards(docs, out, n_shards=0)
