@@ -844,6 +844,25 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.shard_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal pretraining transform: fixed 64-token chunks
+    (stride 48) packed into 512-token training bins — chunking's
+    per-row explode feeding the block-sharded next-fit packer.
+    Chunk uid = doc_id·1024 + chunk_id (exact integers)."""
+    chunks = assembly.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=64, stride=48
+    )
+    packed = textstats.pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        capacity=512,
+        block_size=64,
+    )
+    return packed.withColumnRenamed("doc_id", "chunk_uid")
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order: md5 shards, best-quality-band-first
     within each shard, md5 tiebreak inside a band — one exchange,
@@ -1003,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "phash_clusters": q_phash_clusters,
         "curriculum_order": q_curriculum_order,
+        "chunk_pack": q_chunk_pack,
     }
 
 
@@ -1690,6 +1710,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                score_micro >= 500000 AS label
         FROM m
+    """
+
+    # chunk → pack composition: the chunk CTE feeds the same next-fit
+    # recurrence the pack_sequences oracle uses, keyed on the exact
+    # integer chunk uid
+    out["chunk_pack"] = f"""
+        WITH RECURSIVE chunks AS ({out["chunk_documents"]}
+        ), c AS (
+          SELECT doc_id * 1024 + chunk_id AS cid,
+                 CAST(n_chunk_tokens AS BIGINT) AS n_tokens
+          FROM chunks
+        ), t AS (
+          SELECT cid, n_tokens, cid // 64 AS grp,
+                 row_number() OVER (PARTITION BY cid // 64
+                                    ORDER BY cid) AS rn
+          FROM c
+        ), state AS (
+          SELECT grp, rn, cid, n_tokens,
+                 CAST(0 AS BIGINT) AS bin_local, n_tokens AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.grp, t.rn, t.cid, t.n_tokens,
+                 CASE WHEN s.fill + t.n_tokens > 512
+                      THEN s.bin_local + 1 ELSE s.bin_local END,
+                 CASE WHEN s.fill + t.n_tokens > 512
+                      THEN t.n_tokens ELSE s.fill + t.n_tokens END
+          FROM state s JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
+        )
+        SELECT cid AS chunk_uid, n_tokens,
+               grp * 64 + bin_local AS bin_id
+        FROM state
     """
 
     # curriculum order: quality band from the text_quality CTE,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "clean_corpus",
     "interval_join",
     "curriculum_order",
+    "chunk_pack",
 ]
 
 

@@ -393,3 +393,22 @@ def test_bpe_train_feeds_the_encoder(spark):
     # doc 0 has 4 words, 14 letters; trained count must be well
     # under the raw char count and >= the word count
     assert 4 <= out[0] < 14
+
+
+def test_chunk_pack_bins_respect_capacity(spark):
+    """The chunk→pack composition: every bin holds ≤ capacity tokens
+    (chunks are ≤ 64 ≪ 512, so no overlong-doc exception applies),
+    and every chunk lands in exactly one bin."""
+    import __spark_entry__ as E
+    from collections import defaultdict
+
+    rows = E.queries()["chunk_pack"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    fills = defaultdict(int)
+    seen = set()
+    for r in rows:
+        assert 1 <= r.n_tokens <= 64
+        assert r.chunk_uid not in seen
+        seen.add(r.chunk_uid)
+        fills[r.bin_id] += r.n_tokens
+    assert max(fills.values()) <= 512
