@@ -848,17 +848,34 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The terminal pretraining transform: fixed 64-token chunks
     (stride 48) packed into 512-token training bins — chunking's
     per-row explode feeding the block-sharded next-fit packer.
-    Chunk uid = doc_id·1024 + chunk_id (exact integers)."""
+
+    Chunk uid = doc_id·2^20 + chunk_id (exact integers for
+    doc_id < 2^33); a chunk_id ≥ 2^20 (a ~50M-token document) would
+    collide into the next doc's uid range, so it raises loudly
+    instead of silently corrupting the packing. The pack block size
+    is 16·2^20, i.e. grp = doc_id DIV 16 — each block packs 16
+    CONSECUTIVE DOCUMENTS' chunks together (real cross-document
+    packing, ~16·n/stride items per Arrow group), not one tiny group
+    per document."""
+    stride = 1 << 20
     chunks = assembly.chunk_documents(
         _docs(spark, sf_dir), chunk_size=64, stride=48
     )
+    uid = F.when(
+        F.col("chunk_id") < stride,
+        F.col("doc_id") * stride + F.col("chunk_id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("chunk_id >= 2^20: chunk uid would collide; "
+                  "raise the uid stride for ultra-long documents")
+        ).cast("long")
+    )
     packed = textstats.pack_sequences(
         chunks.select(
-            (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("doc_id"),
-            F.col("chunk_text").alias("text"),
+            uid.alias("doc_id"), F.col("chunk_text").alias("text")
         ),
         capacity=512,
-        block_size=64,
+        block_size=16 * stride,
     )
     return packed.withColumnRenamed("doc_id", "chunk_uid")
 
@@ -1718,12 +1735,12 @@ def oracle_sql() -> dict[str, str]:
     out["chunk_pack"] = f"""
         WITH RECURSIVE chunks AS ({out["chunk_documents"]}
         ), c AS (
-          SELECT doc_id * 1024 + chunk_id AS cid,
+          SELECT doc_id * 1048576 + chunk_id AS cid,
                  CAST(n_chunk_tokens AS BIGINT) AS n_tokens
           FROM chunks
         ), t AS (
-          SELECT cid, n_tokens, cid // 64 AS grp,
-                 row_number() OVER (PARTITION BY cid // 64
+          SELECT cid, n_tokens, cid // 16777216 AS grp,
+                 row_number() OVER (PARTITION BY cid // 16777216
                                     ORDER BY cid) AS rn
           FROM c
         ), state AS (
@@ -1739,7 +1756,7 @@ def oracle_sql() -> dict[str, str]:
           FROM state s JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
         )
         SELECT cid AS chunk_uid, n_tokens,
-               grp * 64 + bin_local AS bin_id
+               grp * 16777216 + bin_local AS bin_id
         FROM state
     """
 

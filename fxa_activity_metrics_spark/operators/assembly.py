@@ -250,6 +250,20 @@ def source_mixture(
     )
 
 
+def shard_key_cols(
+    id_col: str, n_shards: int, seed: str
+) -> tuple[F.Column, F.Column]:
+    """THE single definition of the md5 shard scheme — (shard,
+    order_key) from md5(seed + ':' + id) — shared by shard_shuffle,
+    curriculum_order, and write_training_shards so 'same seed ⇒ same
+    layout' holds across operators by construction."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
+    return shard, F.substring(h, 8, 25)
+
+
 def shard_shuffle(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -270,11 +284,7 @@ def shard_shuffle(
 
     Output: (id, shard, position) — position is 1-based within shard.
     """
-    if n_shards <= 0:
-        raise ValueError("n_shards must be positive")
-    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    shard = (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
-    order_key = F.substring(h, 8, 25)
+    shard, order_key = shard_key_cols(id_col, n_shards, seed)
     w = Window.partitionBy("shard").orderBy("order_key", id_col)
     return (
         docs.select(
@@ -453,17 +463,14 @@ def curriculum_order(
     Output: (id, shard, quality_band, position) — position 1-based
     within shard, band 4 (best) first.
     """
-    if n_shards <= 0:
-        raise ValueError("n_shards must be positive")
     feats = text_stats(docs, id_col=id_col, text_col=text_col)
     band = F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int")
-    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    shard = (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
+    shard, order_key = shard_key_cols(id_col, n_shards, seed)
     keyed = feats.select(
         F.col(id_col),
         shard.alias("shard"),
         band.alias("quality_band"),
-        F.substring(h, 8, 25).alias("order_key"),
+        order_key.alias("order_key"),
     )
     w = Window.partitionBy("shard").orderBy(
         F.col("quality_band").desc(), F.col("order_key"), F.col(id_col)
@@ -495,12 +502,13 @@ def write_training_shards(
     At 100 TB: one exchange on the shard key; each shard writes in
     parallel. Re-running overwrites in place (idempotent export).
     """
-    if n_shards <= 0:
-        raise ValueError("n_shards must be positive")
-    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    keyed = df.withColumn(
-        "shard", (hex_to_long(F.substring(h, 1, 7)) % n_shards).cast("int")
-    ).withColumn("_ord", F.substring(h, 8, 25))
+    clash = {"shard", "_ord"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with export internals: {sorted(clash)}"
+        )
+    shard, order_key = shard_key_cols(id_col, n_shards, seed)
+    keyed = df.withColumn("shard", shard).withColumn("_ord", order_key)
     keyed = keyed.repartition(n_shards, "shard")
     if order_within_shard:
         keyed = keyed.sortWithinPartitions("shard", "_ord", id_col)

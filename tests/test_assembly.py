@@ -383,3 +383,9 @@ def test_training_shards_rerun_overwrites_idempotently(spark, tmp_path):
     assert df.count() == 50
     with pytest.raises(ValueError):
         assembly.write_training_shards(docs, out, n_shards=0)
+
+
+def test_training_shards_reserved_columns_rejected(spark, tmp_path):
+    docs = _mkdocs(spark, [(1, "x", "s")]).withColumn("shard", F.lit(9))
+    with pytest.raises(ValueError, match="collide"):
+        assembly.write_training_shards(docs, str(tmp_path / "e"))
