@@ -1,0 +1,61 @@
+"""Regenerate PLANS.md: the formatted physical plans of the headline
+queries at $SPARK_GRAFT_SF_DIR — the at-a-glance evidence that each
+operator's plan has the shape the 100 TB design depends on. The
+properties called out per plan are CI-pinned in tests/test_plans.py
+and the per-operator test files."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
+
+HEADLINE = {
+    "pricing_summary": "TPC-H-shape aggregate: pushdown + partial agg + codegen",
+    "nation_revenue": "star join: every dim broadcast, fact never shuffles twice",
+    "multi_device_users_join": "J1 7-day range self-join as equi-join + theta residual",
+    "minhash_lsh": "band-bucketed candidate generation: one shuffle of key rows",
+    "embedding_neardup_lsh": "multi-table bucket join: shuffle on (table,bucket) only",
+    "bm25_search": "1-row broadcast stats + per-row tf + TakeOrderedAndProject",
+    "chunk_documents": "per-row generate+explode: zero shuffle",
+    "source_mixture": "broadcast rate join: corpus never hash-shuffles",
+    "shard_shuffle": "single exchange on shard key, per-shard sorts",
+    "interval_join": "epoch-bucketed equi-join: no nested loop",
+    "chunk_pack": "chunk explode -> block-sharded applyInPandas packer",
+    "clean_corpus": "inline gate + window-min keeper + broadcast decontam anti-join",
+}
+
+
+def main() -> None:
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plans")
+    out = [
+        "# PLANS — physical-plan audit of the headline queries",
+        "",
+        "Generated from `spark.explain('formatted')` at sf0.1 on local[32]",
+        "(regenerate: `python tools/dump_plans.py`). Each plan is the shape",
+        "the 100 TB design depends on; the properties named in the headers",
+        "are CI-pinned in tests/test_plans.py and friends.",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, blurb in HEADLINE.items():
+        df = em.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        tree = plan.split("\n\n")[0]
+        out.append(f"## {name}\n\n_{blurb}_\n\n```\n{tree}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
