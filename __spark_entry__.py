@@ -1868,10 +1868,10 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings
         ), c AS (
           SELECT vec_id AS corpus_id, e AS cv, nrm AS c_nrm FROM v
-          WHERE vec_id % 50 != 0
+          WHERE vec_id % 50 != 0 AND nrm > 0
         ), p AS (
           SELECT vec_id AS probe_id, e AS pv, nrm AS p_nrm FROM v
-          WHERE vec_id % 50 = 0
+          WHERE vec_id % 50 = 0 AND nrm > 0
         ), s AS (
           SELECT corpus_id, probe_id,
                  list_sum(list_transform(range(1, 1 + len(cv)),

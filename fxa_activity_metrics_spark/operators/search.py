@@ -149,6 +149,28 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:7], 16) % n_buckets
 
 
+def _require_unique_ids(docs: DataFrame, id_col: str) -> None:
+    """Raise loudly on a duplicated doc id within a batch. Two rows
+    for one id would write two doclens rows, silently inflating the
+    manifest's n_docs/sum_dl and leaving conflicting per-posting dl —
+    a dirty drop must be deduped by the CALLER (who knows which row
+    wins), not papered over here. One column-pruned aggregate over
+    the id column only; no tokenization is triggered."""
+    dup = (
+        docs.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        ids = ", ".join(str(r[0]) for r in dup)
+        raise ValueError(
+            f"duplicate {id_col} values in index batch (e.g. {ids}); "
+            "dedup the batch before indexing"
+        )
+
+
 def _index_frames(
     docs: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -250,6 +272,7 @@ def build_text_index(
     build is one explode + one map-side-combining groupBy on
     (term, doc) — the standard postings shuffle, run once offline.
     """
+    _require_unique_ids(docs, id_col)
     doclens, postings = _index_frames(docs, id_col, text_col, n_buckets)
     prior = lake.tables(f"{name}_postings_v") + lake.tables(f"{name}_doclens_v")
     version = 1 + max(
@@ -371,10 +394,22 @@ def upsert_text_index(
     (the tokenizer) is static, so unlike IVF there is nothing to
     re-train.
     """
+    _require_unique_ids(new_docs, id_col)
     m = lake.read(f"{name}_stats").first()
     n_buckets = int(m["n_buckets"])
     tag = m["postings_table"].rsplit("_", 1)[1]
     doclens, postings = _index_frames(new_docs, id_col, text_col, n_buckets)
     lake.merge_replace(m["doclens_table"], doclens, "bucket", "doc_id")
-    lake.merge_replace(m["postings_table"], postings, "bucket", "doc_id")
+    # postings deletion is driven by the batch's FULL doc-id set
+    # (doclens has one row per doc, zero-token docs included), not by
+    # the ids that happen to appear in the new postings frame — a doc
+    # re-imported with text that tokenizes to nothing must still have
+    # its old postings removed ('upsert == rebuild' contract).
+    lake.merge_replace(
+        m["postings_table"],
+        postings,
+        "bucket",
+        "doc_id",
+        keys=doclens.select("doc_id"),
+    )
     _write_manifest_from_doclens(lake, name, tag, n_buckets)

@@ -289,6 +289,7 @@ class Lake:
         key_col: str,
         schema: T.StructType | None = None,
         sort_cols: list[str] | None = None,
+        keys: DataFrame | None = None,
     ) -> None:
         """Partition-granular replace-by-key merge — the MERGE INTO
         analogue for entity tables partitioned on a date or integer
@@ -306,14 +307,26 @@ class Lake:
         (its only rows' keys moved to another partition) is dropped
         explicitly, since dynamic overwrite never rewrites a
         partition absent from the frame.
+
+        ``keys`` (optional, one ``key_col`` column) widens the
+        delete set beyond the keys present in ``df``: every existing
+        row whose key appears in ``keys`` is replaced even when
+        ``df`` carries NO new rows for it. Callers whose per-key row
+        count can legitimately drop to zero (a re-imported document
+        that now tokenizes to zero postings) MUST pass the batch's
+        full key set here, else the old rows survive as stale state.
         """
         if part_col not in df.columns:
             raise ValueError(f"merge_replace requires a '{part_col}' column")
+        if keys is None:
+            keys = df.select(key_col)
+        elif keys.columns != [key_col]:
+            raise ValueError(f"keys frame must have exactly one '{key_col}' column")
         if not self.exists(table):
             self.write_parts(table, df, part_col, sort_cols=sort_cols)
             return
         existing = self.read(table, schema)
-        keys = df.select(key_col).distinct()
+        keys = keys.distinct()
         touched = {
             r[part_col]
             for r in existing.join(keys, key_col, "left_semi")

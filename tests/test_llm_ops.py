@@ -173,6 +173,24 @@ def test_neardup_gemm_empty_corpus(spark):
     assert out.columns == ["id_a", "id_b", "cosine"]
 
 
+def test_neardup_gemm_driver_budget_guard(spark):
+    """The broadcast formulation is driver-bound by design: a corpus
+    whose matrix estimate exceeds max_driver_bytes must refuse loudly
+    and point at the formulations that scale."""
+    import pytest
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_neardup_pairs_gemm,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs_gemm(vecs, max_driver_bytes=64)
+
+
 def test_clusters_boundary_diameter_converges(spark):
     """A component whose last label change lands exactly on round
     max_iter must return the correct result, not raise — the

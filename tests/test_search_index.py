@@ -164,3 +164,47 @@ def test_upsert_untouched_buckets_keep_files(spark, lake):
     for p, meta in before.items():
         if f"bucket={hot}" not in p:
             assert after.get(p) == meta, f"untouched file rewritten: {p}"
+
+
+def test_upsert_zero_token_reimport_deletes_stale_postings(spark, lake):
+    """A doc re-imported with text that tokenizes to NOTHING must
+    lose all its old postings (the new postings frame has no row for
+    it, so deletion is driven by the batch's full doc-id set) — and
+    the result must equal a fresh rebuild."""
+    docs = _docs(spark)
+    search.build_text_index(lake, docs, n_buckets=16)
+    emptied = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    search.upsert_text_index(lake, emptied)
+    # doc 1 must no longer match anything, for any term it used to hold
+    hits = search.query_text_index(lake, TERMS, top_k=1000).collect()
+    assert all(r.doc_id != 1 for r in hits)
+    postings = lake.read(lake.read("bm25_stats").first()["postings_table"])
+    assert postings.where("doc_id = 1").count() == 0
+    # upsert == rebuild, bitwise
+    lake2 = Lake(spark, lake.root + "2")
+    search.build_text_index(
+        lake2,
+        docs.select("doc_id", "text").where("doc_id <> 1").unionByName(emptied),
+        n_buckets=16,
+    )
+    up = search.query_text_index(lake, TERMS, top_k=20).collect()
+    rb = search.query_text_index(lake2, TERMS, top_k=20).collect()
+    assert [(r.doc_id, r.rank, r.score) for r in up] == [
+        (r.doc_id, r.rank, r.score) for r in rb
+    ]
+    # manifest still counts the emptied doc once, with dl = 0
+    assert (
+        lake.read("bm25_stats").first()["n_docs"]
+        == lake2.read("bm25_stats").first()["n_docs"]
+    )
+
+
+def test_duplicate_doc_ids_in_batch_raise(spark, lake):
+    dirty = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        search.build_text_index(lake, dirty, n_buckets=4)
+    search.build_text_index(lake, _docs(spark).limit(10), n_buckets=4)
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        search.upsert_text_index(lake, dirty)
