@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "interval_join",
     "curriculum_order",
     "chunk_pack",
+    "blob_stats_compressed",
+    "phash_compressed",
+    "query_text_index",
+    "ivf_query_index",
 ]
 
 

@@ -247,3 +247,92 @@ def test_phash_clusters_collapse_jittered_groups(spark):
         for m in members:
             want[m] = root
     assert got == want, "clusters == connected components of the pairs"
+
+
+# ---------------------------------------------------------------------------
+# Compressed-blob container (FXZ1 + zlib — the one REAL codec path)
+# ---------------------------------------------------------------------------
+
+
+def test_compress_roundtrip_is_identity(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import (
+        compress_blobs,
+        decompress_blobs,
+        ZLIB_MAGIC,
+    )
+
+    payloads = [b"hello world " * 100, b"", b"\x00\xff" * 37, b"P6 fake header"]
+    docs = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, blob binary"
+    )
+    comp = {r["doc_id"]: bytes(r["blob"]) for r in compress_blobs(docs).collect()}
+    for i, p in enumerate(payloads):
+        assert comp[i].startswith(ZLIB_MAGIC)
+    # the repetitive payload actually compresses
+    assert len(comp[0]) < len(payloads[0])
+    back = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in decompress_blobs(compress_blobs(docs)).collect()
+    }
+    assert back == {i: p for i, p in enumerate(payloads)}
+    # decompress passes non-FXZ1 blobs through unchanged
+    passthru = {r["doc_id"]: bytes(r["blob"]) for r in decompress_blobs(docs).collect()}
+    assert passthru == {i: p for i, p in enumerate(payloads)}
+
+
+def test_compressed_decode_paths_equal_uncompressed(spark):
+    """Every REAL decode kernel must accept FXZ1-wrapped payloads and
+    produce bit-identical output to the raw path: image features,
+    resize, pHash, and audio features."""
+    from fxa_activity_metrics_spark.operators.multimodal import (
+        audio_features,
+        compress_blobs,
+        image_features,
+        phash_images,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    base = spark.range(6).withColumnRenamed("id", "doc_id")
+    imgs = synth_ppm_images(base)
+    zimgs = compress_blobs(imgs)
+
+    feats = sorted(map(tuple, image_features(imgs).collect()))
+    zfeats = sorted(map(tuple, image_features(zimgs).collect()))
+    assert feats == zfeats
+
+    rs = sorted((r["doc_id"], bytes(r["blob"])) for r in resize_images(imgs, 8, 8).collect())
+    zrs = sorted((r["doc_id"], bytes(r["blob"])) for r in resize_images(zimgs, 8, 8).collect())
+    assert rs == zrs
+
+    ph = sorted(map(tuple, phash_images(imgs).collect()))
+    zph = sorted(map(tuple, phash_images(zimgs).collect()))
+    assert ph == zph
+
+    wav = _make_wav(8000, [16384] * 800)
+    audio = spark.createDataFrame([(1, wav)], "doc_id long, blob binary")
+    a = audio_features(audio).collect()[0]
+    za = audio_features(compress_blobs(audio)).collect()[0]
+    assert (a["sample_rate"], a["duration_ms"], a["rms"]) == (
+        za["sample_rate"],
+        za["duration_ms"],
+        za["rms"],
+    )
+
+
+def test_compressed_blob_stats_describes_decompressed_payload(spark):
+    from fxa_activity_metrics_spark.operators.multimodal import (
+        attach_blob,
+        blob_stats,
+        compress_blobs,
+        compressed_blob_stats,
+    )
+
+    docs = attach_blob(
+        spark.createDataFrame(
+            [(1, "alpha beta " * 50), (2, "x")], "doc_id long, text string"
+        )
+    )
+    plain = sorted(map(tuple, blob_stats(docs).collect()))
+    comp = sorted(map(tuple, compressed_blob_stats(compress_blobs(docs)).collect()))
+    assert plain == comp
