@@ -45,11 +45,25 @@ from fxa_activity_metrics_spark.sources.lake import Lake
 
 def read_flow_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of flow CSV drops (headerless, declared
-    schema — never inferred)."""
+    schema — never inferred). Applies the SAME empty-string boundary
+    as the batch loader (sources/csv.py read_day_csv): missing CSV
+    fields are '' — never NULL — the reference's missing-value
+    sentinel (P4, SURVEY §7 trap 2). Without the coalesce the stream
+    and batch session tables diverge on every blank utm/migration
+    field (caught by test_stream_full_chain_matches_batch_pipeline)."""
     raw = (
         spark.readStream.schema(FLOW_CSV_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        .option("emptyValue", "")
         .csv(source_dir)
+    )
+    raw = raw.select(
+        *[
+            F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in FLOW_CSV_SCHEMA.fields
+        ]
     )
     return raw.withColumn("timestamp", ts_from_epoch("timestamp")).withColumn(
         "day", day_of("timestamp")

@@ -32,7 +32,16 @@ def src_dir(tmp_path_factory):
 
 
 def _static_events(spark, src_dir):
-    raw = spark.read.schema(FLOW_CSV_SCHEMA).csv(src_dir)
+    # model the batch typed boundary: empty CSV fields are '' (P4)
+    raw = spark.read.schema(FLOW_CSV_SCHEMA).option("emptyValue", "").csv(src_dir)
+    raw = raw.select(
+        *[
+            F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in FLOW_CSV_SCHEMA.fields
+        ]
+    )
     return raw.withColumn("timestamp", ts_from_epoch("timestamp")).withColumn(
         "day", day_of("timestamp")
     )
@@ -321,3 +330,85 @@ def test_dataset_import_stream_email_mixed_dir(spark, tmp_path):
     for t in ("email_events", "email_events_sampled_10", "email_events_sampled_50"):
         assert rows_of(stream_lake, t) == rows_of(batch_lake, t), t
     assert not stream_lake.exists("activity_events"), "glob filter keeps other datasets out"
+
+
+def test_stream_full_chain_matches_batch_pipeline(spark, tmp_path):
+    """J2-J6 full-chain parity, stream vs the BATCH reference pipeline:
+    the same multi-day CSV replay (with cross-midnight late events)
+    through (a) ImportJob + flow_after_day (begin -> duration/locale/
+    uid -> completed -> new_account -> continued_from, newest-first
+    days, day+1 grace reads) and (b) run_flow_sessions_stream, then
+    the two session tables must agree row-for-row on the metadata
+    schema. [Late events stay within the 1-day grace window — the
+    contract BOTH sides implement; J5 backfill is date-gated off for
+    post-cutoff days on both sides; J7 experiments live in their own
+    table and stream (test_streaming_join).]"""
+    from fxa_activity_metrics_spark.plans.incremental import ImportJob, flow_after_day
+    from fxa_activity_metrics_spark.schemas import FLOW, FLOW_METADATA_SCHEMA
+    from tests.fixtures import F_C, epoch as ep, hex_id, write_csv
+    from tests.fixtures import flow_rows_day1, flow_rows_day2
+
+    d3 = dt.date(2024, 3, 3)
+    f_e = hex_id(11, "flowE")
+    src = str(tmp_path / "src")
+    write_csv(src, "flow_events", D1, flow_rows_day1(D1))
+    write_csv(src, "flow_events", D2, flow_rows_day2(D2))
+    # day 3: a late completion for day-2's flow C (grace window) plus a
+    # fresh flow that begins and continues from C on its own day
+    write_csv(
+        src,
+        "flow_events",
+        d3,
+        [
+            [ep(d3, 0, 10), "flow.complete", F_C, 47_400_000, "en-GB",
+             UID_B, *[""] * 0][:4] + ["Firefox", "57", "Windows 10",
+             "fx_desktop_v3", "preferences", "", "sync", "camp", "",
+             "organic", "bing", "", "en-GB", UID_B],
+            [ep(d3, 9, 0), "flow.begin", f_e, 0, "Firefox", "58", "macOS",
+             "fx_desktop_v3", "preferences", "", "sync", "camp", "",
+             "organic", "bing", "", "", ""],
+            [ep(d3, 9, 5), f"flow.continued.{F_C}", f_e, 300000, "de", "",
+             "Firefox", "58", "macOS", "fx_desktop_v3", "preferences", "",
+             "sync", "camp", "", "organic", "bing", ""][:4] + ["Firefox",
+             "58", "macOS", "fx_desktop_v3", "preferences", "", "sync",
+             "camp", "", "organic", "bing", "", "de", ""],
+        ],
+    )
+
+    # batch reference pipeline, newest-first
+    blake = Lake(spark, str(tmp_path / "batch_lake"))
+    job = ImportJob(
+        spark=spark,
+        lake=blake,
+        dataset=FLOW,
+        source_dir=src,
+        write_perm=False,
+        after_day=flow_after_day,
+    )
+    assert job.run() == [d3, D2, D1]
+
+    # streaming pipeline over the same drops
+    slake = Lake(spark, str(tmp_path / "stream_lake"))
+    q = run_flow_sessions_stream(
+        spark, src, slake, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    cols = [f.name for f in FLOW_METADATA_SCHEMA.fields]
+    batch_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in blake.read("flow_metadata").select(*cols).collect()
+    )
+    stream_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in slake.read("flow_metadata_stream").select(*cols).collect()
+    )
+    assert batch_rows == stream_rows
+    # the late-data semantics actually exercised: C completed by a
+    # day-3 event, attributed to its day-2 begin; E continued_from C
+    by_flow = {r[cols.index("flow_id")]: r for r in batch_rows}
+    c = by_flow[F_C]
+    assert c[cols.index("completed")] == "True"
+    assert c[cols.index("export_date")] == str(D2)
+    assert by_flow[f_e][cols.index("continued_from")] == F_C
