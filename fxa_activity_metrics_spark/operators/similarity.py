@@ -354,6 +354,22 @@ def embedding_neardup_pairs_gemm(
     )
 
 
+def _auto_planes(
+    n_rows: int, n_planes: int, target_bucket_rows: int, max_planes: int = 16
+) -> int:
+    """Smallest plane count ≥ ``n_planes`` keeping the expected
+    multiprobe bucket load (n_rows × (planes+1) probes / 2^planes
+    buckets) under ``target_bucket_rows``. With FIXED planes the
+    candidate count grows as N²/2^p — quadratic at scale; growing p
+    logarithmically with N keeps it ~linear (measured: sf1's 20k
+    corpus went 135s → ~2s). Capped: beyond max_planes the bucket key
+    no longer discriminates for 64-dim vectors."""
+    p = n_planes
+    while p < max_planes and n_rows * (p + 1) > target_bucket_rows * (1 << p):
+        p += 1
+    return p
+
+
 def embedding_neardup_lsh(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -362,6 +378,7 @@ def embedding_neardup_lsh(
     n_planes: int = 4,
     n_tables: int = 2,
     dim: int | None = None,
+    target_bucket_rows: int | None = 256,
 ) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join, then exact
     cosine filter. A θ-close pair shares a table's n-bit bucket with
@@ -381,7 +398,22 @@ def embedding_neardup_lsh(
     (5,4) 0.88 @ 2.7s; (6,4) 0.76 @ 2.7s. The default keeps the
     highest-recall point — for a training-data dedup, a missed
     near-dup is contamination, worth ~25% more candidate scoring.
+
+    ``n_planes`` is a MINIMUM: by default the plane count auto-scales
+    with corpus size (``target_bucket_rows``, one count() job) so the
+    expected bucket load stays bounded — without it candidates grow
+    as N²/2^p and the "scale path" is quadratic in disguise (135s at
+    a 20k-vector sf1, slower than the labeled GEMM baseline). Recall
+    stays high in the operator's near-dup regime: at θ=0.95 each
+    extra plane flips with probability arccos(θ)/π ≈ 0.10, so even
+    p=10 keeps ≥0.98 recall over 3 tables (identical duplicates are
+    always found — zero flip probability). For BROAD similarity
+    thresholds (θ≲0.5) plane growth does cost recall — pass
+    ``target_bucket_rows=None`` to pin the plane count and accept the
+    quadratic candidate set, or use IVF.
     """
+    if target_bucket_rows is not None:
+        n_planes = _auto_planes(corpus.count(), n_planes, target_bucket_rows)
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     base = corpus.select(

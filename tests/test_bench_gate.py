@@ -37,3 +37,29 @@ def test_gate_floor_tolerates_one_moderately_heavy_query():
 
 def test_gate_empty():
     assert budget_violations({}) == []
+
+
+def test_scaling_gate_passes_sublinear_flags_superlinear():
+    from bench import scaling_violations
+
+    base = {"a": 1.0, "b": 2.0, "c": 0.2, "new": None}
+    sf1 = {"a": 6.0, "b": 25.0, "c": 1.5, "d": 9.0}
+    # a: 6x at 10x data -> passes; b: 12.5x -> violates;
+    # c: under the 5s floor -> skipped; d: no baseline -> skipped
+    assert scaling_violations(sf1, {k: v for k, v in base.items() if v}, 10.0) == ["b"]
+
+
+def test_sf1_record_has_no_scaling_violations():
+    """The committed sf1 measurement (tools/make_scaled_sf.py data,
+    10x sf0.1) must show every query scaling sub-linearly — the
+    round-5 scale-evidence contract. Skipped if the sf1 record has
+    not been generated on this machine."""
+    p = os.path.join(REPO, "BENCH_SF1_LOCAL.json")
+    if not os.path.exists(p):
+        import pytest
+
+        pytest.skip("no sf1 record")
+    with open(p) as f:
+        rec = json.load(f)
+    assert rec["budget_violations"] == []
+    assert rec["skipped"] == ["embedding_neardup", "embedding_neardup_gemm"]

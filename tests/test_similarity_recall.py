@@ -92,3 +92,34 @@ def test_embedding_decontam_probe_side_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_neardup_lsh_auto_planes_bounds_buckets_and_keeps_recall(spark):
+    """The scale contract itself: at 10× the corpus the plane count
+    must grow (bounding expected bucket load) while near-dup-regime
+    recall (θ=0.95) stays high. Runs on sf0.1 (2000 vectors), where
+    auto-scaling lifts the 4-plane minimum to 6."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        _auto_planes,
+        embedding_neardup_lsh,
+        embedding_neardup_pairs_gemm,
+    )
+
+    assert _auto_planes(200, 4, 256) == 4, "sf0.01 keeps the oracle's 4 planes"
+    assert _auto_planes(2000, 4, 256) > 4
+    assert _auto_planes(20_000, 4, 256) == 10
+    assert _auto_planes(10**9, 4, 256) == 16, "capped"
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_gemm(emb, threshold=0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(emb, threshold=0.95, n_tables=3).collect()
+    }
+    assert approx <= exact, "no false positives (exact cosine filter)"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"near-dup recall {recall:.2f} < 0.9 at auto planes"

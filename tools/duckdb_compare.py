@@ -38,7 +38,8 @@ PATHOLOGICAL = {"training_manifest", "chunk_pack", "phash_pairs"}
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     con = duckdb.connect()
@@ -47,11 +48,16 @@ def main() -> None:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    skip_path = "--skip-pathological" in sys.argv
     oracles = E.oracle_sql()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         sql = oracles.get(name)
         if sql is None:
+            continue
+        if skip_path and name in PATHOLOGICAL:
+            # at sf >= 1 the all-pairs phash replay alone is O(hours);
+            # the matched set is the comparative surface anyway
             continue
         t0 = time.perf_counter()
         con.execute(sql).fetchall()

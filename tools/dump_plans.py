@@ -26,6 +26,9 @@ HEADLINE = {
     "interval_join": "epoch-bucketed equi-join: no nested loop",
     "chunk_pack": "chunk explode -> block-sharded applyInPandas packer",
     "clean_corpus": "inline gate + window-min keeper + broadcast decontam anti-join",
+    "query_text_index": "persisted postings: probed term buckets partition-pruned",
+    "ivf_query_index": "persisted cells: probed cells partition-pruned",
+    "blob_stats_compressed": "compress + decompress-in-kernel: two Arrow passes, zero shuffle",
 }
 
 
