@@ -49,8 +49,10 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     skip_path = "--skip-pathological" in sys.argv
+    per_query_timeout = float(os.environ.get("DUCKDB_COMPARE_TIMEOUT", "0")) or None
     oracles = E.oracle_sql()
     timings: dict[str, float] = {}
+    timeouts: list[str] = []
     for name in BENCH_QUERIES:
         sql = oracles.get(name)
         if sql is None:
@@ -60,8 +62,32 @@ def main() -> None:
             # the matched set is the comparative surface anyway
             continue
         t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if per_query_timeout:
+            # watchdog: interrupt any single replay that exceeds the
+            # budget (several oracle shapes are quadratic by parity
+            # design and become O(hours) at sf >= 1) and record it as
+            # a timeout instead of stalling the whole run
+            import threading
+
+            done = threading.Event()
+
+            def watchdog():
+                if not done.wait(per_query_timeout):
+                    con.interrupt()
+
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
+            try:
+                con.execute(sql).fetchall()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except duckdb.InterruptException:
+                timeouts.append(name)
+            finally:
+                done.set()
+                w.join()
+        else:
+            con.execute(sql).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 3)
     matched = {n: t for n, t in timings.items() if n not in PATHOLOGICAL}
     print(
         json.dumps(
@@ -77,6 +103,8 @@ def main() -> None:
                 "pathological queries replay parity-oriented SQL shapes "
                 "(sequential recursive CTEs / duplicate-heavy all-pairs) "
                 "that no idiomatic DuckDB rewrite improves — see docstring",
+                "timeouts": timeouts,
+                "per_query_timeout_sec": per_query_timeout,
                 "sf": sf_dir,
                 "n_queries": len(timings),
             }
