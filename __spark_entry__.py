@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.functions.core import cohort_bucket, sample_cohort
 from fxa_activity_metrics_spark.sources.testdata import read_table
-from fxa_activity_metrics_spark.operators import assembly, dedup, search, similarity, textstats
+from fxa_activity_metrics_spark.operators import assembly, dedup, lmfilter, search, similarity, textstats
 from fxa_activity_metrics_spark.operators import multimodal
 from fxa_activity_metrics_spark.operators.multimodal import attach_blob, blob_stats
 from fxa_activity_metrics_spark.operators.summaries import (
@@ -963,6 +963,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.quality_classifier(_docs(spark, sf_dir))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-doc add-one bigram
+    log-probability against counts trained on the corpus itself.
+    Integer micro-nat quantization (the BM25 idf trick, applied
+    per-position) makes the per-doc SUM order-independent and the
+    oracle bit-exact."""
+    return lmfilter.lm_score(_docs(spark, sf_dir))
+
+
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM gate composed: keep docs whose avg bigram log-prob
+    clears -3.4 (≈ the sf0.01 median — the CCNet head/middle cut as a
+    fixed threshold)."""
+    return lmfilter.lm_filter(_docs(spark, sf_dir), min_avg_logprob=-3.4)
+
+
 def q_blob_stats_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec path end-to-end: blobs are zlib-wrapped
     (FXZ1 container, stdlib zlib) executor-side, then the stats kernel
@@ -1076,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_compressed": q_phash_compressed,
         "query_text_index": q_query_text_index,
         "ivf_query_index": q_ivf_query_index,
+        "lm_score": q_lm_score,
+        "lm_filter": q_lm_filter,
         # -- canonical entry per family (driver-green in r3/r4; the
         # embedding_neardup_gemm pull changed this round, so it stays
         # in the checked window) ------------------------------------
@@ -1107,11 +1125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontam": q_ngram_decontam,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
-        "pack_sequences": q_pack_sequences,
-        "training_manifest": q_training_manifest,
         "token_count_bpe_real": q_token_count_bpe_real,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r03/r04 and still oracle-checked locally -------
+        "pack_sequences": q_pack_sequences,
+        "training_manifest": q_training_manifest,
         "multi_device_users_window": q_multi_device_window,
         "multi_device_users_grouped": q_multi_device_grouped,
         "multi_device_users_salted": q_multi_device_salted,
@@ -2033,6 +2051,40 @@ def oracle_sql() -> dict[str, str]:
     # in-session twins' ranking exactly (tests pin it), and the
     # compressed-blob paths are lossless round-trips whose outputs
     # describe the DECOMPRESSED payload.
+    out["lm_score"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents
+        ), uni AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1
+        ), v AS (
+          SELECT count(*) AS vs FROM uni
+        ), bg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+        ), bgc AS (
+          SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        ), s AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln(coalesce(bgc.c12, 0) + 1) * 1e6) AS BIGINT)
+                 - CAST(round(ln(coalesce(uni.c1, 0) + vs) * 1e6) AS BIGINT)
+                   AS lp
+          FROM bg
+          LEFT JOIN bgc USING (w1, w2)
+          LEFT JOIN uni USING (w1)
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) AS logprob_micro,
+               round(sum(lp) / 1e6 / count(*), 6) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """
+    out["lm_filter"] = (
+        "WITH scored AS (" + out["lm_score"] + ") "
+        "SELECT doc_id, avg_logprob FROM scored WHERE avg_logprob >= -3.4"
+    )
     out["query_text_index"] = out["bm25_search"]
     out["ivf_query_index"] = _ANN_IVF_SQL
     out["blob_stats_compressed"] = out["blob_stats"]

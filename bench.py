@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "phash_compressed",
     "query_text_index",
     "ivf_query_index",
+    "lm_score",
+    "lm_filter",
 ]
 
 # Labeled exact O(N²) baselines (their docstrings say so): they exist

@@ -1,0 +1,137 @@
+"""N-gram language-model quality filtering — the CCNet-style LM
+perplexity gate (Wenzek et al. 2020: score web text against an
+in-domain LM; keep the head of the per-doc perplexity distribution).
+
+Spark-first shape, all JVM expressions:
+- TRAIN: unigram/bigram counts are one explode + one map-side-
+  combining groupBy each — the classic distributed LM count job.
+  The model is two DataFrames of exact integers (no floats stored).
+- SCORE: each doc's positional bigrams join the count tables on the
+  gram key (shuffle equi-joins; hot function words are exactly the
+  AQE-skew-split case measured in tools/skew_bench.py), and the
+  per-position add-one log-probability is INTEGER micro-nats:
+  round(ln(c12+1)·1e6) − round(ln(c1+V)·1e6) as BIGINT. The per-doc
+  total is then an integer SUM — associative, order-independent,
+  bit-exact across partitionings and engines. The ln is snapped to
+  1e-6 exactly like BM25's micro-quantized idf (operators/search.py),
+  the engine's one precedent for a non-correctly-rounded op inside a
+  parity score.
+
+Scale: counts and scoring are linear scans + two count-table joins;
+nothing is ever collected to the driver and the model tables shuffle
+only on their own keys. A 5-gram KenLM upgrade swaps the gram column;
+the plumbing is n-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators.dedup import tokens
+
+
+def _positional_bigrams(text_col: str) -> F.Column:
+    """Array<struct<w1,w2>> of consecutive token pairs, in document
+    order, duplicates kept. Same top-level-slice construction as
+    dedup.shingles — no expression inside a HOF lambda that isn't a
+    bound var (per-element re-evaluation trap)."""
+    toks = tokens(text_col)
+    length = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def lm_counts(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the count model: (unigrams, bigrams) DataFrames.
+
+    unigrams: (w1, c1)  — token occurrence counts;
+    bigrams:  (w1, w2, c12) — consecutive-pair occurrence counts.
+    Exact integers; one shuffle each (map-side combine)."""
+    toks = corpus.select(F.explode(tokens(text_col)).alias("w1"))
+    unigrams = toks.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    pairs = corpus.select(F.explode(_positional_bigrams(text_col)).alias("bg"))
+    bigrams = (
+        pairs.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    return unigrams, bigrams
+
+
+def _micro_ln(x: F.Column) -> F.Column:
+    """ln snapped to integer micro-nats (the BM25 idf trick): the one
+    non-correctly-rounded op becomes an exact BIGINT both engines
+    agree on."""
+    return F.round(F.log(x.cast("double")) * 1e6).cast("bigint")
+
+
+def lm_score(
+    corpus: DataFrame,
+    model_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one bigram log-probability against a count
+    model trained on ``model_corpus`` (defaults to ``corpus`` itself —
+    the self-scoring regime; pass an in-domain corpus for the CCNet
+    setup). Docs with fewer than 2 tokens have no bigrams and are
+    absent from the output (nothing to score).
+
+    Output: (doc_id, n_bigrams, logprob_micro, avg_logprob) where
+    logprob_micro = Σ round(ln(c12+1)·1e6) − round(ln(c1+V)·1e6)
+    over the doc's bigrams (BIGINT — order-independent), V = model
+    vocabulary size, and avg_logprob = round(logprob_micro / 1e6 /
+    n_bigrams, 6). Higher = more in-domain; filter on it with
+    ``lm_filter``.
+    """
+    unigrams, bigrams = lm_counts(
+        model_corpus if model_corpus is not None else corpus, id_col, text_col
+    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    bg = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(_positional_bigrams(text_col)).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    scored = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                _micro_ln(F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                - _micro_ln(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("logprob_micro"),
+        F.round(
+            F.sum("lp").cast("double") / 1e6 / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def lm_filter(
+    corpus: DataFrame,
+    min_avg_logprob: float,
+    model_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents whose average bigram log-probability clears the
+    gate (the CCNet head/middle cut as a fixed threshold — percentile
+    selection composes via value_percentiles upstream). Zero-bigram
+    docs are dropped: an LM gate cannot vouch for unscorable text.
+    Output: (doc_id, avg_logprob)."""
+    return (
+        lm_score(corpus, model_corpus, id_col, text_col)
+        .filter(F.col("avg_logprob") >= min_avg_logprob)
+        .select("doc_id", "avg_logprob")
+    )

@@ -1,0 +1,136 @@
+"""LM quality filtering (CCNet-style bigram perplexity gate):
+pure-Python reference parity, order-independence of the integer
+micro-nat sum, edge semantics, and the zero-UDF plan contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators.lmfilter import (
+    lm_counts,
+    lm_filter,
+    lm_score,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat"),
+    (3, "dogs bark"),
+    (4, "single"),
+    (5, ""),
+    (6, "the the the the"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_reference():
+    """Classic add-one bigram LM over DOCS, integer micro-nats."""
+    toks = {i: [t for t in s.split(" ") if t] for i, s in DOCS}
+    uni: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    v = len(uni)
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(
+            math.floor(-x * 1e6 + 0.5)
+        )
+
+    out = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        lp = sum(
+            micro(math.log(bg[(a, b)] + 1)) - micro(math.log(uni[a] + v))
+            for a, b in pairs
+        )
+        # Spark's round(col, 6) is BigDecimal.valueOf(double) — i.e.
+        # Double.toString first, THEN decimal HALF_UP (so the literal
+        # -1.4067055 rounds to -1.406706 even though its exact binary
+        # value sits just below the tie). Emulate via repr().
+        from decimal import ROUND_HALF_UP, Decimal
+
+        avg = float(
+            Decimal(repr(lp / 1e6 / len(pairs))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        out[i] = (len(pairs), lp, avg)
+    return out
+
+
+def test_counts_match_python_reference(spark, docs):
+    uni, bg = lm_counts(docs)
+    got_uni = {r["w1"]: r["c1"] for r in uni.collect()}
+    got_bg = {(r["w1"], r["w2"]): r["c12"] for r in bg.collect()}
+    assert got_uni["the"] == 7 and got_uni["cat"] == 2 and got_uni["single"] == 1
+    assert got_bg[("the", "cat")] == 2
+    assert got_bg[("the", "the")] == 3
+    assert ("single", "single") not in got_bg
+    assert sum(got_uni.values()) == sum(len([t for t in s.split() if t]) for _, s in DOCS)
+
+
+def test_scores_match_python_reference(spark, docs):
+    want = _py_reference()
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"], r["avg_logprob"])
+        for r in lm_score(docs).collect()
+    }
+    assert got == want
+    # zero/one-token docs are unscorable and absent
+    assert 4 not in got and 5 not in got
+
+
+def test_score_is_partitioning_invariant(spark, docs):
+    """The integer micro-nat sum must be bit-identical under any
+    physical partitioning — the property float sums don't have."""
+    a = sorted(map(tuple, lm_score(docs).collect()))
+    b = sorted(map(tuple, lm_score(docs.repartition(13, "text")).collect()))
+    assert a == b
+
+
+def test_repeated_text_scores_higher_than_rare(spark, docs):
+    got = {r["doc_id"]: r["avg_logprob"] for r in lm_score(docs).collect()}
+    # doc 6 is pure repetition of the most frequent bigram in the
+    # model — it must out-score the rare-bigram doc 3
+    assert got[6] > got[3]
+
+
+def test_filter_threshold_and_columns(spark, docs):
+    scores = {r["doc_id"]: r["avg_logprob"] for r in lm_score(docs).collect()}
+    cut = sorted(scores.values())[len(scores) // 2]
+    kept = lm_filter(docs, cut)
+    assert kept.columns == ["doc_id", "avg_logprob"]
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == {i for i, s in scores.items() if s >= cut}
+
+
+def test_in_domain_model_corpus(spark, docs):
+    """CCNet setup: score against a DIFFERENT (in-domain) model. A doc
+    made of the model's frequent bigrams must out-score one made of
+    out-of-vocabulary tokens."""
+    model = docs.where("doc_id <= 2")
+    probe = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quark flux")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in lm_score(probe, model_corpus=model).collect()}
+    assert got[10] > got[11]
+
+
+def test_plan_is_jvm_only(spark, docs):
+    plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan, "scoring must stay JVM-side"
