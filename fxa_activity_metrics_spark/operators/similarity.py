@@ -637,6 +637,76 @@ def _assign_cells(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 5,
+    seed: str = "fxa-ivf",
+) -> list[list[float]]:
+    """DETERMINISTIC distributed Lloyd's k-means for IVF training —
+    the quality upgrade over hash-sampled centroids, with the same
+    reproducibility contract.
+
+    Per iteration: assign every vector to its nearest current
+    centroid (one scan, the shared `_cell_exprs` closure — no
+    shuffle), then recompute per-cell means via posexplode +
+    groupBy(cell, dim). The accumulation is FIXED-POINT: each
+    component is snapped to integer micro-units
+    (round(x·1e6) as BIGINT) and summed as integers — associative and
+    order-free, so the trained centroids are bit-identical under any
+    partitioning or retry (the engine's micro-quantization precedent:
+    BM25 idf, lm_score micro-nats). Float-sum training would drift by
+    ulps per run and make every downstream IVF result
+    irreproducible. Overflow headroom: |x|≲1e3 → 1e9-scaled ≲1e9 per
+    row, 9.2e18 BIGINT ceiling allows ~1e9 rows per cell per dim.
+
+    Per-iteration driver traffic is n_cells × dim aggregate rows
+    (tiny); the corpus is scanned n_iter+0 times and never shuffled
+    on a wide key — the classic Lloyd's plan. Empty cells keep their
+    previous centroid (no respawn — deterministic). Init =
+    ``ivf_centroids`` (md5-smallest ids), so n_iter=0 degrades to the
+    existing hash-sampled build.
+    """
+    base = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    for _ in range(n_iter):
+        nearest = _cell_exprs(cents)
+        assigned = base.withColumn(
+            "cell", F.coalesce(nearest(F.col("v"), F.col("nrm"), 1)[0], F.lit(0))
+        )
+        agg = (
+            assigned.select(
+                "cell", F.posexplode(F.col("v")).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * 1e6).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        new_cents = []
+        for ci, old in enumerate(cents):
+            dims = by_cell.get(ci)
+            if not dims:
+                new_cents.append(list(old))  # empty cell: keep centroid
+                continue
+            new_cents.append(
+                [dims[p][0] / 1e6 / dims[p][1] for p in range(len(old))]
+            )
+        cents = new_cents
+    return cents
+
+
 def ivf_build_index(
     lake,
     corpus: DataFrame,
@@ -646,6 +716,7 @@ def ivf_build_index(
     n_cells: int = 16,
     seed: str = "fxa-ivf",
     centroid_source: DataFrame | None = None,
+    train_iters: int = 0,
 ) -> None:
     """Persist the IVF index to the lake — the build-once/query-many
     index story at storage level:
@@ -670,14 +741,23 @@ def ivf_build_index(
     Norms are precomputed at build time, so queries never re-fold
     corpus vectors. Rebuilding re-trains centroids; for corpus deltas
     against FIXED centroids use ``ivf_upsert_index``.
+
+    ``train_iters > 0`` refines the hash-sampled init with that many
+    deterministic Lloyd's iterations (``kmeans_centroids``) — better
+    cell balance and recall at the cost of train_iters corpus scans,
+    run once offline at build time.
     """
-    centroids = ivf_centroids(
-        centroid_source if centroid_source is not None else corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        seed=seed,
-    )
+    trainer = centroid_source if centroid_source is not None else corpus
+    if train_iters > 0:
+        centroids = kmeans_centroids(
+            trainer, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_iter=train_iters, seed=seed,
+        )
+    else:
+        centroids = ivf_centroids(
+            trainer, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, seed=seed,
+        )
     spark = corpus.sparkSession
     prior = lake.tables(f"{name}_cells_v")
     version = 1 + max(

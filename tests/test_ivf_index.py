@@ -194,3 +194,63 @@ def test_upsert_moves_changed_vector_across_cells(spark, tmp_path):
     ivf_upsert_index(lake, changed, name="m")
     rows = lake.read(tbl).filter("neighbor_id = 5").collect()
     assert len(rows) == 1, "moved key must not leave a stale duplicate"
+
+
+def test_kmeans_centroids_deterministic_and_better(spark):
+    """Deterministic Lloyd's training: bit-identical centroids under
+    repartition (fixed-point accumulation), inertia no worse than the
+    hash-sampled init, n_iter=0 == init, and a build with train_iters
+    stays query-consistent."""
+    import math
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_centroids,
+    )
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    a = kmeans_centroids(emb, n_cells=8, n_iter=3)
+    b = kmeans_centroids(emb.repartition(17), n_cells=8, n_iter=3)
+    assert a == b, "training must be bit-identical under any partitioning"
+    assert kmeans_centroids(emb, n_cells=8, n_iter=0) == [
+        list(c) for c in ivf_centroids(emb, n_cells=8)
+    ]
+
+    def inertia(cents):
+        rows = emb.collect()
+        tot = 0.0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            nv = math.sqrt(sum(x * x for x in v))
+            best = -2.0
+            for c in cents:
+                nc = math.sqrt(sum(x * x for x in c))
+                cos = sum(x * y for x, y in zip(v, c)) / (nv * nc)
+                best = max(best, cos)
+            tot += 1.0 - best
+        return tot
+
+    init = [list(c) for c in ivf_centroids(emb, n_cells=8)]
+    assert inertia(a) <= inertia(init) + 1e-9, (
+        "Lloyd's must not worsen the cosine inertia of its init"
+    )
+
+
+def test_build_with_train_iters_query_parity(spark, tmp_path):
+    """A trained build must serve queries with the SAME ranking rules;
+    persisted-trained == in-session ivf_topk over the same trained
+    centroids."""
+    from fxa_activity_metrics_spark.operators import similarity
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+
+    lake = Lake(spark, str(tmp_path / "trained_lake"))
+    emb = read_table(spark, SF, "embeddings")
+    similarity.ivf_build_index(lake, emb, n_cells=8, train_iters=2)
+    queries = emb.where("vec_id < 10")
+    got = similarity.ivf_query_index(lake, queries, k=3, n_probe=2).collect()
+    cents = similarity.kmeans_centroids(emb, n_cells=8, n_iter=2)
+    want = similarity.ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=2, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -29,6 +29,7 @@ HEADLINE = {
     "query_text_index": "persisted postings: probed term buckets partition-pruned",
     "ivf_query_index": "persisted cells: probed cells partition-pruned",
     "blob_stats_compressed": "compress + decompress-in-kernel: two Arrow passes, zero shuffle",
+    "lm_score": "bigram-count joins + integer micro-nat sum: JVM-only, order-free",
 }
 
 
