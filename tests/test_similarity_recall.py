@@ -123,3 +123,37 @@ def test_neardup_lsh_auto_planes_bounds_buckets_and_keeps_recall(spark):
     if exact:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.9, f"near-dup recall {recall:.2f} < 0.9 at auto planes"
+
+
+def test_decontam_gemm_path_equals_fold_path(spark):
+    """The auto-GEMM decontam path (large probe sets) must emit the
+    EXACT same (corpus_id, probe_id, cosine) rows as the JVM fold
+    path — the shared-oracle contract of the neardup fold/GEMM pair."""
+    from fxa_activity_metrics_spark.operators.similarity import embedding_decontam
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.where("vec_id % 50 = 0")
+    corpus = emb.where("vec_id % 50 != 0")
+    fold = sorted(
+        map(tuple, embedding_decontam(
+            corpus, probes, threshold=0.4, gemm_min_probes=10**9
+        ).collect())
+    )
+    gemm = sorted(
+        map(tuple, embedding_decontam(
+            corpus, probes, threshold=0.4, gemm_min_probes=1
+        ).collect())
+    )
+    assert fold == gemm and len(fold) > 0
+
+
+def test_decontam_probe_budget_guard(spark):
+    import pytest
+
+    from fxa_activity_metrics_spark.operators.similarity import embedding_decontam
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="probe matrix"):
+        embedding_decontam(
+            emb, emb, gemm_min_probes=1, max_probe_bytes=64
+        ).count()
