@@ -93,6 +93,21 @@ def lm_score(
     unigrams, bigrams = lm_counts(
         model_corpus if model_corpus is not None else corpus, id_col, text_col
     )
+    return lm_score_with_counts(corpus, unigrams, bigrams, id_col, text_col)
+
+
+def lm_score_with_counts(
+    corpus: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score against EXTERNAL count frames — the shared core of
+    lm_score (in-session counts) and the streaming-maintained lake
+    model (streaming/lm_stream.py): same joins, same integer
+    micro-nat arithmetic, so in-session and persisted models are
+    interchangeable by construction."""
     vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
     bg = corpus.select(
         F.col(id_col).alias("doc_id"), F.explode(_positional_bigrams(text_col)).alias("bg")
