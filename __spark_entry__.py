@@ -480,7 +480,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
     filter. Approximate vs the all-pairs baseline but deterministic —
     _NEARDUP_LSH_SQL reproduces the Hamming-≤1 candidate set exactly
-    (hash-checked); tests also assert subset-of-exact + recall ≥ 0.5."""
+    (hash-checked); tests also assert subset-of-exact + recall ≥ 0.5.
+    n_planes=4 is EXPLICIT and therefore PINNED (operator contract):
+    this query runs at the broad θ=0.4 regime where plane auto-growth
+    would cost recall AND diverge from the oracle's hardcoded
+    3-table × 4-plane bucket replay at larger corpora."""
     emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_lsh(
         emb, threshold=0.4, n_planes=4, n_tables=3, dim=_emb_dim(spark, sf_dir)
@@ -1010,13 +1014,19 @@ _INDEX_LAKES: dict[tuple[str, str], object] = {}
 
 
 def _index_lake(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
     import tempfile
 
     from fxa_activity_metrics_spark.sources.lake import Lake
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_LAKES:
-        lake = Lake(spark, tempfile.mkdtemp(prefix="fxa-index-lake-"))
+        scratch = tempfile.mkdtemp(prefix="fxa-index-lake-")
+        # scratch indexes would otherwise accumulate in /tmp across
+        # bench/parity runs — reclaim them when this process exits
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        lake = Lake(spark, scratch)
         search.build_text_index(lake, _docs(spark, sf_dir), n_buckets=16)
         similarity.ivf_build_index(
             lake, _emb(spark, sf_dir), n_cells=16,
@@ -2081,9 +2091,12 @@ def oracle_sql() -> dict[str, str]:
                round(sum(lp) / 1e6 / count(*), 6) AS avg_logprob
         FROM s GROUP BY doc_id
     """
+    # integer gate mirrors lm_filter: -3.4 → -3_400_000 micro-nats,
+    # exact BIGINT compare (avg_logprob itself is display-only)
     out["lm_filter"] = (
         "WITH scored AS (" + out["lm_score"] + ") "
-        "SELECT doc_id, avg_logprob FROM scored WHERE avg_logprob >= -3.4"
+        "SELECT doc_id, avg_logprob FROM scored "
+        "WHERE logprob_micro >= -3400000 * n_bigrams"
     )
     out["query_text_index"] = out["bm25_search"]
     out["ivf_query_index"] = _ANN_IVF_SQL

@@ -144,9 +144,21 @@ def lm_filter(
     gate (the CCNet head/middle cut as a fixed threshold — percentile
     selection composes via value_percentiles upstream). Zero-bigram
     docs are dropped: an LM gate cannot vouch for unscorable text.
-    Output: (doc_id, avg_logprob)."""
+
+    The gate compares INTEGERS, not the rounded double:
+    avg ≥ t  ⇔  logprob_micro ≥ round(t·1e6) · n_bigrams, exact
+    BIGINT arithmetic on both engines. Thresholding on the 6dp
+    ``avg_logprob`` would let a representable half-tie (e.g.
+    n_bigrams=2 with an odd micro sum) flip membership between
+    Spark's repr-then-HALF_UP round and DuckDB's binary round —
+    ``avg_logprob`` stays display-only. Output: (doc_id,
+    avg_logprob)."""
+    threshold_micro = int(round(min_avg_logprob * 1e6))
     return (
         lm_score(corpus, model_corpus, id_col, text_col)
-        .filter(F.col("avg_logprob") >= min_avg_logprob)
+        .filter(
+            F.col("logprob_micro")
+            >= F.lit(threshold_micro) * F.col("n_bigrams")
+        )
         .select("doc_id", "avg_logprob")
     )

@@ -271,6 +271,24 @@ def embedding_neardup_pairs(
     )
 
 
+def _pull_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver pull of (ids int64, matrix float64 N×dim) via Arrow —
+    ``DataFrame.toArrow()`` lands columnar buffers directly, and the
+    matrix is built by reshaping the list column's flattened values
+    buffer. No ``tolist()``: the old pandas path transiently
+    materialized every vector as a Python float list (several × the
+    nominal matrix size in peak driver memory, defeating the byte
+    guard); this path's peak is ~2× the matrix (Arrow buffer +
+    float64 copy), which is what the callers' estimates charge."""
+    import numpy as np
+
+    tbl = df.select(id_col, vec_col).toArrow()
+    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    lists = tbl.column(vec_col).combine_chunks()
+    flat = np.asarray(lists.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    return ids, flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 0)
+
+
 def embedding_neardup_pairs_gemm(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -295,14 +313,21 @@ def embedding_neardup_pairs_gemm(
     DRIVER-MEMORY BOUND: a Spark broadcast is driver-created, so the
     corpus matrix (N × dim float64 + N int64 ids) must fit on the
     driver — the irreducible cost of the broadcast formulation. The
-    pull is one Arrow ``toPandas`` (columnar batches straight to the
-    driver — never the per-Row py4j stream of the round-4
-    ``toLocalIterator`` regression, 4.2× slower), EXPLICITLY guarded:
-    a cheap count×dim estimate refuses corpora whose matrix would
-    exceed ``max_driver_bytes`` with an error naming the two
-    formulations that do scale — ``embedding_neardup_pairs`` (corpus
-    stays on executors) and ``embedding_neardup_lsh``
+    pull is one ``toArrow()`` reshaped straight into the float64
+    matrix (``_pull_matrix`` — no per-vector Python lists, so peak
+    driver memory is ~2× the matrix, not the several-× of a
+    ``toPandas``+``tolist`` conversion, and never the per-Row py4j
+    stream of the round-4 ``toLocalIterator`` regression), EXPLICITLY
+    guarded: a count×dim estimate of that 2× peak refuses corpora
+    that would exceed ``max_driver_bytes``, with an error naming the
+    two formulations that do scale — ``embedding_neardup_pairs``
+    (corpus stays on executors) and ``embedding_neardup_lsh``
     (sub-quadratic).
+
+    Cosines are emitted RAW by the numpy kernel and rounded to 6dp
+    JVM-side (``F.round``, HALF_UP) — the same single rounding rule
+    as the fold path, so an exact 6dp-tie cosine cannot round
+    differently between the two paths or vs the DuckDB oracle.
     """
     import numpy as np
 
@@ -313,17 +338,16 @@ def embedding_neardup_pairs_gemm(
             [], "id_a long, id_b long, cosine double"
         )
     n_rows = sel.count()
-    est = n_rows * (len(head[0]) * 8 + 8)
+    # 2× the matrix (Arrow buffers + float64 copy) + ids: the
+    # realistic peak of the _pull_matrix path, not just the final size
+    est = n_rows * (len(head[0]) * 8 * 2 + 8)
     if est > max_driver_bytes:
         raise ValueError(
-            f"corpus matrix ~{est >> 20} MiB exceeds the GEMM broadcast "
-            f"budget ({max_driver_bytes >> 20} MiB); use "
+            f"corpus matrix pull peak ~{est >> 20} MiB exceeds the GEMM "
+            f"broadcast budget ({max_driver_bytes >> 20} MiB); use "
             "embedding_neardup_pairs or embedding_neardup_lsh at this scale"
         )
-    pdf = sel.toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    del pdf
+    ids, mat = _pull_matrix(sel, id_col, vec_col)
     nrm = np.sqrt((mat * mat).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, nrm))
 
@@ -345,12 +369,14 @@ def embedding_neardup_pairs_gemm(
                     {
                         "id_a": aids[ai],
                         "id_b": bids[bj],
-                        "cosine": np.round(sims[ai, bj], 6),
+                        "cosine": sims[ai, bj],
                     }
                 )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        kernel, "id_a long, id_b long, cosine double"
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(kernel, "id_a long, id_b long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
     )
 
 
@@ -375,7 +401,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 2,
     dim: int | None = None,
     target_bucket_rows: int | None = 256,
@@ -399,21 +425,28 @@ def embedding_neardup_lsh(
     highest-recall point — for a training-data dedup, a missed
     near-dup is contamination, worth ~25% more candidate scoring.
 
-    ``n_planes`` is a MINIMUM: by default the plane count auto-scales
-    with corpus size (``target_bucket_rows``, one count() job) so the
-    expected bucket load stays bounded — without it candidates grow
-    as N²/2^p and the "scale path" is quadratic in disguise (135s at
-    a 20k-vector sf1, slower than the labeled GEMM baseline). Recall
-    stays high in the operator's near-dup regime: at θ=0.95 each
-    extra plane flips with probability arccos(θ)/π ≈ 0.10, so even
-    p=10 keeps ≥0.98 recall over 3 tables (identical duplicates are
-    always found — zero flip probability). For BROAD similarity
-    thresholds (θ≲0.5) plane growth does cost recall — pass
-    ``target_bucket_rows=None`` to pin the plane count and accept the
-    quadratic candidate set, or use IVF.
+    An EXPLICIT ``n_planes`` is PINNED — used exactly as given, never
+    auto-grown — so a caller (and its oracle) can rely on a fixed
+    bucket-key width at any corpus size. When ``n_planes`` is left
+    ``None``, the plane count starts at 4 and auto-scales with corpus
+    size (``target_bucket_rows``, one count() job) so the expected
+    bucket load stays bounded — without it candidates grow as N²/2^p
+    and the "scale path" is quadratic in disguise (135s at a
+    20k-vector sf1, slower than the labeled GEMM baseline). Recall
+    stays high under auto-growth in the operator's near-dup regime:
+    at θ=0.95 each extra plane flips with probability arccos(θ)/π ≈
+    0.10, so even p=10 keeps ≥0.98 recall over 3 tables (identical
+    duplicates are always found — zero flip probability). For BROAD
+    similarity thresholds (θ≲0.5) plane growth DOES cost recall
+    (boundary-pair recall at θ=0.4 drops ~0.9 → ~0.2 by p=10) —
+    there, pin ``n_planes`` explicitly (accepting the larger
+    candidate set) or use IVF. ``target_bucket_rows=None`` also
+    disables auto-scaling, keeping the default 4 planes.
     """
-    if target_bucket_rows is not None:
-        n_planes = _auto_planes(corpus.count(), n_planes, target_bucket_rows)
+    if n_planes is None:
+        n_planes = 4
+        if target_bucket_rows is not None:
+            n_planes = _auto_planes(corpus.count(), n_planes, target_bucket_rows)
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     base = corpus.select(
@@ -963,12 +996,12 @@ def embedding_decontam(
     interpreted cost dominates and the probe matrix instead
     broadcasts into an Arrow ``mapInPandas`` kernel doing one BLAS
     multiply per corpus batch — measured 170s → ~3s at sf10's 4k
-    probes × 196k corpus. Cosines are rounded to 6dp BEFORE the
-    caller sees them, which is what makes the two paths (and the
-    sequential-fold DuckDB oracle) hash-identical — the proven
-    contract of embedding_neardup vs embedding_neardup_gemm sharing
-    one oracle. ``max_probe_bytes`` guards the driver pull on the
-    GEMM path.
+    probes × 196k corpus. The GEMM kernel emits RAW cosines and the
+    6dp rounding happens JVM-side (``F.round``, HALF_UP) on BOTH
+    paths — one rounding rule, so an exact 6dp-tie cosine cannot
+    split the fold path, the GEMM path, and the DuckDB oracle.
+    ``max_probe_bytes`` guards the driver pull on the GEMM path
+    (charged at 2× the matrix — the realistic Arrow-pull peak).
 
     Output: (corpus_id, probe_id, cosine) — one row per contaminated
     (corpus, probe) pair; anti-join the distinct corpus_ids to clean.
@@ -1008,16 +1041,14 @@ def embedding_decontam(
         )
 
     head = p.select("pv").first()
-    est = n_probes * (len(head[0]) * 8 + 8)
+    est = n_probes * (len(head[0]) * 8 * 2 + 8)
     if est > max_probe_bytes:
         raise ValueError(
-            f"probe matrix ~{est >> 20} MiB exceeds the broadcast budget "
-            f"({max_probe_bytes >> 20} MiB); decontam probes are benchmark-"
-            "sized by contract — shard the probe set across calls"
+            f"probe matrix pull peak ~{est >> 20} MiB exceeds the broadcast "
+            f"budget ({max_probe_bytes >> 20} MiB); decontam probes are "
+            "benchmark-sized by contract — shard the probe set across calls"
         )
-    pdf = p.select("probe_id", "pv").toPandas()
-    pids = pdf["probe_id"].to_numpy(dtype=np.int64)
-    pmat = np.array(pdf["pv"].tolist(), dtype=np.float64)
+    pids, pmat = _pull_matrix(p, "probe_id", "pv")
     pnrm = np.sqrt((pmat * pmat).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((pids, pmat, pnrm))
 
@@ -1031,9 +1062,9 @@ def embedding_decontam(
             cids = cdf["corpus_id"].to_numpy(dtype=np.int64)
             cmat = np.array(cdf["cv"].tolist(), dtype=np.float64)
             cnrm = cdf["c_nrm"].to_numpy(dtype=np.float64)
-            # filter on the raw cosine (the fold path's convention),
-            # round only for emission — rounding before the filter
-            # would admit pairs the threshold excludes
+            # filter on the raw cosine (the fold path's convention);
+            # emission stays raw too — the 6dp round is applied
+            # JVM-side below so both paths share one rounding rule
             sims = (cmat @ bpmat.T) / (cnrm[:, None] * bpnrm[None, :])
             ci, pj = np.nonzero(sims >= threshold)
             if len(ci):
@@ -1041,8 +1072,10 @@ def embedding_decontam(
                     {
                         "corpus_id": cids[ci],
                         "probe_id": bpids[pj],
-                        "cosine": np.round(sims[ci, pj], 6),
+                        "cosine": sims[ci, pj],
                     }
                 )
 
-    return c.mapInPandas(kernel, "corpus_id long, probe_id long, cosine double")
+    return c.mapInPandas(
+        kernel, "corpus_id long, probe_id long, cosine double"
+    ).withColumn("cosine", F.round("cosine", 6))

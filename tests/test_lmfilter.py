@@ -109,12 +109,45 @@ def test_repeated_text_scores_higher_than_rare(spark, docs):
 
 
 def test_filter_threshold_and_columns(spark, docs):
-    scores = {r["doc_id"]: r["avg_logprob"] for r in lm_score(docs).collect()}
+    """The gate is exact integer arithmetic on the UNROUNDED score:
+    avg ≥ t ⇔ logprob_micro ≥ round(t·1e6)·n_bigrams. Expected
+    membership is computed from the integer fields, not the 6dp
+    display value (whose rounding could flip a borderline doc)."""
+    rows = lm_score(docs).collect()
+    scores = {r["doc_id"]: r["avg_logprob"] for r in rows}
     cut = sorted(scores.values())[len(scores) // 2]
+    cut_micro = int(round(cut * 1e6))
     kept = lm_filter(docs, cut)
     assert kept.columns == ["doc_id", "avg_logprob"]
     got = {r["doc_id"] for r in kept.collect()}
-    assert got == {i for i, s in scores.items() if s >= cut}
+    assert got == {
+        r["doc_id"]
+        for r in rows
+        if r["logprob_micro"] >= cut_micro * r["n_bigrams"]
+    }
+
+
+def test_filter_half_tie_is_engine_stable(spark):
+    """A representable 6dp half-tie (odd micro sum over n_bigrams=2)
+    must gate on the exact integer value: raw avg sits BELOW the
+    HALF_UP-rounded display value, so a threshold equal to the
+    rounded value excludes the doc — on both engines, because no
+    double rounding is consulted."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "b c")], "doc_id long, text string"
+    )
+    row = lm_score(docs).where("doc_id = 1").collect()[0]
+    assert row["n_bigrams"] == 2 and row["logprob_micro"] % 2 == 1, (
+        "fixture must produce an odd micro sum over 2 bigrams "
+        "(exact dyadic half-tie)"
+    )
+    display = row["avg_logprob"]  # the 6dp HALF_UP-rounded tie
+    raw_micro_x2 = row["logprob_micro"]  # = 2 × raw avg in micro-nats (odd)
+    kept = {r["doc_id"] for r in lm_filter(docs, display).collect()}
+    # membership must equal the exact-integer predicate, regardless of
+    # which side the display value rounded to
+    expect_kept = raw_micro_x2 >= int(round(display * 1e6)) * 2
+    assert (1 in kept) == expect_kept
 
 
 def test_in_domain_model_corpus(spark, docs):
