@@ -810,6 +810,17 @@ def q_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_images(multimodal.synth_ppm_images(_docs(spark, sf_dir)))
 
 
+def q_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash through the REAL stdlib PNG decode: the same synthetic
+    pixel rule as q_phash, but encoded as 8-bit PNG with the scanline
+    filter cycling row % 5 — decoding runs zlib inflate plus all five
+    RFC 2083 unfilters (Sub/Up/Average/Paeth in numpy) before the
+    integer-DCT hash. The oracle replays the PIXEL rule, not the
+    container (_PHASH_SQL is format-independent), so a hash match
+    proves the PNG decode recovered every pixel exactly."""
+    return multimodal.phash_images(multimodal.synth_png_images(_docs(spark, sf_dir)))
+
+
 def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs via 8-band Hamming LSH over the
     pHashes — exact for max_hamming ≤ 7 by pigeonhole, so the
@@ -1107,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "stratified_sample": q_stratified_sample,
         # -- 2. new in round 6 ---------------------------------------
-        # (inserted here as they are built)
+        "phash_png": q_phash_png,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -2105,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_query_index"] = _ANN_IVF_SQL
     out["blob_stats_compressed"] = out["blob_stats"]
     out["phash_compressed"] = _PHASH_SQL
+    # PNG twin: same pixels, different container — one oracle
+    out["phash_png"] = _PHASH_SQL
     return out
 
 

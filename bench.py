@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "chunk_pack",
     "blob_stats_compressed",
     "phash_compressed",
+    "phash_png",
     "query_text_index",
     "ivf_query_index",
     "lm_score",

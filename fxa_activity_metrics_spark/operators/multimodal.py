@@ -10,18 +10,20 @@ codec library is invoked per batch, and partitioning is preserved so
 a 100 TB corpus decodes embarrassingly parallel with zero shuffle.
 
 Kernel status: image decode / resize are REAL for binary PPM (P6)
-and audio features are REAL for RIFF PCM16 WAV — pure-numpy parsers,
-no codec library needed, exercised end-to-end in tests. COMPRESSED
-blobs are REAL for the zlib container format (magic ``FXZ1`` +
-DEFLATE stream — stdlib ``zlib``, no external codec): every decode
-kernel transparently decompresses it first, so the
-compress→store→decompress→decode chain runs end-to-end and is
-oracle-checked (`blob_stats_compressed`, `phash_compressed`).
-JPEG/PNG/mp3/ogg require codec libraries (Pillow / torchaudio / av)
-that are NOT in this container; those branches raise
-`NotImplementedError`, with deterministic fake kernels used by tests
-to pin the Spark plumbing (schema, batching, UDF signature, 1→N
-fan-out). Video frame sampling remains fully stubbed (no
+and for 8-bit PNG (stdlib zlib inflate + numpy scanline unfiltering
+of all five RFC 2083 filters — `_png_parse`, with `png_encode` as
+the writing twin), and audio features are REAL for RIFF PCM16 WAV —
+pure-numpy parsers, no codec library needed, exercised end-to-end in
+tests and the `phash_png` oracle. COMPRESSED blobs are REAL for the
+zlib container format (magic ``FXZ1`` + DEFLATE stream — stdlib
+``zlib``, no external codec): every decode kernel transparently
+decompresses it first, so the compress→store→decompress→decode chain
+runs end-to-end and is oracle-checked (`blob_stats_compressed`,
+`phash_compressed`). JPEG/mp3/ogg require codec libraries (Pillow /
+torchaudio / av) that are NOT in this container; those branches
+raise `NotImplementedError`, with deterministic fake kernels used by
+tests to pin the Spark plumbing (schema, batching, UDF signature,
+1→N fan-out). Video frame sampling remains fully stubbed (no
 container-safe format exists).
 """
 
@@ -215,24 +217,190 @@ def _ppm_parse(b: bytes):
     return w, h, maxval, data
 
 
-def decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
-    """Image decode kernel. REAL for binary PPM (P6) — a pure-numpy
-    parser, no codec library needed; feature = (mean R, mean G,
-    mean B, mean luminance), maxval-normalized. Compressed formats
-    (JPEG/PNG) need Pillow/libjpeg, absent from this container, and
-    raise — swap in a `PIL.Image.open` branch in production.
-    """
+# ---------------------------------------------------------------------------
+# PNG codec — REAL, stdlib-only (zlib inflate + numpy scanline
+# unfilter). No Pillow/libpng: the container lacks codec libraries,
+# but PNG's format is simple enough to implement from the public spec
+# (RFC 2083): chunked container, DEFLATE-compressed scanlines, five
+# per-scanline predictive filters (None/Sub/Up/Average/Paeth).
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (RFC 2083 §6.6), vectorized over numpy arrays:
+    pick whichever of left/up/up-left is closest to a + b - c."""
     import numpy as np
 
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_encode(img, filter_mode: str = "mixed", level: int = 6) -> bytes:
+    """Minimal PNG writer for 8-bit RGB (color type 2, non-interlaced).
+    ``filter_mode='mixed'`` cycles the scanline filter as row % 5 —
+    deliberately exercising every unfilter path in ``_png_parse`` (a
+    single-filter file would leave four of them untested);
+    ``'none'`` emits filter 0 everywhere. Used by ``synth_png_images``
+    and tests; a production writer would pick filters per-row by
+    heuristic, which only changes compression, not content."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3, "png_encode writes 8-bit RGB"
+    raw = img.reshape(h, w * 3).astype(np.int16)
+    zero = np.zeros(w * 3, dtype=np.int16)
+    out_rows = []
+    for r in range(h):
+        row, prior = raw[r], (raw[r - 1] if r else zero)
+        left = np.concatenate([zero[:3], row[:-3]])
+        ul = np.concatenate([zero[:3], prior[:-3]])
+        f = (r % 5) if filter_mode == "mixed" else 0
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - ((left + prior) >> 1)
+        else:
+            filt = row - _paeth(left, prior, ul)
+        out_rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(out_rows), level)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + tag + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(b: bytes):
+    """REAL PNG decode, stdlib+numpy only: chunk walk (CRC-verified),
+    zlib inflate of the concatenated IDATs, then per-scanline
+    unfiltering — Sub and Up vectorize fully (per-channel cumsum /
+    row add); Average and Paeth carry an intra-row data dependency by
+    design, so they walk pixels with 3-wide numpy ops. 8-bit only;
+    color types 0 (gray, replicated), 2 (RGB), 6 (RGBA, alpha
+    dropped); non-interlaced. Returns (w, h, 255, h×w×3 uint8) — the
+    same contract as ``_ppm_parse`` so every downstream kernel is
+    format-blind."""
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    i, ihdr, idat = len(PNG_MAGIC), None, []
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + size]
+        crc = int.from_bytes(b[i + 8 + size : i + 12 + size], "big")
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    stream = zlib.decompress(b"".join(idat))
+    rowbytes = w * channels
+    if len(stream) != h * (rowbytes + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    sl = np.frombuffer(stream, dtype=np.uint8).reshape(h, rowbytes + 1)
+    recon = np.zeros((h, rowbytes), dtype=np.uint8)
+    bpp = channels
+    for r in range(h):
+        f, raw = int(sl[r, 0]), sl[r, 1:]
+        prior = recon[r - 1] if r else np.zeros(rowbytes, dtype=np.uint8)
+        if f == 0:
+            recon[r] = raw
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            recon[r] = (
+                np.cumsum(raw.reshape(w, bpp).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(rowbytes)
+        elif f == 2:  # Up
+            recon[r] = raw + prior  # uint8 wraps mod 256
+        elif f == 3:  # Average — intra-row dependency, walk pixels
+            row = recon[r]
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, rowbytes, bpp):
+                px = (
+                    raw[x : x + bpp]
+                    + ((left + prior[x : x + bpp].astype(np.int32)) >> 1)
+                ) & 0xFF
+                row[x : x + bpp] = px
+                left = px.astype(np.int32)
+        elif f == 4:  # Paeth — intra-row dependency, walk pixels
+            row = recon[r]
+            left = np.zeros(bpp, dtype=np.uint8)
+            ul = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, rowbytes, bpp):
+                up = prior[x : x + bpp]
+                px = raw[x : x + bpp] + _paeth(left, up, ul).astype(np.uint8)
+                row[x : x + bpp] = px
+                left, ul = px, up
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+    px = recon.reshape(h, w, channels)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3]
+    return w, h, 255, np.ascontiguousarray(px)
+
+
+def _image_parse(b: bytes):
+    """Format dispatch shared by every image kernel: P6 PPM or PNG in,
+    (w, h, maxval, h×w×3 uint8) out. Compressed container handled by
+    the caller via ``maybe_decompress``."""
+    if b.startswith(b"P6"):
+        return _ppm_parse(b)
+    if b.startswith(PNG_MAGIC):
+        return _png_parse(b)
+    raise NotImplementedError(
+        "only PPM(P6) and PNG (8-bit), optionally FXZ1/zlib-wrapped, "
+        f"decode without Pillow/libjpeg; got magic {b[:2]!r}"
+    )
+
+
+def decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
+    """Image decode kernel. REAL for binary PPM (P6) and 8-bit PNG —
+    pure-numpy parsers, no codec library needed; feature = (mean R,
+    mean G, mean B, mean luminance), maxval-normalized. JPEG still
+    needs Pillow/libjpeg, absent from this container, and raises —
+    swap in a `PIL.Image.open` branch in production.
+    """
     rows = []
     for b in blobs:
         b = maybe_decompress(bytes(b))
-        if not b.startswith(b"P6"):
-            raise NotImplementedError(
-                "only PPM(P6), optionally FXZ1/zlib-wrapped, decodes "
-                f"without Pillow/libjpeg; got magic {b[:2]!r}"
-            )
-        w, h, maxval, data = _ppm_parse(b)
+        w, h, maxval, data = _image_parse(b)
         means = data.reshape(-1, 3).mean(axis=0) / maxval
         luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
         rows.append(
@@ -291,18 +459,16 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def resize_image_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
-    """Resize kernel. REAL for binary PPM (P6): nearest-neighbor via
-    numpy fancy indexing, re-emitted as P6 bytes. Other formats need
-    Pillow and raise."""
+    """Resize kernel. REAL for binary PPM (P6) and 8-bit PNG:
+    nearest-neighbor via numpy fancy indexing. Output is re-emitted
+    as P6 bytes regardless of input format (the cheap container —
+    resize output is pipeline-internal); JPEG input needs Pillow and
+    raises."""
     import numpy as np
 
     def resize_one(b) -> bytes:
         b = maybe_decompress(bytes(b))
-        if not b.startswith(b"P6"):
-            raise NotImplementedError(
-                "only PPM(P6) resizes without Pillow; swap the kernel in production"
-            )
-        src_w, src_h, maxval, data = _ppm_parse(b)
+        src_w, src_h, maxval, data = _image_parse(b)
         ys = (np.arange(height) * src_h) // height
         xs = (np.arange(width) * src_w) // width
         out = data[ys][:, xs]
@@ -486,7 +652,8 @@ PHASH_SCHEMA = T.StructType(
 
 def phash_batch(blobs: pd.Series) -> pd.DataFrame:
     """Perceptual image hash kernel (classic 8×8-DCT pHash over the
-    real PPM decode): decode P6 → integer luminance (299R+587G+114B)
+    real decode — P6 PPM or PNG, format-blind via ``_image_parse``):
+    decode → integer luminance (299R+587G+114B)
     → nearest-neighbor 16×16 → integer DCT → 8×8 low-frequency block
     → bit u·8+v set iff its coefficient exceeds the median of the 63
     AC coefficients (the 32nd-smallest value; DC excluded and its bit
@@ -499,12 +666,7 @@ def phash_batch(blobs: pd.Series) -> pd.DataFrame:
     rows = []
     for b in blobs:
         b = maybe_decompress(bytes(b))
-        if not b.startswith(b"P6"):
-            raise NotImplementedError(
-                "only PPM(P6), optionally FXZ1/zlib-wrapped, decodes "
-                f"without Pillow/libjpeg; got magic {b[:2]!r}"
-            )
-        w, h, _maxval, data = _ppm_parse(b)
+        w, h, _maxval, data = _image_parse(b)
         ys = (np.arange(16) * h) // 16
         xs = (np.arange(16) * w) // 16
         img = data[ys][:, xs].astype(np.int64)
@@ -608,6 +770,23 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     )
 
 
+def _synth_pixels(d: int, xx, yy, groups: int, height: int, width: int):
+    """The shared synthetic pixel rule (group pattern + per-member
+    one-pixel jitter) — ONE definition feeding both the PPM and PNG
+    synthesizers, so the two encodings are pixel-identical twins and
+    the format-independent pHash oracle covers both."""
+    import numpy as np
+
+    g = d % groups
+    img = np.empty((height, width, 3), np.uint8)
+    img[:, :, 0] = (g * 31 + xx * 7 + yy * 13) % 256
+    img[:, :, 1] = (g * 17 + xx * 11 + yy * 5) % 256
+    img[:, :, 2] = (g * 23 + xx * 3 + yy * 19) % 256
+    m = d // groups
+    img[(m * 13) % height, (m * 7) % width, 0] ^= 4
+    return img
+
+
 def synth_ppm_images(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -626,19 +805,42 @@ def synth_ppm_images(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yy, xx = np.mgrid[0:height, 0:width]
         for pdf in batches:
-            blobs = []
-            for d in pdf[id_col]:
-                d = int(d)
-                g = d % groups
-                img = np.empty((height, width, 3), np.uint8)
-                img[:, :, 0] = (g * 31 + xx * 7 + yy * 13) % 256
-                img[:, :, 1] = (g * 17 + xx * 11 + yy * 5) % 256
-                img[:, :, 2] = (g * 23 + xx * 3 + yy * 19) % 256
-                m = d // groups
-                img[(m * 13) % height, (m * 7) % width, 0] ^= 4
-                blobs.append(
-                    f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+            blobs = [
+                f"P6\n{width} {height}\n255\n".encode()
+                + _synth_pixels(int(d), xx, yy, groups, height, width).tobytes()
+                for d in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return docs.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, blob binary"
+    )
+
+
+def synth_png_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 24,
+    height: int = 24,
+    groups: int = 50,
+) -> DataFrame:
+    """PNG twin of ``synth_ppm_images``: the SAME pixel rule, encoded
+    as real PNG with the scanline filter cycling row % 5 — every
+    decode must run zlib inflate plus all five unfilters to recover
+    the pixels, so a pHash over these matching the format-independent
+    oracle proves the PNG decode end-to-end."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            blobs = [
+                png_encode(
+                    _synth_pixels(int(d), xx, yy, groups, height, width),
+                    filter_mode="mixed",
                 )
+                for d in pdf[id_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
     return docs.select(id_col).mapInPandas(

@@ -336,3 +336,124 @@ def test_compressed_blob_stats_describes_decompressed_payload(spark):
     plain = sorted(map(tuple, blob_stats(docs).collect()))
     comp = sorted(map(tuple, compressed_blob_stats(compress_blobs(docs)).collect()))
     assert plain == comp
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + numpy unfilter — the real compressed
+# image path)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """Encode/decode identity over random images, and prove the mixed
+    encoder really emitted every filter type (otherwise four of the
+    five unfilter paths would be dead code in this test)."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    b = mm.png_encode(img, filter_mode="mixed")
+    w, h, maxval, out = mm._png_parse(b)
+    assert (w, h, maxval) == (7, 11, 255)
+    assert np.array_equal(out, img)
+    # pull the raw scanline stream back out and read the filter bytes
+    i, idat = len(mm.PNG_MAGIC), []
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        if b[i + 4 : i + 8] == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + size])
+        i += 12 + size
+    stream = zlib.decompress(b"".join(idat))
+    rowbytes = 7 * 3 + 1
+    filters = {stream[r * rowbytes] for r in range(11)}
+    assert filters == {0, 1, 2, 3, 4}
+
+
+def test_png_gray_and_rgba_color_types():
+    """Color type 0 (gray → replicated RGB) and 6 (RGBA → alpha
+    dropped) decode via the same parser; built by hand since
+    png_encode only writes RGB."""
+    import zlib
+
+    import numpy as np
+
+    def build(ctype: int, channels: int, w: int, h: int, px: bytes) -> bytes:
+        def chunk(tag, body):
+            crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+            return len(body).to_bytes(4, "big") + tag + body + crc.to_bytes(4, "big")
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+        rows = b"".join(
+            b"\x00" + px[r * w * channels : (r + 1) * w * channels] for r in range(h)
+        )
+        return (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = build(0, 1, 3, 2, bytes([0, 100, 255, 10, 20, 30]))
+    w, h, _, data = mm._png_parse(gray)
+    assert (w, h) == (3, 2)
+    assert data[0, 1].tolist() == [100, 100, 100]
+    rgba = build(6, 4, 2, 1, bytes([1, 2, 3, 255, 4, 5, 6, 0]))
+    _, _, _, data = mm._png_parse(rgba)
+    assert data[0, 0].tolist() == [1, 2, 3] and data[0, 1].tolist() == [4, 5, 6]
+
+
+def test_png_crc_corruption_raises():
+    import numpy as np
+
+    b = bytearray(mm.png_encode(np.zeros((4, 4, 3), np.uint8)))
+    # flip a byte inside the IDAT body (after magic+IHDR chunk)
+    b[len(mm.PNG_MAGIC) + 25 + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm._png_parse(bytes(b))
+
+
+def test_phash_png_equals_phash_ppm_through_spark(spark):
+    """The graded contract: the PNG-encoded twin corpus (mixed
+    scanline filters) hashes IDENTICALLY to the PPM corpus — pixel
+    recovery through inflate + unfilter is exact."""
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    ppm = {
+        r["doc_id"]: (r["phash"], r["phash_hi"], r["phash_lo"])
+        for r in mm.phash_images(mm.synth_ppm_images(ids)).collect()
+    }
+    png = {
+        r["doc_id"]: (r["phash"], r["phash_hi"], r["phash_lo"])
+        for r in mm.phash_images(mm.synth_png_images(ids)).collect()
+    }
+    assert ppm == png and len(png) == 120
+
+
+def test_png_image_features_and_resize_match_ppm(spark):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = mm._synth_pixels(7, xx, yy, 50, 24, 24)
+    docs_png = spark.createDataFrame(
+        [(1, mm.png_encode(img))], "doc_id long, blob binary"
+    )
+    docs_ppm = spark.createDataFrame(
+        [(1, b"P6\n24 24\n255\n" + img.tobytes())], "doc_id long, blob binary"
+    )
+    f_png = mm.image_features(docs_png).collect()[0]
+    f_ppm = mm.image_features(docs_ppm).collect()[0]
+    assert f_png == f_ppm
+    r_png = mm.resize_images(docs_png, 8, 8).collect()[0]
+    r_ppm = mm.resize_images(docs_ppm, 8, 8).collect()[0]
+    assert bytes(r_png["blob"]) == bytes(r_ppm["blob"])  # both re-emit P6
+
+
+def test_zlib_wrapped_png_decodes(spark):
+    """FXZ1 container composes with the PNG codec: compress the PNG
+    blobs, hashes must not change."""
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    pngs = mm.synth_png_images(ids)
+    plain = sorted(map(tuple, mm.phash_images(pngs).collect()))
+    wrapped = sorted(map(tuple, mm.phash_images(mm.compress_blobs(pngs)).collect()))
+    assert plain == wrapped
