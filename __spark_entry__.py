@@ -994,6 +994,15 @@ def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmfilter.lm_filter(_docs(spark, sf_dir), min_avg_logprob=-3.4)
 
 
+def q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-agnostic claim made concrete: order-3 add-one LM through
+    the GENERIC scorer (lm_score_ngram) — same explode → two count
+    groupBys → gram-key equi-joins → integer micro-nat sum plan shape
+    as the bigram path, one more join-key column. P(w3|w1w2) =
+    (c123+1)/(c12+V); docs under 3 tokens are absent."""
+    return lmfilter.lm_score_ngram(_docs(spark, sf_dir), 3)
+
+
 def q_blob_stats_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec path end-to-end: blobs are zlib-wrapped
     (FXZ1 container, stdlib zlib) executor-side, then the stats kernel
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # -- 2. new in round 6 ---------------------------------------
         "phash_png": q_phash_png,
+        "lm_score_trigram": q_lm_score_trigram,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -2101,6 +2111,41 @@ def oracle_sql() -> dict[str, str]:
           CROSS JOIN v
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) AS logprob_micro,
+               round(sum(lp) / 1e6 / count(*), 6) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """
+    out["lm_score_trigram"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents
+        ), uni AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1
+        ), v AS (
+          SELECT count(*) AS vs FROM uni
+        ), bg AS (
+          SELECT tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)
+        ), bgc AS (
+          SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        ), tg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t)
+        ), tgc AS (
+          SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY w1, w2, w3
+        ), s AS (
+          SELECT tg.doc_id,
+                 CAST(round(ln(coalesce(tgc.c123, 0) + 1) * 1e6) AS BIGINT)
+                 - CAST(round(ln(coalesce(bgc.c12, 0) + vs) * 1e6) AS BIGINT)
+                   AS lp
+          FROM tg
+          LEFT JOIN tgc USING (w1, w2, w3)
+          LEFT JOIN bgc USING (w1, w2)
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(lp) AS BIGINT) AS logprob_micro,
                round(sum(lp) / 1e6 / count(*), 6) AS avg_logprob
         FROM s GROUP BY doc_id

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ivf_query_index",
     "lm_score",
     "lm_filter",
+    "lm_score_trigram",
 ]
 
 # Labeled exact O(N²) baselines (their docstrings say so): they exist

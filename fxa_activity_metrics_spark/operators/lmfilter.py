@@ -31,18 +31,42 @@ from pyspark.sql import functions as F
 from fxa_activity_metrics_spark.operators.dedup import tokens
 
 
-def _positional_bigrams(text_col: str) -> F.Column:
-    """Array<struct<w1,w2>> of consecutive token pairs, in document
-    order, duplicates kept. Same top-level-slice construction as
-    dedup.shingles — no expression inside a HOF lambda that isn't a
+def _positional_ngrams(text_col: str, n: int) -> F.Column:
+    """Array<struct<w1..wn>> of consecutive n-token windows, in
+    document order, duplicates kept — the n-agnostic core. Built from
+    n top-level slices folded with zip_with, the same construction as
+    dedup.shingles: no expression inside a HOF lambda that isn't a
     bound var (per-element re-evaluation trap)."""
+    if n < 2:
+        raise ValueError("n-gram order must be >= 2")
     toks = tokens(text_col)
-    length = F.greatest(F.size(toks) - 1, F.lit(0))
-    return F.zip_with(
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.zip_with(
         F.slice(toks, 1, length),
         F.slice(toks, 2, length),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    def _extend(fields: tuple[str, ...], k: int):
+        # closure factory: pyspark introspects HOF-lambda arity, so
+        # the loop vars can't ride in as defaulted params
+        def merge(p, c):
+            return F.struct(*[p[f].alias(f) for f in fields], c.alias(f"w{k}"))
+
+        return merge
+
+    for k in range(3, n + 1):
+        out = F.zip_with(
+            out,
+            F.slice(toks, k, length),
+            _extend(tuple(f"w{i}" for i in range(1, k)), k),
+        )
+    return out
+
+
+def _positional_bigrams(text_col: str) -> F.Column:
+    """Array<struct<w1,w2>> of consecutive token pairs (n=2 case of
+    ``_positional_ngrams``, kept as the parity-stable bigram name)."""
+    return _positional_ngrams(text_col, 2)
 
 
 def lm_counts(
@@ -126,6 +150,85 @@ def lm_score_with_counts(
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("logprob_micro"),
+        F.round(
+            F.sum("lp").cast("double") / 1e6 / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def lm_ngram_counts(
+    corpus: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """Order-n gram counts: (w1..wn, cn) — one explode + one
+    map-side-combining groupBy, the same job shape at every n (the
+    n-agnostic claim, made concrete)."""
+    cols = [f"w{i}" for i in range(1, n + 1)]
+    grams = corpus.select(F.explode(_positional_ngrams(text_col, n)).alias("g"))
+    return (
+        grams.select(*[F.col(f"g.{c}").alias(c) for c in cols])
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+
+
+def lm_score_ngram(
+    corpus: DataFrame,
+    n: int,
+    model_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one order-n log-probability — the GENERIC
+    scorer behind the bigram ``lm_score`` (n=2 is pinned bit-identical
+    to it in tests). Per position: P(wn | w1..wn-1) = (c(w1..wn) + 1)
+    / (c(w1..wn-1) + V), the textbook add-one estimate with the
+    (n-1)-gram context count in the denominator (for n=2 that context
+    count IS the unigram count; doc-final contexts with no continuation
+    still count, the standard convention). Same integer micro-nat
+    arithmetic, so the sum is order-independent and cross-engine
+    exact.
+
+    Plan shape at any n: explode → two count groupBys (model) → two
+    gram-key equi-joins (broadcast at small model sizes, AQE-skew-
+    split at scale) → integer sum. Nothing about the physical plan
+    changes with n except the join key width — which is the point.
+
+    Output: (doc_id, n_grams, logprob_micro, avg_logprob); docs with
+    fewer than n tokens are absent (nothing to score).
+    """
+    model = model_corpus if model_corpus is not None else corpus
+    gram_cols = [f"w{i}" for i in range(1, n + 1)]
+    ctx_cols = gram_cols[:-1]
+    unigrams = model.select(F.explode(tokens(text_col)).alias("w1")).groupBy(
+        "w1"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    grams_n = lm_ngram_counts(model, n, text_col)
+    if n == 2:
+        ctx = unigrams.select(F.col("w1"), F.col("c1").alias("cctx"))
+    else:
+        ctx = lm_ngram_counts(model, n - 1, text_col).withColumnRenamed(
+            "cn", "cctx"
+        )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_positional_ngrams(text_col, n)).alias("g"),
+    ).select("doc_id", *[F.col(f"g.{c}").alias(c) for c in gram_cols])
+    scored = (
+        doc_grams.join(grams_n, gram_cols, "left")
+        .join(ctx, ctx_cols, "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                _micro_ln(F.coalesce(F.col("cn"), F.lit(0)) + 1)
+                - _micro_ln(F.coalesce(F.col("cctx"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum("lp").alias("logprob_micro"),
         F.round(
             F.sum("lp").cast("double") / 1e6 / F.count(F.lit(1)).cast("double"), 6

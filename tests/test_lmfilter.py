@@ -167,3 +167,118 @@ def test_plan_is_jvm_only(spark, docs):
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan, "scoring must stay JVM-side"
+
+
+# ---------------------------------------------------------------------------
+# Generic order-n scorer (the n-agnostic plumbing, proven)
+# ---------------------------------------------------------------------------
+
+
+def _py_reference_n(docs, n):
+    """Add-one order-n LM over ``docs``, integer micro-nats —
+    generalizes _py_reference."""
+    toks = {i: [t for t in s.split(" ") if t] for i, s in docs}
+    uni: dict[str, int] = {}
+    grams: dict[tuple, int] = {}
+    ctxs: dict[tuple, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for j in range(len(ts) - n + 1):
+            g = tuple(ts[j : j + n])
+            grams[g] = grams.get(g, 0) + 1
+        for j in range(len(ts) - n + 2):
+            c = tuple(ts[j : j + n - 1])
+            if len(c) == n - 1:
+                ctxs[c] = ctxs.get(c, 0) + 1
+    v = len(uni)
+    ctx_counts = (
+        {(w,): c for w, c in uni.items()} if n == 2 else ctxs
+    )
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(
+            math.floor(-x * 1e6 + 0.5)
+        )
+
+    out = {}
+    for i, ts in toks.items():
+        windows = [tuple(ts[j : j + n]) for j in range(len(ts) - n + 1)]
+        if not windows:
+            continue
+        lp = sum(
+            micro(math.log(grams[g] + 1))
+            - micro(math.log(ctx_counts.get(g[:-1], 0) + v))
+            for g in windows
+        )
+        from decimal import ROUND_HALF_UP, Decimal
+
+        avg = float(
+            Decimal(repr(lp / 1e6 / len(windows))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        out[i] = (len(windows), lp, avg)
+    return out
+
+
+def test_generic_n2_is_bitwise_identical_to_bigram_scorer(spark, docs):
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_ngram
+
+    a = sorted(map(tuple, lm_score(docs).collect()))
+    b = sorted(map(tuple, lm_score_ngram(docs, 2).collect()))
+    assert a == b
+
+
+def test_trigram_matches_python_reference(spark, docs):
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_ngram
+
+    want = _py_reference_n(DOCS, 3)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"], r["avg_logprob"])
+        for r in lm_score_ngram(docs, 3).collect()
+    }
+    assert got == want
+    # docs with < 3 tokens are unscorable at n=3
+    assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_bigram_and_trigram_order_differently(spark):
+    """The crafted flip: doc 'p q r' has FREQUENT bigrams but a
+    never-seen trigram; doc 's t u' occurs as a full trigram. Bigram
+    scoring must prefer 'p q r'; trigram scoring must prefer
+    's t u' — if the orders agreed, the trigram entry would add no
+    modeling power over the bigram gate."""
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_ngram
+
+    model_rows = (
+        [(100 + i, "p q x") for i in range(20)]
+        + [(200 + i, "y q r") for i in range(20)]
+        + [(300 + i, "s t u") for i in range(5)]
+    )
+    model = spark.createDataFrame(model_rows, "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(1, "p q r"), (2, "s t u")], "doc_id long, text string"
+    )
+    bi = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score(probes, model_corpus=model).collect()
+    }
+    tri = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score_ngram(probes, 3, model_corpus=model).collect()
+    }
+    assert bi[1] > bi[2], "bigram gate must favor the frequent-bigram doc"
+    assert tri[2] > tri[1], "trigram gate must favor the seen-trigram doc"
+
+
+def test_trigram_plan_is_jvm_only_and_partitioning_invariant(spark, docs):
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_ngram
+
+    df = lm_score_ngram(docs, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, lm_score_ngram(docs.repartition(13, "text"), 3).collect()))
+    assert a == b
