@@ -307,88 +307,111 @@ def duplicate_clusters(
     minimum doc id reachable (so the canonical keeper of a cluster
     is ``cluster_id`` itself).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels — one
-    edges-to-labels equi-join + groupBy per round, converging in
-    O(component diameter) rounds. Near-dup clusters are dense and
-    shallow (diameter 1-3); a pointer-jumping variant (labels
-    self-join per round, O(log diameter) rounds) was measured 50%
-    SLOWER at sf0.1 because the extra join exceeds the rounds it
-    saves on shallow graphs — use it only for high-diameter inputs.
-    Diameter needing more than ``max_iter`` rounds would indicate a
-    chaining-threshold problem, so that is surfaced as an error
-    rather than silently iterated. Each round is localCheckpoint-ed:
-    the driver loop would otherwise stack lineage into an
-    exponentially re-analyzed plan. At 100 TB scale each round
-    shuffles O(edges).
+    STAR CONTRACTION, not plain label propagation: each phase every
+    node folds into min(self, neighbors) (one symmetric groupBy), the
+    running assignment composes through that fold (one join), and —
+    the part that matters at scale — the EDGE SET is rewritten onto
+    the supernodes ((u,v) → (l(u), l(v)), loops dropped, distinct),
+    so a dense duplicate group collapses to its minimum in ONE phase
+    and its edges vanish from every later phase. Plain propagation
+    (the previous implementation) re-shuffled the FULL edge list
+    every round — O(edges × rounds) — which sf10 measured at 232.6s
+    on 101.6M pairs of genuinely-dense duplicate groups; contraction
+    makes later phases O(contracted edges), i.e. the giant-clique
+    pathology costs O(edges) once. (Naively dropping same-label
+    edges WITHOUT rewriting+composition is unsound — a bridge
+    between two lagging regions can drop while a smaller label is
+    still in flight — hence the supernode rewrite, under which the
+    remaining edge carries future merges and the final labels resolve
+    through the phase composition.)
+
+    Long chains still contract ~one node per phase, so a component
+    whose collapse needs more than ``max_iter`` phases indicates a
+    chaining-threshold problem and is surfaced as an error rather
+    than silently iterated — the same contract as before. Each phase
+    is localCheckpoint-ed: the driver loop would otherwise stack
+    lineage into an exponentially re-analyzed plan.
 
     Output: (doc_id, cluster_id) for every node that appears in at
-    least one pair; singleton documents are their own cluster by
+    least one pair; cluster_id = minimum reachable doc id (the
+    canonical keeper). Singleton documents are their own cluster by
     definition and are omitted (join back against the corpus for the
     full assignment).
     """
-    # materialize the edge list ONCE: every propagation round joins
-    # against it, and `pairs` is typically the tail of an expensive
-    # candidate pipeline (LSH + verify) that must not re-execute per
-    # round
+    # canonical undirected edge list, materialized ONCE: `pairs` is
+    # typically the tail of an expensive candidate pipeline
+    # (LSH + verify) that must not re-execute per phase
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    assign = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .withColumn("cluster_id", F.col("id"))
+        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("nbr"))
+        if edges.isEmpty():
+            break
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        updated = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+        # star fold: every current node to min(self, neighbors)
+        lbl = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("m"))
             .select(
-                labels["id"],
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (F.coalesce(F.col("nbr"), F.col("cluster_id")) < F.col("cluster_id")).alias("_chg"),
+                F.col("u").alias("node"), F.least("u", "m").alias("lbl")
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("_chg")).limit(1).count()
-        labels = updated.drop("_chg")
-        if changed == 0:
-            break
-    else:
-        # the final allowed round still changed labels; it may have
-        # been the last change needed, so probe once more (failure
-        # path only) before declaring non-convergence
-        probe = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("nbr"))
-            .join(
-                labels.select(F.col("id").alias("dst2"), F.col("cluster_id").alias("_cur")),
-                F.col("dst") == F.col("dst2"),
+        # compose the assignment through this phase's fold (current
+        # cluster ids ARE current-graph node ids, so a left join
+        # suffices; unmatched = already-collapsed supernodes)
+        assign = (
+            assign.join(
+                lbl.select(
+                    F.col("node").alias("cluster_id"), F.col("lbl").alias("_new")
+                ),
+                "cluster_id",
+                "left",
             )
-            .filter(F.col("nbr") < F.col("_cur"))
-            .limit(1)
-            .count()
+            .select(
+                "doc_id",
+                F.coalesce("_new", "cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
         )
-        if probe > 0:
+        # contract: rewrite endpoints onto supernodes, drop loops
+        edges = (
+            edges.join(
+                lbl.select(F.col("node").alias("u"), F.col("lbl").alias("_lu")), "u"
+            )
+            .join(
+                lbl.select(F.col("node").alias("v"), F.col("lbl").alias("_lv")), "v"
+            )
+            .select(
+                F.least("_lu", "_lv").alias("u"),
+                F.greatest("_lu", "_lv").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        if not edges.isEmpty():
             raise RuntimeError(
                 f"duplicate_clusters did not converge in {max_iter} rounds — "
                 "component diameter exceeds the expected dedup-cluster shape"
             )
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    return assign
 
 
 def ngram_decontaminate(
