@@ -24,6 +24,8 @@ N days by reading only those partitions).
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -110,6 +112,65 @@ def run_lm_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+BASE_DAY = dt.date(1970, 1, 1)
+
+
+def rollup_counts(
+    lake: Lake,
+    keep_from: dt.date,
+    uni_table: str = "lm_unigrams",
+    bg_table: str = "lm_bigrams",
+    base_day: dt.date = BASE_DAY,
+) -> dict[str, list[dt.date]]:
+    """Fold count partitions older than ``keep_from`` into ONE base
+    partition (``day = base_day``, epoch by default) — the periodic
+    maintenance that keeps the read-time fan-out bounded: without it
+    `model_from_lake` sums across every ingested day forever.
+
+    Score-preserving by construction: counting is associative, so
+    summing (merged days ∪ existing base) into the base partition
+    leaves every total unchanged — `lm_score_from_lake` results are
+    bit-identical before/after (pinned in tests/test_streaming_lm.py).
+    Windowed models (``day >= X`` filters with X > base_day) are also
+    unaffected: only days already OUTSIDE any live window are folded,
+    and ``keep_from`` is the caller's training-window start.
+
+    Ordering hazard handled the engine's standard way: the rolled-up
+    frame reads the very base partition the write replaces, so it is
+    eagerly localCheckpoint-ed BEFORE the write (the foreachBatch
+    precedent), then the merged day partitions are dropped (O(1)
+    metadata ops, like `expire`). Idempotent: a second call finds no
+    pre-``keep_from`` day partitions and no-ops.
+
+    Returns {table: [days folded]}.
+    """
+    specs = (
+        (uni_table, ["w1"], "c1", UNIGRAMS_DAY_SCHEMA),
+        (bg_table, ["w1", "w2"], "c12", BIGRAMS_DAY_SCHEMA),
+    )
+    out: dict[str, list[dt.date]] = {}
+    for table, keys, cnt, schema in specs:
+        old = [d for d in lake.days(table) if base_day < d < keep_from]
+        out[table] = old
+        if not old:
+            continue
+        fold = old + [base_day]
+        lits = [F.lit(str(d)).cast("date") for d in fold]
+        rolled = (
+            lake.read(table, schema)
+            .filter(F.col("day").isin(*lits))
+            .groupBy(*keys)
+            .agg(F.sum(cnt).alias(cnt))
+            .withColumn("day", F.lit(str(base_day)).cast("date"))
+            .select(*keys, cnt, "day")
+            .localCheckpoint(eager=True)
+        )
+        lake.write_days(table, rolled, sort_cols=keys)
+        for d in old:
+            lake.drop_part(table, "day", d)
+    return out
 
 
 def model_from_lake(

@@ -125,3 +125,47 @@ def test_bad_filename_fails_loudly(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception():
             raise q.exception()
+
+
+def test_rollup_preserves_scores_and_bounds_partitions(spark, src_dir, tmp_path):
+    """Verdict-#8 maintenance: folding old day partitions into the
+    base partition must leave every score bit-identical, cut the
+    partition count to (live days + 1 base), and be idempotent."""
+    import datetime as dt
+
+    from fxa_activity_metrics_spark.streaming.lm_stream import (
+        BASE_DAY,
+        rollup_counts,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    _write_drop(src_dir, "documents-2024-07-03.json", _DAY3, time.time())
+    run_lm_counts_stream(spark, src_dir, lake, str(tmp_path / "ckpt")).awaitTermination(120)
+    probe = _docs_df(spark, [(100, "the cat sat on a rug"), (101, "qq zz")])
+    before_scores = sorted(map(tuple, lm_score_from_lake(probe, lake).collect()))
+    before_model = _model_rows(*model_from_lake(lake))
+    assert len(lake.days("lm_unigrams")) == 3
+
+    folded = rollup_counts(lake, keep_from=dt.date(2024, 7, 3))
+    assert folded["lm_unigrams"] == [dt.date(2024, 7, 1), dt.date(2024, 7, 2)]
+    # bounded layout: one live day + the base partition
+    assert lake.days("lm_unigrams") == [BASE_DAY, dt.date(2024, 7, 3)]
+    assert lake.days("lm_bigrams") == [BASE_DAY, dt.date(2024, 7, 3)]
+    # totals and scores are bit-identical
+    assert _model_rows(*model_from_lake(lake)) == before_model
+    assert sorted(map(tuple, lm_score_from_lake(probe, lake).collect())) == before_scores
+
+    # idempotent: nothing left to fold
+    assert rollup_counts(lake, keep_from=dt.date(2024, 7, 3)) == {
+        "lm_unigrams": [],
+        "lm_bigrams": [],
+    }
+    assert _model_rows(*model_from_lake(lake)) == before_model
+
+    # a LATER roll-up folds the remaining day INTO the existing base
+    # (base ∪ day3 re-aggregates, not overwrites)
+    folded2 = rollup_counts(lake, keep_from=dt.date(2024, 8, 1))
+    assert folded2["lm_unigrams"] == [dt.date(2024, 7, 3)]
+    assert lake.days("lm_unigrams") == [BASE_DAY]
+    assert _model_rows(*model_from_lake(lake)) == before_model
+    assert sorted(map(tuple, lm_score_from_lake(probe, lake).collect())) == before_scores
