@@ -994,6 +994,20 @@ def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmfilter.lm_filter(_docs(spark, sf_dir), min_avg_logprob=-3.4)
 
 
+def q_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007) — the
+    distributed-first backoff LM: trigram relative frequency, else
+    α·bigram, else α²·add-one unigram floor, all in integer
+    micro-nats. Scores the FULL corpus against a model trained on the
+    2/3 slice (doc_id % 3 != 0) so held-out docs genuinely exercise
+    the backoff branches under the oracle, not just the trigram hit
+    path."""
+    docs = _docs(spark, sf_dir)
+    return lmfilter.lm_score_backoff(
+        docs, model_corpus=docs.filter(F.col("doc_id") % 3 != 0)
+    )
+
+
 def q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-agnostic claim made concrete: order-3 add-one LM through
     the GENERIC scorer (lm_score_ngram) — same explode → two count
@@ -1129,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 2. new in round 6 ---------------------------------------
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
+        "lm_score_backoff": q_lm_score_backoff,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -2148,6 +2163,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(lp) AS BIGINT) AS logprob_micro,
                round(sum(lp) / 1e6 / count(*), 6) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """
+    # Stupid Backoff: model = the doc_id % 3 != 0 slice; -916291 =
+    # round(ln(0.4)·1e6), the micro-log backoff penalty (α=0.4),
+    # -1832582 = 2× for the double backoff to the unigram floor
+    out["lm_score_backoff"] = """
+        WITH ta AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents
+        ), tm AS (
+          SELECT tk FROM ta WHERE doc_id % 3 <> 0
+        ), uni AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(tk) AS w FROM tm) GROUP BY w
+        ), st AS (
+          SELECT sum(c) AS n_tok, count(*) AS v FROM uni
+        ), bgc AS (
+          SELECT w1, w2, count(*) AS c2g
+          FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2
+                FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tm))
+          GROUP BY w1, w2
+        ), tgc AS (
+          SELECT w1, w2, w3, count(*) AS c3g
+          FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+                FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM tm))
+          GROUP BY w1, w2, w3
+        ), tg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM ta)
+        ), s AS (
+          SELECT tg.doc_id,
+                 CASE
+                   WHEN coalesce(tgc.c3g, 0) > 0 THEN
+                     CAST(round(ln(tgc.c3g) * 1e6) AS BIGINT)
+                     - CAST(round(ln(b12.c2g) * 1e6) AS BIGINT)
+                   WHEN coalesce(b23.c2g, 0) > 0 THEN
+                     CAST(-916291 AS BIGINT)
+                     + CAST(round(ln(b23.c2g) * 1e6) AS BIGINT)
+                     - CAST(round(ln(u2.c) * 1e6) AS BIGINT)
+                   ELSE
+                     CAST(-1832582 AS BIGINT)
+                     + CAST(round(ln(coalesce(u3.c, 0) + 1) * 1e6) AS BIGINT)
+                     - CAST(round(ln(st.n_tok + st.v) * 1e6) AS BIGINT)
+                 END AS lp
+          FROM tg
+          LEFT JOIN tgc ON tgc.w1 = tg.w1 AND tgc.w2 = tg.w2 AND tgc.w3 = tg.w3
+          LEFT JOIN bgc b12 ON b12.w1 = tg.w1 AND b12.w2 = tg.w2
+          LEFT JOIN bgc b23 ON b23.w1 = tg.w2 AND b23.w2 = tg.w3
+          LEFT JOIN uni u2 ON u2.w = tg.w2
+          LEFT JOIN uni u3 ON u3.w = tg.w3
+          CROSS JOIN st
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lp) AS BIGINT) AS score_micro,
+               round(sum(lp) / 1e6 / count(*), 6) AS avg_score
         FROM s GROUP BY doc_id
     """
     # integer gate mirrors lm_filter: -3.4 → -3_400_000 micro-nats,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "lm_score",
     "lm_filter",
     "lm_score_trigram",
+    "lm_score_backoff",
 ]
 
 # Labeled exact O(N²) baselines (their docstrings say so): they exist

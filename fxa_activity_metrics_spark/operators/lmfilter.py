@@ -236,6 +236,125 @@ def lm_score_ngram(
     )
 
 
+def lm_score_backoff(
+    corpus: DataFrame,
+    model_corpus: DataFrame | None = None,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the backoff scheme
+    DESIGNED for distributed count-based LMs: no discount
+    normalization pass (which needs context-global statistics), just
+    relative frequencies with a fixed backoff penalty, so the whole
+    score stays join + integer arithmetic:
+
+        S(w3|w1w2) = c123/c12            if c123 > 0
+                   = α · c23/c2          elif c23 > 0
+                   = α² · (c3+1)/(N+V)   otherwise
+
+    (the last line adds the engine's add-one floor so an
+    out-of-vocabulary token scores finitely instead of log 0 — the
+    one deviation from the paper, which simply skips OOV; a filter
+    cannot skip, it must rank). Per-position log-score in INTEGER
+    micro-nats: each branch is a difference of `_micro_ln` BIGINTs
+    plus 1×/2× the micro-log of α (a driver-side literal), so the
+    per-doc sum is order-independent and cross-engine exact — same
+    contract as lm_score / lm_score_ngram.
+
+    Plan shape: explode → FIVE count-table left joins (trigram,
+    context-bigram, backoff-bigram, two unigram probes) + a 1-row
+    broadcast stats frame → integer sum. All gram-key equi-joins —
+    broadcast at small model sizes, AQE-skew-split at scale; the
+    hot-function-word skew case is the measured one in
+    tools/skew_bench.py.
+
+    Output: (doc_id, n_grams, score_micro, avg_score); docs under 3
+    tokens are absent. avg_score is display-only (6dp) — compose a
+    gate on the integer fields, the lm_filter precedent.
+    """
+    import math
+
+    model = model_corpus if model_corpus is not None else corpus
+    log_alpha_micro = int(round(math.log(alpha) * 1e6))
+
+    unigrams = (
+        model.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigrams = lm_ngram_counts(model, 2, text_col).withColumnRenamed("cn", "c2g")
+    trigrams = lm_ngram_counts(model, 3, text_col).withColumnRenamed("cn", "c3g")
+    stats = unigrams.agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    )
+
+    doc_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_positional_ngrams(text_col, 3)).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+    j = (
+        doc_grams.join(trigrams, ["w1", "w2", "w3"], "left")
+        .join(
+            bigrams.select(
+                F.col("w1"), F.col("w2"), F.col("c2g").alias("c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bigrams.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2g").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("c").alias("cu2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w3"), F.col("c").alias("cu3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    la = F.lit(log_alpha_micro).cast("bigint")
+    lp = (
+        F.when(
+            F.coalesce(F.col("c3g"), F.lit(0)) > 0,
+            _micro_ln(F.col("c3g")) - _micro_ln(F.col("c12")),
+        )
+        .when(
+            F.coalesce(F.col("c23"), F.lit(0)) > 0,
+            la + _micro_ln(F.col("c23")) - _micro_ln(F.col("cu2")),
+        )
+        .otherwise(
+            la * 2
+            + _micro_ln(F.coalesce(F.col("cu3"), F.lit(0)) + 1)
+            - _micro_ln(F.col("n_tok") + F.col("v"))
+        )
+    )
+    scored = j.select("doc_id", lp.alias("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("lp").alias("score_micro"),
+        F.round(
+            F.sum("lp").cast("double") / 1e6 / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_score"),
+    )
+
+
 def lm_filter(
     corpus: DataFrame,
     min_avg_logprob: float,

@@ -282,3 +282,125 @@ def test_trigram_plan_is_jvm_only_and_partitioning_invariant(spark, docs):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, lm_score_ngram(docs.repartition(13, "text"), 3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def _py_backoff(model_docs, probe_docs, alpha=0.4):
+    """Pure-Python Stupid Backoff reference, integer micro-nats, with
+    branch bookkeeping so tests can prove all three branches fired."""
+    def toks(s):
+        return [t for t in s.split(" ") if t]
+
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    tg: dict[tuple, int] = {}
+    for _, s in model_docs:
+        ts = toks(s)
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tg[(a, b, c)] = tg.get((a, b, c), 0) + 1
+    n_tok, v = sum(uni.values()), len(uni)
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(
+            math.floor(-x * 1e6 + 0.5)
+        )
+
+    la = micro(math.log(alpha))
+    out, branches = {}, set()
+    for i, s in probe_docs:
+        ts = toks(s)
+        wins = list(zip(ts, ts[1:], ts[2:]))
+        if not wins:
+            continue
+        lp = 0
+        for w1, w2, w3 in wins:
+            if tg.get((w1, w2, w3), 0) > 0:
+                lp += micro(math.log(tg[(w1, w2, w3)])) - micro(math.log(bg[(w1, w2)]))
+                branches.add("tri")
+            elif bg.get((w2, w3), 0) > 0:
+                lp += la + micro(math.log(bg[(w2, w3)])) - micro(math.log(uni[w2]))
+                branches.add("bi")
+            else:
+                lp += 2 * la + micro(math.log(uni.get(w3, 0) + 1)) - micro(
+                    math.log(n_tok + v)
+                )
+                branches.add("uni")
+        from decimal import ROUND_HALF_UP, Decimal
+
+        avg = float(
+            Decimal(repr(lp / 1e6 / len(wins))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        out[i] = (len(wins), lp, avg)
+    return out, branches
+
+
+def test_backoff_matches_python_reference_all_branches(spark):
+    """The fixture is built so every backoff branch fires: probe 1 is
+    an in-model trigram (branch 1); probe 2's trigram is unseen but
+    its (w2,w3) bigram exists (branch 2); probe 3 ends in an
+    out-of-vocabulary token (branch 3, add-one floor)."""
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_backoff
+
+    model_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "a dog sat on a rug"),
+    ]
+    probe_rows = [
+        (10, "the cat sat"),      # seen trigram
+        (11, "a cat sat"),        # unseen trigram, seen (cat, sat)
+        (12, "the cat zzz"),      # OOV tail -> unigram floor
+        (13, "on the mat a dog sat"),  # mixed
+    ]
+    model = spark.createDataFrame(model_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    want, branches = _py_backoff(model_rows, probe_rows)
+    assert branches == {"tri", "bi", "uni"}, "fixture must exercise all branches"
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score_micro"], r["avg_score"])
+        for r in lm_score_backoff(probe, model_corpus=model).collect()
+    }
+    assert got == want
+
+
+def test_backoff_is_jvm_only_and_partitioning_invariant(spark, docs):
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_backoff
+
+    df = lm_score_backoff(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(tuple, lm_score_backoff(docs.repartition(13, "text")).collect())
+    )
+    assert a == b
+
+
+def test_backoff_prefers_fluent_continuations(spark):
+    """A doc of in-model trigrams must out-score a doc that backs off
+    at every position — the ranking property the gate exists for."""
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_score_backoff
+
+    model = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_score"]
+        for r in lm_score_backoff(probe, model_corpus=model).collect()
+    }
+    assert got[1] > got[2]
