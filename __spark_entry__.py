@@ -1008,6 +1008,15 @@ def q_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection: rank by LM score, cut into 3
+    equal slices. Rank-based (distributed global_rank — range
+    exchange + per-partition offsets, no single-task window), so no
+    float quantile exists to disagree on: bucket = (rank-1)·3 div n
+    + 1, exact integers."""
+    return lmfilter.lm_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
 def q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-agnostic claim made concrete: order-3 add-one LM through
     the GENERIC scorer (lm_score_ngram) — same explode → two count
@@ -1144,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
         "lm_score_backoff": q_lm_score_backoff,
+        "lm_buckets": q_lm_buckets,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -2221,6 +2231,23 @@ def oracle_sql() -> dict[str, str]:
                round(sum(lp) / 1e6 / count(*), 6) AS avg_score
         FROM s GROUP BY doc_id
     """
+    # rank-based CCNet cut: the ordering key (avg_logprob, doc_id) is
+    # bit-identical cross-engine, and the bucket is pure integer math
+    out["lm_buckets"] = (
+        "WITH scored AS ("
+        + out["lm_score"]
+        + """)
+        , r AS (
+          SELECT doc_id, avg_logprob,
+                 row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rank,
+                 count(*) OVER () AS n
+          FROM scored
+        )
+        SELECT doc_id, avg_logprob, rank,
+               CAST((rank - 1) * 3 // n + 1 AS INTEGER) AS bucket
+        FROM r
+    """
+    )
     # integer gate mirrors lm_filter: -3.4 → -3_400_000 micro-nats,
     # exact BIGINT compare (avg_logprob itself is display-only)
     out["lm_filter"] = (

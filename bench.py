@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "lm_filter",
     "lm_score_trigram",
     "lm_score_backoff",
+    "lm_buckets",
 ]
 
 # Labeled exact O(N²) baselines (their docstrings say so): they exist

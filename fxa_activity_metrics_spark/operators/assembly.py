@@ -480,6 +480,65 @@ def curriculum_order(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over a TOTAL order — the
+    scale-correct form of ``row_number() OVER (ORDER BY ...)``, which
+    as a bare window collapses to a single task.
+
+    Classic three-step distributed rank: range-repartition on the
+    order keys (eagerly materialized so the boundary sample is
+    computed once), count rows per range partition (one lightweight
+    job; nparts rows collected — metadata-scale), then rank = within-
+    partition row_number + the preceding partitions' total, applied
+    as a broadcast map literal. Partition-parallel end to end; the
+    global sort is the one range exchange.
+
+    ``order_cols`` MUST define a total order (append a unique id as
+    the last key): with ties, range boundaries could split a tie
+    group across partitions and make the rank assignment
+    partition-dependent. ``total_col`` optionally attaches the total
+    row count as a literal column (known driver-side for free —
+    saves callers a count job).
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(nparts, *order_cols).localCheckpoint(eager=True)
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in part.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        off = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .withColumn(out_col, (F.row_number().over(w) + off).cast("long"))
+        .drop("_pid")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out
+
+
 def write_training_shards(
     df: DataFrame,
     out_dir: str,

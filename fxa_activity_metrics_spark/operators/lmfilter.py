@@ -355,6 +355,49 @@ def lm_score_backoff(
     )
 
 
+def lm_buckets(
+    corpus: DataFrame,
+    model_corpus: DataFrame | None = None,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's actual selection step (Wenzek et al. 2020 §4.2): rank
+    documents by LM score and cut the ranking into ``n_buckets``
+    equal slices — bucket 1 = head (most in-domain), then middle,
+    tail. A fixed threshold (lm_filter) drifts as the corpus mix
+    drifts; the head/middle/tail cut is self-calibrating, which is
+    why CCNet ships data by bucket.
+
+    Rank-based, not value-threshold-based, so no float quantile is
+    ever computed: documents order by (avg_logprob DESC, doc_id) —
+    a total order both engines agree on bit-for-bit — through the
+    distributed ``global_rank`` (range exchange + per-partition
+    offsets, no single-task window), and bucket = (rank-1)·k div n
+    + 1, exact integer arithmetic. Docs with no bigrams are absent
+    (unscorable — the lm_filter convention).
+
+    Output: (doc_id, avg_logprob, rank, bucket).
+    """
+    from fxa_activity_metrics_spark.operators.assembly import global_rank
+
+    scored = lm_score(corpus, model_corpus, id_col, text_col)
+    ranked = global_rank(
+        scored,
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        out_col="rank",
+        total_col="_n",
+    )
+    return ranked.select(
+        "doc_id",
+        "avg_logprob",
+        "rank",
+        (
+            F.expr(f"(rank - 1) * {int(n_buckets)} div _n") + F.lit(1)
+        ).cast("int").alias("bucket"),
+    )
+
+
 def lm_filter(
     corpus: DataFrame,
     min_avg_logprob: float,

@@ -404,3 +404,76 @@ def test_backoff_prefers_fluent_continuations(spark):
         for r in lm_score_backoff(probe, model_corpus=model).collect()
     }
     assert got[1] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# Distributed rank + CCNet head/middle/tail buckets
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_is_dense_total_and_partition_invariant(spark):
+    from fxa_activity_metrics_spark.operators.assembly import global_rank
+
+    rows = [(i, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranked = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            df, [F.col("v").desc(), F.col("id").asc()], total_col="n"
+        ).collect()
+    }
+    want_order = [i for i, _ in sorted(rows, key=lambda t: (-t[1], t[0]))]
+    assert ranked == {i: pos + 1 for pos, i in enumerate(want_order)}
+    # physical partitioning must not change a single rank
+    ranked13 = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            df.repartition(13, "id"), [F.col("v").desc(), F.col("id").asc()]
+        ).collect()
+    }
+    assert ranked13 == ranked
+    # the plan must NOT contain a global single-partition window:
+    # every Window sort key list includes the injected partition id
+    plan = global_rank(df, [F.col("v").desc(), F.col("id").asc()])._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+
+
+def test_global_rank_empty_frame(spark):
+    from fxa_activity_metrics_spark.operators.assembly import global_rank
+
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_rank(df, [F.col("v"), F.col("id")]).count() == 0
+
+
+def test_lm_buckets_equal_slices_and_head_quality(spark):
+    from fxa_activity_metrics_spark.operators.lmfilter import lm_buckets
+
+    # 9 scorable docs with strictly distinct scores (each appends a
+    # growing tail of unique junk tokens, monotonically diluting the
+    # in-model prefix) -> buckets of exactly 3/3/3
+    rows = [
+        (
+            i,
+            "the cat sat on the mat "
+            + " ".join(f"z{i}x{j}" for j in range(i - 1)),
+        )
+        for i in range(1, 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lm_buckets(docs, n_buckets=3).collect()
+    assert len(got) == 9
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in got)
+    assert sizes == {1: 3, 2: 3, 3: 3}
+    # ranks are a permutation of 1..9, rank order = score order, and
+    # the head bucket is exactly the 3 best-scoring docs
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, 10))
+    ordered = sorted(got, key=lambda r: r["rank"])
+    scores = [r["avg_logprob"] for r in ordered]
+    assert len(set(scores)) == 9, "fixture must produce distinct scores"
+    assert scores == sorted(scores, reverse=True)
+    assert [r["bucket"] for r in ordered] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    top3 = {r["doc_id"] for r in sorted(got, key=lambda r: -r["avg_logprob"])[:3]}
+    assert {r["doc_id"] for r in got if r["bucket"] == 1} == top3
