@@ -376,17 +376,85 @@ def _png_parse(b: bytes):
     return w, h, 255, np.ascontiguousarray(px)
 
 
+def _bmp_parse(b: bytes):
+    """REAL BMP decode for the classic uncompressed case: 24-bit
+    BI_RGB with a BITMAPINFOHEADER. Rows are 4-byte padded, stored
+    bottom-up (negative height = top-down, also handled), samples in
+    BGR order — all pure numpy slicing. Returns the shared
+    (w, h, 255, h×w×3 RGB uint8) contract."""
+    import numpy as np
+
+    if not b.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    pix_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got {bpp}-bit, "
+            f"compression {compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=pix_off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 255, np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+def bmp_encode(img) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, 4-byte-padded
+    rows) — the testing twin of ``_bmp_parse``."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3, "bmp_encode writes 24-bit RGB"
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(pix)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + pix
+
+
 def _image_parse(b: bytes):
-    """Format dispatch shared by every image kernel: P6 PPM or PNG in,
-    (w, h, maxval, h×w×3 uint8) out. Compressed container handled by
-    the caller via ``maybe_decompress``."""
+    """Format dispatch shared by every image kernel: P6 PPM, PNG, or
+    BMP in, (w, h, maxval, h×w×3 uint8) out. Compressed container
+    handled by the caller via ``maybe_decompress``."""
     if b.startswith(b"P6"):
         return _ppm_parse(b)
     if b.startswith(PNG_MAGIC):
         return _png_parse(b)
+    if b.startswith(b"BM"):
+        return _bmp_parse(b)
     raise NotImplementedError(
-        "only PPM(P6) and PNG (8-bit), optionally FXZ1/zlib-wrapped, "
-        f"decode without Pillow/libjpeg; got magic {b[:2]!r}"
+        "only PPM(P6), PNG (8-bit), and BMP (24-bit BI_RGB), optionally "
+        f"FXZ1/zlib-wrapped, decode without Pillow/libjpeg; got magic {b[:2]!r}"
     )
 
 

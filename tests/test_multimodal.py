@@ -457,3 +457,46 @@ def test_zlib_wrapped_png_decodes(spark):
     plain = sorted(map(tuple, mm.phash_images(pngs).collect()))
     wrapped = sorted(map(tuple, mm.phash_images(mm.compress_blobs(pngs)).collect()))
     assert plain == wrapped
+
+
+def test_bmp_roundtrip_and_format_blind_phash(spark):
+    """24-bit BMP: encode/decode identity (odd widths exercise row
+    padding; bottom-up storage and BGR order must both be undone),
+    and the pHash of a BMP-encoded corpus equals the PPM twin —
+    format-blind, like PNG."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (3, 2), (5, 7), (24, 24)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        pw, ph, mx, out = mm._bmp_parse(mm.bmp_encode(img))
+        assert (pw, ph, mx) == (w, h, 255)
+        assert np.array_equal(out, img), f"bmp mismatch at {w}x{h}"
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    rows = [
+        (d, mm.bmp_encode(mm._synth_pixels(d, xx, yy, 50, 24, 24)))
+        for d in range(40)
+    ]
+    bmp_docs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    ppm_ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got_bmp = sorted(map(tuple, mm.phash_images(bmp_docs).collect()))
+    got_ppm = sorted(
+        map(tuple, mm.phash_images(mm.synth_ppm_images(ppm_ids)).collect())
+    )
+    assert got_bmp == got_ppm
+
+
+def test_bmp_top_down_variant_decodes(spark):
+    import numpy as np
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    b = bytearray(mm.bmp_encode(img))
+    # flip to top-down: negate height, reverse the row order in place
+    b[22:26] = (-3).to_bytes(4, "little", signed=True)
+    stride = (4 * 3 + 3) & ~3
+    pix = b[54:]
+    rows = [pix[i * stride : (i + 1) * stride] for i in range(3)]
+    b[54:] = b"".join(reversed(rows))
+    _, _, _, out = mm._bmp_parse(bytes(b))
+    assert np.array_equal(out, img)
