@@ -477,17 +477,46 @@ def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup: hyperplane-LSH bucket join + exact cosine
-    filter. Approximate vs the all-pairs baseline but deterministic —
-    _NEARDUP_LSH_SQL reproduces the Hamming-≤1 candidate set exactly
-    (hash-checked); tests also assert subset-of-exact + recall ≥ 0.5.
-    n_planes=4 is EXPLICIT and therefore PINNED (operator contract):
-    this query runs at the broad θ=0.4 regime where plane auto-growth
-    would cost recall AND diverge from the oracle's hardcoded
-    3-table × 4-plane bucket replay at larger corpora."""
+    """Broad-θ near-dup via hyperplane LSH with a PINNED plane count:
+    deterministic — _NEARDUP_LSH_SQL reproduces the Hamming-≤1
+    candidate set exactly (hash-checked); tests also assert
+    subset-of-exact + recall ≥ 0.5. n_planes=4 is EXPLICIT and
+    therefore PINNED (operator contract): θ=0.4 is the broad regime
+    where plane auto-growth would cost recall AND diverge from the
+    oracle's hardcoded 3-table × 4-plane replay. The price of
+    pinning is the docstring's own warning — at broad θ with fixed
+    planes the candidate set grows ~N²/2^p, so at sf ≥ 1 the bench
+    classifies THIS configuration with the labeled quadratic
+    baselines and measures `embedding_neardup_lsh_auto` (near-dup
+    regime, auto planes, dynamic oracle) as the scale path."""
     emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_lsh(
         emb, threshold=0.4, n_planes=4, n_tables=3, dim=_emb_dim(spark, sf_dir)
+    )
+
+
+def q_embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SCALING LSH configuration, oracle-checked at any
+    corpus size: n_planes=None, so the plane count grows with
+    count(*) to bound the per-bucket load (~linear candidates — this
+    is what keeps the op fast at sf1 where the pinned-plane twin goes
+    quadratic). The oracle is fully DYNAMIC: it replays the
+    _auto_planes formula (smallest p in [4,16] with n·(p+1) ≤
+    256·2^p), generates that many md5 hyperplanes, and probes every
+    one-bit flip — hash-exact at sf0.01 (p=4, where it equals the
+    pinned twin), sf0.1 (p=6), and sf1 (p=10) alike.
+
+    Run at θ=0.4 because this corpus has NO pairs above cosine 0.8
+    (near-uniform synthetic vectors), and a permanently-empty result
+    proves nothing. θ=0.4 is the broad regime, so the bounded-
+    candidate trade honestly costs recall as p grows (measured ~0.9
+    at p=4 → ~0.2 at p=10 — tools/skew_bench-era numbers, see
+    similarity.py docstring); the recall-keeping θ≥0.95 regime is
+    pinned with planted duplicates in tests/test_similarity_recall.py,
+    and the recommended broad-θ scale path is IVF."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_neardup_lsh(
+        emb, threshold=0.4, n_tables=3, dim=_emb_dim(spark, sf_dir)
     )
 
 
@@ -1154,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_trigram": q_lm_score_trigram,
         "lm_score_backoff": q_lm_score_backoff,
         "lm_buckets": q_lm_buckets,
+        "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1180,9 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "session_window": q_session_window,
         "winnow_fingerprint": q_winnow_fingerprint,
-        "ngram_decontam": q_ngram_decontam,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "ngram_decontam": q_ngram_decontam,
         "blob_stats": q_blob_stats,
         "phash": q_phash,
         "phash_pairs": q_phash_pairs,
@@ -1395,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle hash-verifies both
         "embedding_neardup_gemm": _NEARDUP_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
+        "embedding_neardup_lsh_auto": _NEARDUP_LSH_AUTO_SQL,
         "injection_filter": """
             WITH staged AS (
               SELECT doc_id,
@@ -2605,6 +2636,73 @@ _NEARDUP_LSH_SQL = """
       FROM bkt b,
            (SELECT unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
                    xor(b.bucket, 4), xor(b.bucket, 8)]) AS pb) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM probes a JOIN bkt c ON c.t = a.t AND c.bucket = a.bucket
+                              AND a.id < c.id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             list_sum(list_transform(range(1, 1 + len(va.e)),
+               i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS cos
+      FROM cand JOIN v va ON va.id = cand.id_a
+                JOIN v vb ON vb.id = cand.id_b
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
+"""
+
+
+# DYNAMIC-plane LSH near-dup oracle (the auto-scale configuration):
+# the plane count replays similarity._auto_planes — smallest p in
+# [4,16] with n·(p+1) ≤ 256·2^p, from count(*) — then 3 tables × p
+# md5 hyperplanes, one-bit multiprobe over all p bits, exact cosine
+# ≥ 0.95. Stays hash-exact at every sf because p is computed, not
+# hardcoded.
+_NEARDUP_LSH_AUTO_SQL = """
+    WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    pc AS (
+      SELECT coalesce(
+               (SELECT min(p) FROM range(4, 17) t(p), nn
+                 WHERE nn.n * (p + 1) <= 256 * (CAST(1 AS BIGINT) << p)),
+               16) AS np
+    ),
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t, p, list_transform(range(0, (SELECT d FROM dim)), i ->
+        CASE WHEN ('0x' || substring(md5('fxa-lsh:' || CAST(t AS VARCHAR)
+                     || ':' || CAST(p AS VARCHAR)
+                     || ':' || CAST(i AS VARCHAR)), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS pl
+      FROM range(0, 3) tt(t) CROSS JOIN range(0, 16) pp(p)
+      WHERE p < (SELECT np FROM pc)
+    ),
+    bkt AS (
+      SELECT v.id, pl.t,
+             CAST(COALESCE(SUM(CASE WHEN
+               list_sum(list_transform(range(1, 1 + len(v.e)),
+                 i -> v.e[i] * pl.pl[i])) > 0
+               THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END), 0) AS BIGINT)
+               AS bucket
+      FROM v CROSS JOIN planes pl
+      GROUP BY v.id, pl.t
+    ),
+    flips AS (
+      SELECT f FROM range(-1, 16) ff(f) WHERE f < (SELECT np FROM pc)
+    ),
+    probes AS (
+      SELECT b.id, b.t,
+             CASE WHEN fl.f < 0 THEN b.bucket
+                  ELSE xor(b.bucket, CAST(1 AS BIGINT) << fl.f) END AS bucket
+      FROM bkt b CROSS JOIN flips fl
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, c.id AS id_b

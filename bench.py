@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_gemm",
     "embedding_neardup_lsh",
+    "embedding_neardup_lsh_auto",
     "injection_filter",
     "empty_backfill",
     "text_quality",
@@ -90,13 +91,22 @@ BENCH_QUERIES = [
     "lm_buckets",
 ]
 
-# Labeled exact O(N²) baselines (their docstrings say so): they exist
-# to oracle-check and recall-bound the sub-quadratic scale paths
-# (embedding_neardup_lsh), not to run at scale. At sf >= 1 they are
-# SKIPPED — loudly, recorded in the output's `skipped` field — because
-# timing a documented quadratic baseline at 10× data measures the
-# label, not the engine (107s/18s at sf1 vs the scale path's ~2s).
-QUADRATIC_BASELINES = {"embedding_neardup", "embedding_neardup_gemm"}
+# Labeled quadratic configurations (their docstrings say so): they
+# exist to oracle-check and recall-bound the sub-quadratic scale
+# paths, not to run at scale. At sf >= 1 they are SKIPPED — loudly,
+# recorded in the output's `skipped` field — because timing a
+# documented quadratic configuration at 10× data measures the label,
+# not the engine (107s/18s exact baselines, 112s pinned-4-plane LSH
+# at sf1 vs the auto-plane scale path's ~7s). embedding_neardup_lsh
+# is here since round 6: its EXPLICIT n_planes=4 is pinned for
+# oracle exactness at broad θ, which accepts the N²/2⁴ candidate
+# set; embedding_neardup_lsh_auto (dynamic-plane oracle) is the
+# measured scale path.
+QUADRATIC_BASELINES = {
+    "embedding_neardup",
+    "embedding_neardup_gemm",
+    "embedding_neardup_lsh",
+}
 
 
 def budget_violations(timings: dict[str, float], factor: float = 5.0, floor: float = 5.0) -> list[str]:
