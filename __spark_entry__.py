@@ -401,6 +401,76 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer
+    dim BROADCAST into orders, fact-fact equi-join to lineitem,
+    grouped revenue, then top-10 via orderBy+limit — Spark plans that
+    as TakeOrderedAndProject (per-partition heaps + driver merge of
+    10 rows), never a global sort. Deterministic under ties:
+    (revenue DESC, l_orderkey ASC) totally orders the output."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter-windowed per-supplier
+    revenue, then the suppliers whose revenue equals the global max —
+    the max is a 1-row broadcast crossJoin (the engine's scalar-
+    subquery idiom, same as BM25's stats frame), so the revenue
+    table is scanned once and never re-shuffled. Exact decimal sums
+    keep the equality comparison engine-stable."""
+    li = _fact(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -1184,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_backoff": q_lm_score_backoff,
         "lm_buckets": q_lm_buckets,
         "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
+        "shipping_priority": q_shipping_priority,
+        "top_suppliers": q_top_suppliers,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1208,10 +1280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "injection_filter": q_injection_filter,
         "empty_backfill": q_empty_backfill,
         "asof_join": q_asof_join,
-        "session_window": q_session_window,
-        "winnow_fingerprint": q_winnow_fingerprint,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "session_window": q_session_window,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_decontam": q_ngram_decontam,
         "blob_stats": q_blob_stats,
         "phash": q_phash,
@@ -1367,6 +1439,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "top_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST('1.00' AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash,

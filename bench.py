@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "order_revenue",
     "nation_revenue",
+    "shipping_priority",
+    "top_suppliers",
     "daily_activity_per_device",
     "multi_device_users_join",
     "multi_device_users_window",
