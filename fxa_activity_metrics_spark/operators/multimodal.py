@@ -9,22 +9,29 @@ Decode / feature-extraction runs as Arrow-batched `mapInPandas`
 codec library is invoked per batch, and partitioning is preserved so
 a 100 TB corpus decodes embarrassingly parallel with zero shuffle.
 
-Kernel status: image decode / resize are REAL for binary PPM (P6)
-and for 8-bit PNG (stdlib zlib inflate + numpy scanline unfiltering
-of all five RFC 2083 filters — `_png_parse`, with `png_encode` as
-the writing twin), and audio features are REAL for RIFF PCM16 WAV —
-pure-numpy parsers, no codec library needed, exercised end-to-end in
-tests and the `phash_png` oracle. COMPRESSED blobs are REAL for the
-zlib container format (magic ``FXZ1`` + DEFLATE stream — stdlib
-``zlib``, no external codec): every decode kernel transparently
-decompresses it first, so the compress→store→decompress→decode chain
-runs end-to-end and is oracle-checked (`blob_stats_compressed`,
-`phash_compressed`). JPEG/mp3/ogg require codec libraries (Pillow /
-torchaudio / av) that are NOT in this container; those branches
-raise `NotImplementedError`, with deterministic fake kernels used by
-tests to pin the Spark plumbing (schema, batching, UDF signature,
-1→N fan-out). Video frame sampling remains fully stubbed (no
-container-safe format exists).
+Kernel status: image decode / resize are REAL, with no codec
+library, for four formats behind one dispatch (`_image_parse`):
+binary PPM (P6); 8-bit PNG (stdlib zlib inflate + numpy scanline
+unfiltering of all five RFC 2083 filters — `_png_parse`, with
+`png_encode` as the writing twin); 24-bit BI_RGB BMP; and BASELINE
+JPEG (`_jpeg_parse` / `jpeg_encode` — the full ITU T.81 baseline
+sequential pipeline from the public spec: Annex K quant + Huffman
+tables, canonical code construction, DC-differential + AC
+run-length entropy coding with byte stuffing, orthonormal 8×8 DCT,
+YCbCr; 4:4:4 only — progressive, subsampled, and restart-interval
+streams raise documented NotImplementedErrors). JPEG is lossy, so
+it has PSNR-floor and determinism tests rather than an exact pixel
+oracle (PNG/BMP/PPM hash-match the pixel-rule oracle exactly).
+Audio features are REAL for RIFF PCM16 WAV. COMPRESSED blobs are
+REAL for the zlib container format (magic ``FXZ1`` + DEFLATE
+stream): every decode kernel transparently decompresses it first,
+so the compress→store→decompress→decode chain runs end-to-end and
+is oracle-checked (`blob_stats_compressed`, `phash_compressed`,
+`phash_png`). mp3/ogg audio still needs torchaudio/soundfile and
+raises; video frame sampling remains fully stubbed (no
+container-safe format exists) — both with deterministic fake
+kernels pinning the Spark plumbing (schema, batching, UDF
+signature, 1→N fan-out).
 """
 
 from __future__ import annotations
@@ -442,19 +449,491 @@ def bmp_encode(img) -> bytes:
     return hdr + info + pix
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec — REAL, numpy-only (ITU T.81 baseline
+# sequential DCT, Annex K tables). No libjpeg: the full baseline
+# pipeline — YCbCr, 8×8 orthonormal DCT, quality-scaled quantization,
+# zigzag, DC-differential + AC run-length Huffman entropy coding with
+# byte stuffing — is implemented from the public spec. 4:4:4 only
+# (each component full resolution); subsampled (4:2:0) streams raise
+# a documented NotImplementedError. JPEG is LOSSY, so unlike PNG/BMP
+# there is no exact pixel oracle — tests pin PSNR floors, phash
+# robustness, and decode determinism instead.
+# ---------------------------------------------------------------------------
+
+#: Annex K quantization tables (luminance / chrominance), row-major.
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K Huffman specs: (BITS[1..16], HUFFVAL). Encoder and decoder
+#: derive canonical codes from the same spec, so self-consistency is
+#: structural; the import-time asserts below pin len(vals)==sum(bits).
+_JPEG_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+for _bits, _vals in (_JPEG_DC_LUMA, _JPEG_DC_CHROMA, _JPEG_AC_LUMA, _JPEG_AC_CHROMA):
+    assert len(_vals) == sum(_bits), "Huffman spec BITS/HUFFVAL mismatch"
+
+
+def _jpeg_zigzag():
+    """The 8×8 zigzag scan order, generated (not hardcoded): walk
+    anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        idxs = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        if s % 2 == 0:
+            idxs.reverse()
+        order.extend(r * 8 + c for r, c in idxs)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix M (F = M·B·Mᵀ, B = Mᵀ·F·M):
+    M[u,x] = 0.5·C(u)·cos((2x+1)uπ/16), C(0)=1/√2 else 1 — the exact
+    T.81 §A.3.3 definition in matrix form."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8))
+    for u in range(8):
+        c = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """JPEG canonical Huffman assignment (T.81 Annex C): symbols in
+    spec order get consecutive codes per length; code doubles when
+    length grows. Returns {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_quant_tables(quality: int):
+    """libjpeg-convention quality scaling of the Annex K tables."""
+    import numpy as np
+
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA):
+        t = [(min(255, max(1, (v * scale + 50) // 100))) for v in base]
+        out.append(np.array(t, dtype=np.int32).reshape(8, 8))
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int):
+    """(category, value-bits) per T.81 §F.1.2.1: s = bit length of
+    |v|; negatives are stored one's-complemented."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def jpeg_encode(img, quality: int = 90) -> bytes:
+    """Baseline sequential JFIF encoder: 8-bit RGB in, 4:4:4, Annex K
+    quant (quality-scaled) + Huffman tables. Pure numpy DCT path;
+    the entropy coder is a per-block Python loop (encode is a test /
+    synthesis tool — the hot decode path is the batch kernel)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3, "jpeg_encode writes 8-bit RGB"
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qt_l, qt_c = _jpeg_quant_tables(quality)
+    m = _jpeg_dct_matrix()
+    dc_specs = (_JPEG_DC_LUMA, _JPEG_DC_CHROMA, _JPEG_DC_CHROMA)
+    ac_specs = (_JPEG_AC_LUMA, _JPEG_AC_CHROMA, _JPEG_AC_CHROMA)
+    dc_codes = [_jpeg_canonical_codes(*s) for s in dc_specs]
+    ac_codes = [_jpeg_canonical_codes(*s) for s in ac_specs]
+    qts = (qt_l, qt_c, qt_c)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    bh, bwd = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for comp in comps:
+        p = np.empty((bh * 8, bwd * 8))
+        p[:h, :w] = comp
+        p[h:, :w] = comp[h - 1 : h, :]  # edge-replicate pad
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    for by in range(bh):
+        for bx in range(bwd):
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = m @ (block - 128.0) @ m.T
+                qc = np.round(coef / qts[ci]).astype(np.int64)
+                zz = qc.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, vb = _jpeg_magnitude(diff)
+                c, ln = dc_codes[ci][s]
+                bw.put(c, ln)
+                if s:
+                    bw.put(vb, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[ci][0xF0]  # ZRL
+                        bw.put(c, ln)
+                        run -= 16
+                    s, vb = _jpeg_magnitude(v)
+                    c, ln = ac_codes[ci][(run << 4) | s]
+                    bw.put(c, ln)
+                    bw.put(vb, s)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = ac_codes[ci][0x00]  # EOB
+                    bw.put(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, table) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(table.flatten()[z]) for z in _ZIGZAG))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, 0x11, 0])  # component 1: 1x1 sampling, QT 0
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + dht(0, 0, _JPEG_DC_LUMA)
+        + dht(1, 0, _JPEG_AC_LUMA)
+        + dht(0, 1, _JPEG_DC_CHROMA)
+        + dht(1, 1, _JPEG_AC_CHROMA)
+        + sof
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing. Restart
+    markers raise: this engine's encoder never emits DRI/RSTn, and a
+    silently-approximate predictor reset would be worse than a loud
+    boundary (T.81 §B.2.1.2 restart support is a documented gap)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d = data
+        self.i = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.i >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.n += 8
+                continue
+            byte = self.d[self.i]
+            if byte == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn
+                    raise NotImplementedError(
+                        "JPEG restart markers (DRI/RSTn) not supported"
+                    )
+                else:  # EOI / next marker: stop consuming
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            else:
+                self.i += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_huffman(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """Inverse of _jpeg_magnitude (T.81 §F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_parse(b: bytes):
+    """REAL baseline JPEG decode: marker walk (DQT/DHT/SOF0/DRI/SOS),
+    Huffman entropy decode with unstuffing and RST handling, dequant,
+    de-zigzag, orthonormal IDCT, YCbCr→RGB. 4:4:4 (all sampling
+    factors 1×1) only; progressive (SOF2) and subsampled streams
+    raise NotImplementedError. Returns the shared
+    (w, h, 255, h×w×3 uint8) contract."""
+    import numpy as np
+
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    i = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps = []
+    while i < len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before SOS")
+        size = int.from_bytes(b[i + 2 : i + 4], "big")
+        body = b[i + 4 : i + 2 + size]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tid = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                t = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    t[_ZIGZAG[k]] = body[j + 1 + k]
+                qt[tid] = t.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                codes = _jpeg_canonical_codes(bits, vals)
+                huff[(cls, tid)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            depth = body[0]
+            hh = int.from_bytes(body[1:3], "big")
+            ww = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if depth != 8 or nc not in (1, 3):
+                raise NotImplementedError("only 8-bit 1/3-component JPEG")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-4:4:4) not supported"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = (ww, hh, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+        elif marker == 0xDA:
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 0xF)
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ww, hh, nc = sof
+            m = _jpeg_dct_matrix()
+            bh, bwd = (hh + 7) // 8, (ww + 7) // 8
+            planes = [np.empty((bh * 8, bwd * 8)) for _ in range(nc)]
+            br = _BitReader(b, i + 2 + size)
+            pred = [0] * nc
+            for by in range(bh):
+                for bx in range(bwd):
+                    for ci in range(nc):
+                        dc_t = huff[(0, sel[comps[ci]["id"]][0])]
+                        ac_t = huff[(1, sel[comps[ci]["id"]][1])]
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _jpeg_decode_huffman(br, dc_t)
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huffman(br, ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _jpeg_extend(br.bits(s), s)
+                            k += 1
+                        qtab = qt[comps[ci]["tq"]]
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_ZIGZAG] = zz
+                        coef = block.reshape(8, 8) * qtab
+                        px = m.T @ coef.astype(np.float64) @ m + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            if nc == 1:
+                y = np.clip(planes[0][:hh, :ww], 0, 255)
+                rgb = np.repeat(y[:, :, None], 3, axis=2)
+            else:
+                y = planes[0][:hh, :ww]
+                cb = planes[1][:hh, :ww] - 128.0
+                cr = planes[2][:hh, :ww] - 128.0
+                rgb = np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=2,
+                )
+                rgb = np.clip(rgb, 0, 255)
+            return ww, hh, 255, np.ascontiguousarray(rgb.round().astype(np.uint8))
+        i += 2 + size
+    raise ValueError("JPEG missing SOS")
+
+
 def _image_parse(b: bytes):
-    """Format dispatch shared by every image kernel: P6 PPM, PNG, or
-    BMP in, (w, h, maxval, h×w×3 uint8) out. Compressed container
-    handled by the caller via ``maybe_decompress``."""
+    """Format dispatch shared by every image kernel: P6 PPM, PNG,
+    BMP, or baseline JPEG in, (w, h, maxval, h×w×3 uint8) out.
+    Compressed container handled by the caller via
+    ``maybe_decompress``."""
     if b.startswith(b"P6"):
         return _ppm_parse(b)
     if b.startswith(PNG_MAGIC):
         return _png_parse(b)
     if b.startswith(b"BM"):
         return _bmp_parse(b)
+    if b.startswith(b"\xff\xd8"):
+        return _jpeg_parse(b)
     raise NotImplementedError(
-        "only PPM(P6), PNG (8-bit), and BMP (24-bit BI_RGB), optionally "
-        f"FXZ1/zlib-wrapped, decode without Pillow/libjpeg; got magic {b[:2]!r}"
+        "only PPM(P6), PNG (8-bit), BMP (24-bit BI_RGB), and baseline "
+        "JPEG (SOF0, 4:4:4), optionally FXZ1/zlib-wrapped, decode "
+        f"without external codec libraries; got magic {b[:2]!r}"
     )
 
 

@@ -500,3 +500,118 @@ def test_bmp_top_down_variant_decodes(spark):
     b[54:] = b"".join(reversed(rows))
     _, _, _, out = mm._bmp_parse(bytes(b))
     assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (ITU T.81, numpy-only)
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr_and_quality_monotonicity():
+    """Lossy codec contract: reconstruction fidelity floors, quality
+    knob monotone in bytes AND fidelity, exact on flat content."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    stats = {}
+    for q in (95, 75, 50):
+        b = mm.jpeg_encode(grad, quality=q)
+        w, h, mx, out = mm._jpeg_parse(b)
+        assert (w, h, mx) == (56, 40, 255)
+        stats[q] = (len(b), _psnr(grad, out))
+    assert stats[95][1] > 40 and stats[75][1] > 32 and stats[50][1] > 28
+    assert stats[95][0] > stats[75][0] > stats[50][0]
+    assert stats[95][1] > stats[75][1] > stats[50][1]
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    _, _, _, out = mm._jpeg_parse(mm.jpeg_encode(flat, quality=90))
+    assert int(np.abs(out.astype(int) - 128).max()) == 0
+
+
+def test_jpeg_odd_sizes_and_noise_floor():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (7, 9), (8, 8), (17, 5), (33, 24)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        pw, ph, _, out = mm._jpeg_parse(mm.jpeg_encode(img, quality=90))
+        assert (pw, ph) == (w, h)
+        assert _psnr(img, out) > 25  # noise is the hardest content
+
+
+def test_jpeg_decode_is_deterministic_and_dispatched():
+    """Decode of FIXED bytes is bitwise-deterministic (what makes the
+    batch kernel safe under Spark task retries), and _image_parse
+    dispatches on the SOI magic."""
+    import hashlib
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = mm._synth_pixels(3, xx, yy, 50, 24, 24)
+    b = mm.jpeg_encode(img, quality=90)
+    d1 = mm._jpeg_parse(b)[3]
+    d2 = mm._image_parse(b)[3]
+    assert np.array_equal(d1, d2)
+    h1 = hashlib.md5(d1.tobytes()).hexdigest()
+    for _ in range(3):
+        assert hashlib.md5(mm._jpeg_parse(b)[3].tobytes()).hexdigest() == h1
+
+
+def test_jpeg_phash_robustness_through_spark(spark):
+    """The multimodal-dedup story must survive the lossy codec:
+    pHash over JPEG-compressed images stays Hamming-close to the
+    pHash of the originals (q=95), through the real Spark kernel."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    rows_raw, rows_jpg = [], []
+    for d in range(30):
+        img = mm._synth_pixels(d, xx, yy, 50, 24, 24)
+        rows_raw.append((d, b"P6\n24 24\n255\n" + img.tobytes()))
+        rows_jpg.append((d, mm.jpeg_encode(img, quality=95)))
+    raw = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in mm.phash_images(
+            spark.createDataFrame(rows_raw, "doc_id long, blob binary")
+        ).collect()
+    }
+    jpg = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in mm.phash_images(
+            spark.createDataFrame(rows_jpg, "doc_id long, blob binary")
+        ).collect()
+    }
+    dists = []
+    for d in raw:
+        ham = bin(raw[d][0] ^ jpg[d][0]).count("1") + bin(
+            raw[d][1] ^ jpg[d][1]
+        ).count("1")
+        dists.append(ham)
+    assert max(dists) <= 16 and sum(dists) / len(dists) <= 8, dists
+
+
+def test_jpeg_unsupported_variants_raise():
+    import numpy as np
+
+    b = bytearray(mm.jpeg_encode(np.zeros((8, 8, 3), np.uint8)))
+    # find SOF0 marker and flip to SOF2 (progressive)
+    i = b.find(b"\xff\xc0")
+    b2 = bytearray(b)
+    b2[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        mm._jpeg_parse(bytes(b2))
+    # flip component 1 sampling factor to 2x2 (4:2:0-style)
+    b3 = bytearray(b)
+    b3[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="4:4:4|subsampled"):
+        mm._jpeg_parse(bytes(b3))
