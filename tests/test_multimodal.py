@@ -20,7 +20,8 @@ def blobs(spark):
 
 
 def test_stubs_raise_cleanly(blobs):
-    with pytest.raises(Exception, match="Pillow|PyAV|torchaudio"):
+    # text/plain blobs match none of the four real image decoders
+    with pytest.raises(Exception, match="codec|PyAV|torchaudio"):
         mm.image_features(blobs).collect()
 
 
@@ -135,11 +136,16 @@ def test_real_wav_decode_through_spark(spark):
     assert r["rms"] == pytest.approx(0.5, abs=1e-4)
 
 
-def test_non_ppm_still_raises(spark):
+def test_unknown_and_malformed_magic_raise(spark):
     from fxa_activity_metrics_spark.operators.multimodal import decode_image_batch
     import pandas as pd
 
+    # unknown container (GIF) -> loud documented boundary
     with pytest.raises(NotImplementedError, match="PPM"):
+        decode_image_batch(pd.Series([b"GIF89a....."]))
+    # a JPEG SOI with garbage after it is a MALFORMED stream now that
+    # baseline JPEG decodes for real -> parse error, not a stub
+    with pytest.raises(ValueError):
         decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0jpegdata"]))
 
 
