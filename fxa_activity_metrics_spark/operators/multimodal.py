@@ -938,11 +938,11 @@ def _image_parse(b: bytes):
 
 
 def decode_image_batch(blobs: pd.Series) -> pd.DataFrame:
-    """Image decode kernel. REAL for binary PPM (P6) and 8-bit PNG —
-    pure-numpy parsers, no codec library needed; feature = (mean R,
-    mean G, mean B, mean luminance), maxval-normalized. JPEG still
-    needs Pillow/libjpeg, absent from this container, and raises —
-    swap in a `PIL.Image.open` branch in production.
+    """Image decode kernel. REAL for binary PPM (P6), 8-bit PNG,
+    24-bit BMP, and baseline JPEG — pure-numpy parsers behind
+    ``_image_parse``, no codec library needed; feature = (mean R,
+    mean G, mean B, mean luminance), maxval-normalized. Unknown
+    containers raise the documented boundary.
     """
     rows = []
     for b in blobs:
@@ -1006,11 +1006,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def resize_image_batch(blobs: pd.Series, width: int, height: int) -> pd.Series:
-    """Resize kernel. REAL for binary PPM (P6) and 8-bit PNG:
-    nearest-neighbor via numpy fancy indexing. Output is re-emitted
-    as P6 bytes regardless of input format (the cheap container —
-    resize output is pipeline-internal); JPEG input needs Pillow and
-    raises."""
+    """Resize kernel. REAL for PPM, PNG, BMP, and baseline JPEG:
+    nearest-neighbor via numpy fancy indexing over the shared
+    ``_image_parse`` decode. Output is re-emitted as P6 bytes
+    regardless of input format (the cheap container — resize output
+    is pipeline-internal)."""
     import numpy as np
 
     def resize_one(b) -> bytes:
