@@ -1,6 +1,9 @@
-"""Multimodal plumbing tests: the Arrow/mapInPandas batch shapes are
-real even though the codec kernels are stubbed — schemas, 1→1 and
-1→N fan-out, determinism, shuffle-freedom, and the stub contract."""
+"""Multimodal tests: Arrow/mapInPandas batch shapes (schemas, 1→1
+and 1→N fan-out, determinism, shuffle-freedom) plus the REAL
+numpy-only codecs — PPM, PNG (all five scanline filters), BMP,
+baseline JPEG, MJPEG-AVI frame sampling, PCM-WAV, and the FXZ1
+compressed container — with the remaining stub boundaries (mp3,
+inter-coded video) pinned to raise loudly."""
 
 from __future__ import annotations
 
@@ -621,3 +624,68 @@ def test_jpeg_unsupported_variants_raise():
     b3[i + 11] = 0x22
     with pytest.raises(NotImplementedError, match="4:4:4|subsampled"):
         mm._jpeg_parse(bytes(b3))
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI video frame sampling (real, end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _make_avi(doc_id: int, n_frames: int, fps: int = 10):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    frames = [
+        mm._synth_pixels(doc_id * 100 + f, xx, yy, 50, 24, 24)
+        for f in range(n_frames)
+    ]
+    return frames, mm.avi_encode(frames, fps=fps, quality=90)
+
+
+def test_real_video_sampling_through_spark(spark):
+    """The formerly-stubbed modality, end to end: MJPEG-AVI blobs →
+    sample_video_frames → per-sample P6 frames that decode through
+    the shared image kernels with JPEG-grade fidelity."""
+    import numpy as np
+
+    f1, avi1 = _make_avi(1, 25)  # 2.5 s @ 10 fps -> samples at 0/1/2 s
+    f2, avi2 = _make_avi(2, 8)   # 0.8 s -> one sample at 0 ms
+    docs = spark.createDataFrame(
+        [(1, avi1), (2, avi2)], "doc_id long, blob binary"
+    )
+    rows = mm.sample_video_frames(docs, every_ms=1000).collect()
+    got = {(r["doc_id"], r["frame_ts_ms"]) for r in rows}
+    assert got == {(1, 0), (1, 1000), (1, 2000), (2, 0)}
+    for r in rows:
+        w, h, _, px = mm._image_parse(bytes(r["frame"]))
+        assert (w, h) == (24, 24)
+        src = (f1 if r["doc_id"] == 1 else f2)[
+            min(int(r["frame_ts_ms"] / 100.0), (25 if r["doc_id"] == 1 else 8) - 1)
+        ]
+        mse = ((px.astype(float) - src.astype(float)) ** 2).mean()
+        assert mse < 260, f"sampled frame too lossy (mse {mse:.0f})"
+
+
+def test_video_sampling_composes_with_fxz1_and_phash(spark):
+    """Container composition: zlib-wrapped AVI decodes transparently,
+    and sampled frames feed phash_images — the video arm of the
+    multimodal dedup family."""
+    _, avi = _make_avi(3, 12)
+    docs = spark.createDataFrame([(3, avi)], "doc_id long, blob binary")
+    frames = mm.sample_video_frames(mm.compress_blobs(docs), every_ms=400)
+    hashed = mm.phash_images(
+        frames.select(
+            frames["frame_ts_ms"].alias("doc_id"), frames["frame"].alias("blob")
+        )
+    ).collect()
+    assert len(hashed) == 3  # 1.2 s / 400 ms
+    assert all(len(r["phash"]) == 16 for r in hashed)
+
+
+def test_non_mjpeg_avi_raises():
+    _, avi = _make_avi(4, 2)
+    bad = bytearray(avi)
+    i = bad.find(b"vids")
+    bad[i + 4 : i + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPEG|ffmpeg"):
+        mm._avi_parse(bytes(bad))
