@@ -813,6 +813,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring detection (Lee et al. 2021 suffix-array
+    dedup, Spark-shaped): maximal spans of word 8-grams occurring
+    >= 2 times anywhere in the corpus, per doc, 1-based inclusive
+    token positions."""
+    return dedup.duplicated_spans(_docs(spark, sf_dir), k=8, min_count=2)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL: every doc re-emitted with its
+    duplicated spans cut out (clean_text) plus removal accounting —
+    the substring-granular dedup treatment the Lee et al. paper
+    shows beats whole-document dedup."""
+    return dedup.substring_dedup(_docs(spark, sf_dir), k=8, min_count=2)
+
+
 def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/benchmark decontamination: corpus docs sharing any word
     4-gram with the probe slice (doc_id % 20 == 0 stands in for a
@@ -1256,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
         "shipping_priority": q_shipping_priority,
         "top_suppliers": q_top_suppliers,
+        "dedup_spans": q_dedup_spans,
+        "substring_dedup": q_substring_dedup,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1278,10 +1296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": q_jaccard_dedup,
         "simhash": q_simhash,
         "injection_filter": q_injection_filter,
-        "empty_backfill": q_empty_backfill,
-        "asof_join": q_asof_join,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "empty_backfill": q_empty_backfill,
+        "asof_join": q_asof_join,
         "session_window": q_session_window,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_decontam": q_ngram_decontam,
@@ -1722,6 +1740,75 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
             )"""
         + _CLOSURE_SQL,
+        "dedup_spans": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i AS pos,
+                     md5(list_aggregate(list_slice(t, i, i + 7), 'string_agg', ' ')) AS gh
+              FROM tk, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+            ), dup AS (
+              SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM occ JOIN dup USING (gh)
+            ), lagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                   max(pos) + 7 - min(pos) + 1 AS span_tokens,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, island
+        """,
+        "substring_dedup": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i AS pos,
+                     md5(list_aggregate(list_slice(t, i, i + 7), 'string_agg', ' ')) AS gh
+              FROM tk, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+            ), dup AS (
+              SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM occ JOIN dup USING (gh)
+            ), lagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            ), spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+            ), sp AS (
+              SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+              FROM spans GROUP BY doc_id
+            ), kept AS (
+              -- DuckDB lambda indexes are 1-based (Spark's are 0-based;
+              -- the engine code adds 1), so i compares directly
+              SELECT tk.doc_id, tk.t,
+                     CASE WHEN sp.spans IS NULL THEN tk.t
+                          ELSE list_filter(tk.t, (x, i) ->
+                                 len(list_filter(sp.spans,
+                                     sv -> i >= sv.s AND i <= sv.e)) = 0)
+                     END AS kt
+              FROM tk LEFT JOIN sp USING (doc_id)
+            )
+            SELECT doc_id, len(t) AS n_tokens, len(t) - len(kt) AS n_removed,
+                   coalesce(list_aggregate(kt, 'string_agg', ' '), '') AS clean_text
+            FROM kept
+        """,
         "ngram_decontam": """
             WITH tk AS (
               SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t

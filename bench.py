@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "winnow_fingerprint_rk",
     "dedup_clusters",
+    "dedup_spans",
+    "substring_dedup",
     "ngram_decontam",
     "pii_scrub",
     "repetition_stats",

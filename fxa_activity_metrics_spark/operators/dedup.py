@@ -450,3 +450,124 @@ def ngram_decontaminate(
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def _positional_gram_hashes(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, pos, gh): md5 of each word k-gram with its 1-based
+    start-token position. Grams are built once per row via the
+    zip_with-of-slices shape (see shingles()); the transform lambda
+    only touches its own element, so nothing upstream re-evaluates
+    per element."""
+    grams = shingles(text_col, k, distinct=False)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("g").alias("gh"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection, the suffix-array dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 §4.1) re-expressed for Spark:
+    instead of one global suffix array — inherently sequential and
+    memory-resident — every word k-gram becomes a positional md5
+    anchor, grams occurring >= min_count times anywhere in the corpus
+    mark their start positions, and overlapping/adjacent marked
+    positions fuse into maximal spans per document (gaps-and-islands).
+    Any duplicated substring of >= k tokens is covered by a chain of
+    duplicated k-grams, so the merged spans are exactly the maximal
+    duplicated regions at k-token resolution.
+
+    Scale shape (100 TB): gram counting is ONE shuffle with map-side
+    combine on uniformly-distributed md5 keys; the join back is a
+    1:1 equi-join on gh (each occurrence matches at most one
+    surviving digest row — no fan-out; AQE splits any hot boilerplate
+    gram); the islands pass shuffles once on doc_id with bounded
+    per-doc state. Everything is built-in expressions — no UDFs, no
+    driver materialization, nothing quadratic.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_grams) with
+    1-based inclusive token positions. Exact DuckDB oracle (md5 and
+    the window algebra are engine-identical).
+    """
+    occ = _positional_gram_hashes(docs, k, id_col, text_col)
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    hits = occ.join(dup, "gh").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0).alias("_brk"),
+    )
+    isl = lagged.select("doc_id", "pos", F.sum("_brk").over(w).alias("island"))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span found by duplicated_spans() from
+    the corpus text (the "dedup by removing repeated substrings"
+    treatment of Lee et al. 2021 §4.1, which their paper shows beats
+    whole-document dedup on memorization).
+
+    The spans for each doc collapse to a small array (collect_list of
+    (start,end) structs — per-doc span counts are bounded by doc
+    length / k), broadcast back onto the corpus via a left join on
+    doc_id, and each token is kept iff no span covers its 1-based
+    position — an exists() probe over the tiny span array, fully
+    inside codegen. Docs with no duplicated span pass through intact;
+    docs that are entirely duplicated text come out with
+    clean_text = '' (kept, so the caller decides the drop policy).
+
+    Output: (doc_id, n_tokens, n_removed, clean_text).
+    """
+    spans = duplicated_spans(docs, k, min_count, id_col, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).join(per_doc, "doc_id", "left")
+    covered = lambda t, i: F.exists(
+        F.col("_spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), F.col("_toks")
+    ).otherwise(F.filter("_toks", lambda t, i: ~covered(t, i)))
+    return base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -430,3 +430,104 @@ def test_chunk_pack_bins_respect_capacity(spark):
         seen.add(r.chunk_uid)
         fills[r.bin_id] += r.n_tokens
     assert max(fills.values()) <= 512
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans / removal (Lee et al. 2021-style)
+# ---------------------------------------------------------------------------
+
+from fxa_activity_metrics_spark.operators.dedup import (  # noqa: E402
+    duplicated_spans,
+    substring_dedup,
+)
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_planted_duplicate_found_and_merged(spark):
+    # a 6-token phrase shared by two docs, different surroundings;
+    # k=4 -> three overlapping dup 4-grams per doc merge to ONE span
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared + " four"),
+    ]
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicated_spans(_span_docs(spark, rows), k=4).collect()
+    }
+    # doc 1: shared phrase at token positions 3..8; doc 2: 4..9
+    assert got == {1: (3, 8, 3), 2: (4, 9, 3)}
+
+
+def test_spans_disjoint_regions_stay_separate(spark):
+    # two shared phrases separated by a > k unique gap -> two islands
+    a = "aa bb cc dd"
+    b = "ww xx yy zz"
+    rows = [
+        (1, a + " u1 u2 u3 u4 u5 " + b),
+        (2, a + " v1 v2 v3 v4 v5 " + b),
+    ]
+    spans = duplicated_spans(_span_docs(spark, rows), k=4).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert sorted(per_doc[1]) == [(1, 4), (10, 13)]
+    assert sorted(per_doc[2]) == [(1, 4), (10, 13)]
+
+
+def test_spans_within_doc_repeat_counts(spark):
+    # min_count counts TOTAL occurrences, so a phrase repeated inside
+    # one doc is duplicated even with a single-doc corpus
+    rows = [(1, "p q r s x y z p q r s")]
+    spans = duplicated_spans(_span_docs(spark, rows), k=4).collect()
+    assert sorted((r["span_start"], r["span_end"]) for r in spans) == [
+        (1, 4),
+        (8, 11),
+    ]
+
+
+def test_spans_short_doc_and_unique_doc_empty(spark):
+    rows = [(1, "only three tokens"), (2, "totally unique words here now ok")]
+    assert duplicated_spans(_span_docs(spark, rows), k=4).count() == 0
+
+
+def test_substring_dedup_removes_only_the_span(spark):
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared + " four"),
+        (3, "nothing shared in this doc at all"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup(_span_docs(spark, rows), k=4).collect()
+    }
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed"] == 6
+    assert got[2]["clean_text"] == "one two three four"
+    assert got[3]["clean_text"] == "nothing shared in this doc at all"
+    assert got[3]["n_removed"] == 0
+
+
+def test_substring_dedup_fully_duplicated_doc_empties(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup(_span_docs(spark, rows), k=4).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["clean_text"] == ""
+        assert got[d]["n_removed"] == 6
+        assert got[d]["n_tokens"] == 6
+
+
+def test_substring_dedup_min_count_threshold(spark):
+    # the phrase occurs twice: min_count=3 must leave it alone
+    rows = [(1, "m n o p tail"), (2, "m n o p other")]
+    df = substring_dedup(_span_docs(spark, rows), k=4, min_count=3)
+    assert {r["n_removed"] for r in df.collect()} == {0}
