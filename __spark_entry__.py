@@ -779,6 +779,26 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_sessions(ev, "30 minutes", user_col="user_id", ts_col="ts")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle over the events stream table: first-seen-day
+    cohorts x day offset, with integer ppm retention rates. One
+    user_id shuffle — no cohort self-join."""
+    from fxa_activity_metrics_spark.operators.summaries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step ordered funnel (signup -> view -> click -> purchase),
+    greedy earliest-chain semantics: one fold per user vs the
+    oracle's four chained conditional-min passes."""
+    from fxa_activity_metrics_spark.operators.summaries import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["signup", "view", "click", "purchase"]
+    )
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace words + BPE-ish regex
     pieces (letter runs / digit runs / punctuation marks)."""
@@ -1274,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": q_top_suppliers,
         "dedup_spans": q_dedup_spans,
         "substring_dedup": q_substring_dedup,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1294,10 +1316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "jaccard_dedup": q_jaccard_dedup,
-        "simhash": q_simhash,
-        "injection_filter": q_injection_filter,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "simhash": q_simhash,
+        "injection_filter": q_injection_filter,
         "empty_backfill": q_empty_backfill,
         "asof_join": q_asof_join,
         "session_window": q_session_window,
@@ -1740,6 +1762,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
             )"""
         + _CLOSURE_SQL,
+        "cohort_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), c AS (
+              SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id
+            ), pu AS (
+              SELECT c.cohort_day,
+                     date_diff('day', c.cohort_day, ud.d) AS day_offset
+              FROM ud JOIN c USING (user_id)
+            ), counts AS (
+              SELECT cohort_day, day_offset, count(*) AS n_active
+              FROM pu GROUP BY 1, 2
+            ), sizes AS (
+              SELECT cohort_day, n_active AS n_cohort
+              FROM counts WHERE day_offset = 0
+            )
+            SELECT cohort_day, day_offset, n_active, n_cohort,
+                   n_active * 1000000 // n_cohort AS rate_ppm
+            FROM counts JOIN sizes USING (cohort_day)
+        """,
+        "funnel_steps": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+            ), a1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), a2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN a1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > a1.t1 GROUP BY e.user_id
+            ), a3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN a2 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > a2.t2 GROUP BY e.user_id
+            ), a4 AS (
+              SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN a3 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > a3.t3 GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM a1
+            UNION ALL
+            SELECT 2, 'view', count(*) FROM a2
+            UNION ALL
+            SELECT 3, 'click', count(*) FROM a3
+            UNION ALL
+            SELECT 4, 'purchase', count(*) FROM a4
+        """,
         "dedup_spans": """
             WITH tk AS (
               SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t

@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "flow_sessionize",
     "asof_join",
     "session_window",
+    "cohort_retention",
+    "funnel_steps",
     "daily_uniques_hll",
     "value_percentiles",
     "json_extract",

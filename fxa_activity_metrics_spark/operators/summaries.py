@@ -312,3 +312,154 @@ def multi_device_users_window(
         F.explode("trailing_devices").alias("device_prev"),
     ).filter(F.col("device_now") != F.col("device_prev"))
     return pairs.distinct()
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention triangle: users grouped into cohorts by first-seen
+    day, counted at each later day offset — the classic activity-
+    metrics rollup downstream of the reference's daily summaries
+    (calculate_daily_summary.py computes the per-day inputs; this is
+    the cross-day readout a dashboard derives from them).
+
+    Plan shape (100 TB): the events relation is shuffled ONCE. Each
+    user's distinct active days collapse to a sorted array in a
+    single user_id groupBy (per-user state is bounded by the
+    observation window, e.g. <= 90 days); the cohort day is the
+    array head and every offset is derived by exploding the same
+    array — no self-join, no second shuffle of the events table,
+    unlike the naive cohort-join formulation (events JOIN first_seen
+    ON user_id) which shuffles twice and carries the skew of power
+    users into a join. Everything downstream of the groupBy operates
+    on one row per (cohort_day, day_offset) — days^2/2 rows no
+    matter the corpus size.
+
+    Output: (cohort_day, day_offset, n_active, n_cohort, rate_ppm)
+    where n_cohort is the cohort's size (its offset-0 count) and
+    rate_ppm = n_active * 1_000_000 div n_cohort — integer
+    parts-per-million so the ratio is cross-engine exact (no float
+    rounding at the oracle boundary).
+    """
+    days = (
+        events.select(
+            F.col(user_col).alias("uid"),
+            F.to_date(ts_col).alias("d"),
+        )
+        .groupBy("uid")
+        .agg(F.sort_array(F.collect_set("d")).alias("days"))
+    )
+    per_user = days.select(
+        F.element_at("days", 1).alias("cohort_day"),
+        F.explode("days").alias("d"),
+    ).select(
+        "cohort_day", F.datediff("d", "cohort_day").alias("day_offset")
+    )
+    counts = per_user.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    # n_cohort is the cohort's offset-0 count. A window over the
+    # ALREADY-AGGREGATED counts (one row per cohort x offset — tiny
+    # at any corpus size) reads it without the naive alternative's
+    # second events scan + join: a filter(offset=0) sizes subtree is
+    # not exchange-reusable (the pushed filter changes the subtree),
+    # so it would recompute the whole uid shuffle.
+    wc = Window.partitionBy("cohort_day")
+    return counts.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active")))
+        .over(wc)
+        .alias("n_cohort"),
+    ).select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("n_active * 1000000L div n_cohort").alias("rate_ppm"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users progressed through
+    `steps` in order, each step strictly later than the one before.
+
+    Semantics (greedy earliest-chain): step 1 anchors at the user's
+    MIN step-1 timestamp, step i+1 at the min step-(i+1) timestamp
+    STRICTLY after the anchored step-i time. A single left fold over
+    the user's time-sorted events computes exactly that chain — at
+    each event, advance iff it names the next pending step and lies
+    strictly after the last anchor (the fold meets each candidate in
+    ascending order, so the first qualifying event IS the min). The
+    SQL oracle states the same thing as n chained conditional-min
+    aggregations — textbook, but n passes over the data; the fold is
+    the one-pass form.
+
+    Plan shape (100 TB): events are pre-filtered to the step types
+    (predicate reaches the scan), then ONE shuffle on user_id
+    collects each user's (ts, event_id, type) triples — per-user
+    state bounded by that user's step-type events. The fold and the
+    step explode are array expressions inside codegen; the final
+    rollup is a map-side-combined groupBy over <= len(steps) keys.
+    Ties are broken by the unique event id, so the sort — and the
+    whole result — is deterministic in both engines.
+
+    Output: (step, step_name, n_users), step 1-based; a user reaching
+    step i counts toward every step <= i.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("uid"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("eid"),
+                F.col(type_col).alias("et"),
+            ).alias("e"),
+        )
+        .groupBy("uid")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+    )
+    seed = F.struct(
+        F.lit(0).alias("step"),
+        F.lit(None).cast("timestamp").alias("last"),
+    )
+    reached = F.aggregate(
+        F.col("evs"),
+        seed,
+        lambda acc, e: F.when(
+            (acc["step"] < len(steps))
+            & (e["et"] == F.element_at(step_arr, acc["step"] + 1))
+            & (acc["last"].isNull() | (e["ts"] > acc["last"])),
+            F.struct(
+                (acc["step"] + 1).alias("step"), e["ts"].alias("last")
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["step"],
+    )
+    per_user = evs.select(reached.alias("reached")).filter(F.col("reached") > 0)
+    return (
+        per_user.select(
+            F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "step",
+            F.element_at(step_arr, F.col("step")).alias("step_name"),
+            "n_users",
+        )
+    )
