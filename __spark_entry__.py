@@ -471,6 +471,52 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): quarter-filtered
+    orders that HAVE at least one returned lineitem, counted by
+    priority. The existence test is a LEFT-SEMI join — Spark never
+    materializes the match multiplicity, so an order with 7 returned
+    items costs one probe hit, not 7 joined rows; the returned-flag
+    filter reaches the lineitem scan. (The synthetic lineitem has no
+    l_commitdate/l_receiptdate, so l_returnflag='R' plays the
+    late-delivery predicate's role.)"""
+    orders = _t(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers —
+    the query that forces an outer join. Orders pre-aggregate to
+    per-customer counts BEFORE joining (one fact shuffle of
+    (custkey, count) pairs instead of row-level orders), then the
+    customer dim left-joins the counts and zero-fills; the final
+    distribution groupBy runs over at-most-max(N) rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -1296,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "cohort_retention": q_cohort_retention,
         "funnel_steps": q_funnel_steps,
+        "order_priority_returns": q_order_priority_returns,
+        "customer_distribution": q_customer_distribution,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1314,10 +1362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_discovery": q_partition_discovery,
         "pricing_summary": q_pricing_summary,
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "jaccard_dedup": q_jaccard_dedup,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_dedup": q_jaccard_dedup,
         "simhash": q_simhash,
         "injection_filter": q_injection_filter,
         "empty_backfill": q_empty_backfill,
@@ -1762,6 +1810,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
             )"""
         + _CLOSURE_SQL,
+        "order_priority_returns": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "customer_distribution": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
         "cohort_retention": """
             WITH ud AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

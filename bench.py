@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "nation_revenue",
     "shipping_priority",
     "top_suppliers",
+    "order_priority_returns",
+    "customer_distribution",
     "daily_activity_per_device",
     "multi_device_users_join",
     "multi_device_users_window",
