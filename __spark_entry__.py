@@ -845,6 +845,44 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBE_TOKENS = [
+    "the", "a", "table", "row", "value", "scan", "data", "spark",
+    "join", "window", "vector", "zzz_absent",
+]
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates for a fixed probe
+    vocabulary over the document corpus, alongside the exact counts.
+    The salted-md5 hash rows make the sketch deterministic, so this
+    is an EXACT-oracle sketch: DuckDB rebuilds the identical d x w
+    relation and the identical min-of-cells estimates. est >= exact
+    by construction (CMS only overcounts)."""
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("tok"))
+    cms = cms_build(toks, "tok", d=4, w=1024)
+    probe = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE_TOKENS], "token string"
+    )
+    est = cms_estimate(cms, probe, "token", d=4, w=1024).select(
+        F.col("key").alias("token"), "est"
+    )
+    exact = (
+        probe.join(
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")),
+            probe["token"] == F.col("tok"),
+            "left",
+        )
+        .select("token", F.coalesce("exact_n", F.lit(0)).alias("exact_n"))
+    )
+    return est.join(exact, "token").select("token", "est", "exact_n")
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace words + BPE-ish regex
     pieces (letter runs / digit runs / punctuation marks)."""
@@ -1344,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "order_priority_returns": q_order_priority_returns,
         "customer_distribution": q_customer_distribution,
+        "cms_token_counts": q_cms_token_counts,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1361,9 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_water_mark": q_high_water_mark,
         "partition_discovery": q_partition_discovery,
         "pricing_summary": q_pricing_summary,
-        "exact_dedup": q_exact_dedup,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "jaccard_dedup": q_jaccard_dedup,
         "simhash": q_simhash,
@@ -1810,6 +1849,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
             )"""
         + _CLOSURE_SQL,
+        "cms_token_counts": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+              FROM documents
+            ), cms AS (
+              SELECT j,
+                     ('0x' || substring(md5('cms' || j || ':' || tok), 1, 8))::BIGINT
+                       % 1024 AS bucket,
+                     count(*) AS weight
+              FROM toks, unnest([0, 1, 2, 3]) AS ju(j)
+              GROUP BY 1, 2
+            ), probe AS (
+              SELECT unnest(['the', 'a', 'table', 'row', 'value', 'scan',
+                             'data', 'spark', 'join', 'window', 'vector',
+                             'zzz_absent']) AS token
+            ), pr AS (
+              SELECT token, j,
+                     ('0x' || substring(md5('cms' || j || ':' || token), 1, 8))::BIGINT
+                       % 1024 AS bucket
+              FROM probe, unnest([0, 1, 2, 3]) AS ju(j)
+            ), est AS (
+              SELECT token, min(coalesce(cms.weight, 0)) AS est
+              FROM pr LEFT JOIN cms USING (j, bucket)
+              GROUP BY token
+            ), ex AS (
+              SELECT probe.token, count(toks.tok) AS exact_n
+              FROM probe LEFT JOIN toks ON toks.tok = probe.token
+              GROUP BY probe.token
+            )
+            SELECT est.token, est.est, ex.exact_n
+            FROM est JOIN ex USING (token)
+        """,
         "order_priority_returns": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders o

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "training_manifest",
     "token_histogram",
+    "cms_token_counts",
     "token_count_bpe",
     "token_count_bpe_real",
     "blob_stats",

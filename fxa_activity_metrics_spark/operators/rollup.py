@@ -93,3 +93,101 @@ def range_uniques_exact(
         )
         .agg(F.countDistinct(F.col(id_col)).alias("uniques"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable approximate frequencies, JVM-only
+# ---------------------------------------------------------------------------
+
+
+def _cms_hash(key: F.Column, j: int, w: int) -> F.Column:
+    """Row-j CMS hash: md5 of a salted key, first 8 hex chars to a
+    32-bit int, mod width. Engine-portable (same digest text in
+    DuckDB), so the whole sketch is deterministic and exact-oracle
+    checkable — rare for a sketch."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), key)), 1, 8), 16, 10
+    ).cast("long")
+    return h % w
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min Sketch (Cormode & Muthukrishnan 2005) of key
+    frequencies as a d x w relation: (j, bucket, weight) with
+    weight = sum of key weights hashing to (j, bucket).
+
+    Why this shape at 100 TB: the sketch is ADDITIVE — sketches of
+    two corpus slices merge by (j, bucket) weight-sum, so per-day /
+    per-shard sketches fold like the HLL rows above, and the full
+    build is one map-side-combining shuffle of d*N hashed rows into
+    at most d*w output rows (a few KB). No per-partition imperative
+    state (the Misra-Gries alternative needs a Python kernel); every
+    expression is inside codegen. Estimates overcount only:
+    est(k) >= true(k), with overshoot ~ N/w per row, min'd over d
+    rows at query time.
+    """
+    key = F.col(key_col)
+    rows = df.filter(key.isNotNull()).select(
+        key.alias("_k"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("_w"),
+    )
+    probes = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_hash(F.col("_k"), j, w).alias("bucket"))
+            for j in range(d)
+        ]
+    )
+    return (
+        rows.select(F.explode(probes).alias("p"), "_w")
+        .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("weight"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS relations built with the same (d, w): union + weight
+    re-sum. Lossless — merging per-slice sketches is bit-identical to
+    sketching the union (pinned in tests)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("weight").alias("weight"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-estimate each probe key's frequency: min over the d
+    (j, bucket) cells the key hashes to; a missing cell reads 0 (no
+    key hashing there at all). The sketch side is <= d*w rows, so
+    Spark broadcasts it and the probe side never shuffles — estimate
+    cost is independent of corpus size. Output: (key, est)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_hash(F.col("_k"), j, w).alias("bucket")
+            )
+            for j in range(d)
+        ]
+    )
+    probe_rows = (
+        keys.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .select("_k", F.explode(probes).alias("p"))
+        .select("_k", F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+    )
+    return (
+        probe_rows.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(F.col("_k").alias("key"))
+        .agg(F.min(F.coalesce(F.col("weight"), F.lit(0))).alias("est"))
+    )

@@ -42,3 +42,68 @@ def test_percentile_sketch_within_tolerance(spark):
             # GK with accuracy 10000 is near-exact at this scale;
             # allow 1% relative slack (values are positive doubles)
             assert abs(a - e) <= max(0.01 * abs(e), 1e-9), (et, a, e)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fxa_activity_metrics_spark.operators.rollup import (  # noqa: E402
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _keys(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_cms_never_undercounts(spark):
+    counts = {f"k{i}": (i % 7) + 1 for i in range(50)}
+    df = _keys(spark, counts)
+    cms = cms_build(df, "key", d=4, w=64)  # narrow width forces collisions
+    probe = spark.createDataFrame([(k,) for k in counts], "key string")
+    est = {r["key"]: r["est"] for r in cms_estimate(cms, probe, "key", d=4, w=64).collect()}
+    for k, n in counts.items():
+        assert est[k] >= n, (k, est[k], n)
+
+
+def test_cms_exact_at_ample_width(spark):
+    # with w >> distinct keys and 4 independent rows, collisions in
+    # every row are overwhelmingly unlikely -> estimates are exact
+    counts = {"a": 5, "b": 3, "c": 1}
+    cms = cms_build(_keys(spark, counts), "key", d=4, w=1024)
+    probe = spark.createDataFrame([("a",), ("b",), ("c",), ("nope",)], "key string")
+    est = {r["key"]: r["est"] for r in cms_estimate(cms, probe, "key", d=4, w=1024).collect()}
+    assert est == {"a": 5, "b": 3, "c": 1, "nope": 0}
+
+
+def test_cms_merge_is_lossless(spark):
+    c1 = {"a": 3, "b": 2}
+    c2 = {"b": 4, "c": 1}
+    merged = cms_merge(
+        cms_build(_keys(spark, c1), "key", d=4, w=128),
+        cms_build(_keys(spark, c2), "key", d=4, w=128),
+    )
+    both = cms_build(_keys(spark, {"a": 3, "b": 6, "c": 1}), "key", d=4, w=128)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, both.collect()))
+    assert a == b
+
+
+def test_cms_weight_col(spark):
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], "key string, n int")
+    cms = cms_build(df, "key", d=4, w=256, weight_col="n")
+    probe = spark.createDataFrame([("a",), ("b",)], "key string")
+    est = {r["key"]: r["est"] for r in cms_estimate(cms, probe, "key", d=4, w=256).collect()}
+    assert est == {"a": 15, "b": 2}
+
+
+def test_cms_sketch_size_bounded(spark):
+    df = _keys(spark, {f"k{i}": 1 for i in range(500)})
+    cms = cms_build(df, "key", d=4, w=32)
+    assert cms.count() <= 4 * 32

@@ -34,6 +34,7 @@ HEADLINE = {
     "lm_buckets": "distributed rank: range exchange + _pid-partitioned window, no bare global window",
     "phash_png": "PNG inflate+unfilter in one Arrow pass: zero shuffle",
     "dedup_clusters": "star contraction phase 1: fold groupBy + supernode edge rewrite",
+    "cms_token_counts": "d-row salted-hash explode -> one combine shuffle into <= d*w cells; broadcast probe",
     "cohort_retention": "one uid shuffle + window over the tiny cohort-offset aggregate, no join",
     "funnel_steps": "pre-filtered scan, one uid shuffle, fold-in-codegen chain",
     "dedup_spans": "positional-gram anchors: one count shuffle, 1:1 digest join, doc-window islands",
