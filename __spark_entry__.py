@@ -471,6 +471,20 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-step funnel under a 6-hour conversion window: each
+    step must land strictly after the previous AND within 6 hours of
+    it (greedy anchors — a timed-out chain is not resurrected by a
+    later step-1, in both engines by construction)."""
+    from fxa_activity_metrics_spark.operators.summaries import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        max_step_gap_seconds=6 * 3600,
+    )
+
+
 def q_order_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): quarter-filtered
     orders that HAVE at least one returned lineitem, counted by
@@ -1383,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_returns": q_order_priority_returns,
         "customer_distribution": q_customer_distribution,
         "cms_token_counts": q_cms_token_counts,
+        "funnel_windowed": q_funnel_windowed,
         # -- 2b. implementation changed in round 6 -------------------
         "embedding_neardup_gemm": q_embedding_neardup_gemm,
         "embedding_decontam": q_embedding_decontam,
@@ -1399,9 +1414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_filter": q_retention_filter,
         "high_water_mark": q_high_water_mark,
         "partition_discovery": q_partition_discovery,
-        "pricing_summary": q_pricing_summary,
         # ---- position 51+: rotated-out entries, all driver-green in
         # CORRECTNESS_r05 and still oracle-checked locally -----------
+        "pricing_summary": q_pricing_summary,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "jaccard_dedup": q_jaccard_dedup,
@@ -1880,6 +1895,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT est.token, est.est, ex.exact_n
             FROM est JOIN ex USING (token)
+        """,
+        "funnel_windowed": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+            ), a1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), a2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN a1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > a1.t1
+                AND e.ts <= a1.t1 + INTERVAL 6 HOUR
+              GROUP BY e.user_id
+            ), a3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN a2 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > a2.t2
+                AND e.ts <= a2.t2 + INTERVAL 6 HOUR
+              GROUP BY e.user_id
+            ), a4 AS (
+              SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN a3 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > a3.t3
+                AND e.ts <= a3.t3 + INTERVAL 6 HOUR
+              GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM a1
+            UNION ALL
+            SELECT 2, 'view', count(*) FROM a2
+            UNION ALL
+            SELECT 3, 'click', count(*) FROM a3
+            UNION ALL
+            SELECT 4, 'purchase', count(*) FROM a4
         """,
         "order_priority_returns": """
             SELECT o_orderpriority, count(*) AS n_orders

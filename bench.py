@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "session_window",
     "cohort_retention",
     "funnel_steps",
+    "funnel_windowed",
     "daily_uniques_hll",
     "value_percentiles",
     "json_extract",

@@ -390,9 +390,12 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_step_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users progressed through
-    `steps` in order, each step strictly later than the one before.
+    `steps` in order, each step strictly later than the one before
+    (and, with `max_step_gap_seconds`, within that many seconds of
+    it — the conversion-window funnel).
 
     Semantics (greedy earliest-chain): step 1 anchors at the user's
     MIN step-1 timestamp, step i+1 at the min step-(i+1) timestamp
@@ -403,7 +406,11 @@ def funnel_steps(
     ascending order, so the first qualifying event IS the min). The
     SQL oracle states the same thing as n chained conditional-min
     aggregations — textbook, but n passes over the data; the fold is
-    the one-pass form.
+    the one-pass form. NOTE these are greedy-anchor semantics in
+    both forms: with a conversion window, a later step-1 event that
+    WOULD have admitted the chain does not resurrect a funnel whose
+    earliest anchor timed out (the standard product-analytics
+    reading, and the only one a chained-min oracle can state).
 
     Plan shape (100 TB): events are pre-filtered to the step types
     (predicate reaches the scan), then ONE shuffle on user_id
@@ -437,13 +444,21 @@ def funnel_steps(
         F.lit(0).alias("step"),
         F.lit(None).cast("timestamp").alias("last"),
     )
+    in_gap = (
+        (lambda acc, e: F.lit(True))
+        if max_step_gap_seconds is None
+        else (
+            lambda acc, e: e["ts"]
+            <= acc["last"] + F.expr(f"INTERVAL {int(max_step_gap_seconds)} SECONDS")
+        )
+    )
     reached = F.aggregate(
         F.col("evs"),
         seed,
         lambda acc, e: F.when(
             (acc["step"] < len(steps))
             & (e["et"] == F.element_at(step_arr, acc["step"] + 1))
-            & (acc["last"].isNull() | (e["ts"] > acc["last"])),
+            & (acc["last"].isNull() | ((e["ts"] > acc["last"]) & in_gap(acc, e))),
             F.struct(
                 (acc["step"] + 1).alias("step"), e["ts"].alias("last")
             ),
@@ -451,15 +466,21 @@ def funnel_steps(
         lambda acc: acc["step"],
     )
     per_user = evs.select(reached.alias("reached")).filter(F.col("reached") > 0)
-    return (
+    counts = (
         per_user.select(
             F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("step")
         )
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .select(
-            "step",
-            F.element_at(step_arr, F.col("step")).alias("step_name"),
-            "n_users",
-        )
+    )
+    # every step appears in the report, zero-filled — a funnel whose
+    # tail nobody reaches still shows the tail (and matches the
+    # oracle's unconditional per-step counts)
+    all_steps = events.sparkSession.range(1).select(
+        F.posexplode(step_arr).alias("_pos", "step_name")
+    ).select((F.col("_pos") + 1).alias("step"), "step_name")
+    return all_steps.join(counts, "step", "left").select(
+        "step",
+        "step_name",
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
     )

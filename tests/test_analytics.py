@@ -152,3 +152,56 @@ def test_funnel_repeated_step_name(spark):
         for r in funnel_steps(_events(spark, rows), ["view", "view"]).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_funnel_conversion_window_cuts_late_steps(spark):
+    rows = [
+        # user 1: view 10 min after signup -> converts
+        (1, _at(0), 1, "signup"),
+        (2, _at(0, 10), 1, "view"),
+        # user 2: view 2 days later -> outside a 1-hour window
+        (3, _at(0), 2, "signup"),
+        (4, _at(2), 2, "view"),
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            _events(spark, rows), ["signup", "view"], max_step_gap_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_funnel_window_not_resurrected_by_later_anchor(spark):
+    # greedy: the chain anchors at the EARLIEST signup; the view is
+    # within 1h of the SECOND signup only, so the chain stalls —
+    # matching the chained-min oracle exactly
+    rows = [
+        (1, _at(0), 1, "signup"),
+        (2, _at(0, 300), 1, "signup"),
+        (3, _at(0, 330), 1, "view"),
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            _events(spark, rows), ["signup", "view"], max_step_gap_seconds=3600
+        ).collect()
+    }
+    # the unreached tail is reported zero-filled, not dropped
+    assert got == {1: 1, 2: 0}
+
+
+def test_funnel_window_boundary_inclusive(spark):
+    rows = [
+        (1, _at(0), 1, "signup"),
+        (2, _at(0, 60), 1, "view"),   # exactly at the 1h boundary
+        (3, _at(0), 2, "signup"),
+        (4, _at(0, 61), 2, "view"),   # one minute past
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            _events(spark, rows), ["signup", "view"], max_step_gap_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
