@@ -510,6 +510,15 @@ def duplicated_spans(
         .select("gh")
     )
     hits = occ.join(dup, "gh").select("doc_id", "pos")
+    return spans_from_hits(hits, k)
+
+
+def spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Fuse duplicated-gram start positions (doc_id, pos) into maximal
+    spans: gaps-and-islands over pos per doc (break when the gap
+    exceeds k — i.e. an uncovered token lies between), then a grouped
+    min/max/count. One doc_id exchange feeds both window passes and
+    the rollup. Shared by the one-shot and the incremental plans."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
