@@ -650,6 +650,22 @@ def q_embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering, then
+    within-cell pairwise cosine — the scale answer to all-pairs
+    near-dup. Deterministic end-to-end (md5-sampled centroids, min-id
+    survivor rule), so _SEMANTIC_DEDUP_SQL replays it exactly;
+    tests additionally pin drops ⊆ all-pairs drops at the same θ."""
+    emb = _emb(spark, sf_dir)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_centroids(
+            read_table(spark, sf_dir, "embeddings"), n_cells=16
+        )
+    return similarity.semantic_dedup(
+        emb, threshold=0.3, n_cells=16, centroids=_IVF_CENTROIDS[sf_dir]
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic hash-sampled centroids, cell-bucketed
     candidate join, n_probe cells per query. Approximate vs brute
@@ -1382,7 +1398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "text_quality": q_text_quality,
         "stratified_sample": q_stratified_sample,
-        # -- 2. new in round 6 ---------------------------------------
+        # -- 2. new in round 7 ---------------------------------------
+        "semantic_dedup": q_semantic_dedup,
+        # -- 2c. new in round 6 --------------------------------------
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
         "lm_score_backoff": q_lm_score_backoff,
@@ -1665,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_similarity_recall.py on top of this)
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         # the GEMM form filters on the unrounded float64 product and
         # rounds to 6dp on output, exactly like the fold form — one
@@ -3040,6 +3059,52 @@ _ANN_IVF_SQL = """
       FROM scored
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# SemDeDup oracle: the IVF cents/assign replay (shared with
+# _ANN_IVF_SQL) + within-cell pairwise cosine + min-id EXISTS drop —
+# similarity.semantic_dedup's exact declarative mirror.
+_SEMANTIC_DEDUP_SQL = """
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT (row_number() OVER (
+                ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id) - 1)
+               AS cell,
+             e AS cv, nrm AS cnrm
+      FROM v
+      ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id
+      LIMIT 16
+    ),
+    assign AS (
+      SELECT v.id, v.e, v.nrm, c.cell,
+             list_sum(list_transform(range(1, 1 + len(v.e)),
+               i -> v.e[i] * c.cv[i])) / (v.nrm * c.cnrm) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    corpus AS (
+      SELECT id, e, nrm, cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY id
+                 ORDER BY ccos DESC, cell DESC) AS r
+        FROM assign a) WHERE r = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id AS drop_id
+      FROM corpus a JOIN corpus b
+        ON a.cell = b.cell AND a.id < b.id
+      WHERE list_sum(list_transform(range(1, 1 + len(a.e)),
+              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3
+    )
+    SELECT c.id AS vec_id, CAST(c.cell AS INT) AS cell,
+           d.drop_id IS NULL AS keep
+    FROM corpus c LEFT JOIN dropped d ON d.drop_id = c.id
 """
 
 

@@ -1079,3 +1079,79 @@ def embedding_decontam(
     return c.mapInPandas(
         kernel, "corpus_id long, probe_id long, cosine double"
     ).withColumn("cosine", F.round("cosine", 6))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: str = "fxa-ivf",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then deduplicate
+    WITHIN each cluster only — the O(N²) pairwise cosine collapses to
+    O(Σ|cell|²), and the cell self-join is an equi-join Catalyst can
+    shuffle-hash on the cell key instead of a cross join.
+
+    Spark-first shape:
+      1. assign every vector to its nearest centroid's cell — one
+         scan, zero shuffle (`_assign_cells`, the shared IVF kernel;
+         centroids are the deterministic md5-sampled corpus rows, or
+         pass `kmeans_centroids(...)` output for trained cells);
+      2. self-join on `cell` with id_a < id_b — ONE shuffle, keyed on
+         cell; per-pair cosine is the JVM-side sequential fold (no
+         Python in the hot path);
+      3. a vector is dropped iff it has cosine ≥ θ with a SMALLER id
+         in its cell (the paper keeps one exemplar per ε-ball; the
+         min-id rule makes the survivor choice deterministic and
+         SQL-replayable — an EXISTS probe, not connected components).
+
+    At 100 TB the failure mode is a mega-cell (skewed cluster): the
+    pairwise term is quadratic in the largest cell. Mitigations, in
+    order: raise n_cells (cells shrink ~linearly), train centroids
+    (kmeans balances mass), AQE skew-join split on the cell key — all
+    plan-preserving. The all-corpus exact twin for small data is
+    embedding_neardup_pairs.
+
+    Output: one row per input vector — (vec_id, cell, keep) — so the
+    result is a gate, composable with clean-corpus filters.
+    """
+    assigned = _assign_cells(corpus, centroids or ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    ), id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_vec").alias("va"),
+        F.col("c_nrm").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("vb"),
+        F.col("c_nrm").alias("nb"),
+        "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned["neighbor_id"] == dropped["drop_id"], "left"
+        )
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("drop_id").isNull().alias("keep"),
+        )
+    )

@@ -226,3 +226,24 @@ def test_ivf_trained_recall_bound_sf01(spark):
         assert full == exact
     finally:
         emb.unpersist()
+
+
+def test_semantic_dedup_drops_subset_of_allpairs(spark):
+    """Every SemDeDup drop must be justified by a real ≥θ pair in the
+    FULL corpus (cells only partition the search space — they can
+    miss cross-cell pairs, never invent within-cell ones), and
+    keep-flag semantics must be exhaustive: one row per input vector."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup,
+    )
+
+    emb = E._emb(spark, "/root/testdata/sf0.01")
+    gated = semantic_dedup(emb, threshold=0.3).collect()
+    assert len(gated) == emb.count()
+    dropped = {r["vec_id"] for r in gated if not r["keep"]}
+    assert dropped, "fixture must exercise real drops"
+    # all-pairs ≥θ edges, b-side = droppable ids under the min-id rule
+    allpairs = embedding_neardup_pairs(emb, threshold=0.3).collect()
+    droppable = {r["id_b"] for r in allpairs}
+    assert dropped <= droppable
