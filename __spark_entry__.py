@@ -913,6 +913,39 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "token").select("token", "est", "exact_n")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the token stream — the
+    frequent-items sketch the CMS entry can't give (CMS answers point
+    probes; MG finds the candidates). NO ORACLE BY DESIGN: the
+    summary is a one-pass stream algorithm (not SQL-expressible);
+    its guarantee (est ≤ exact, gap ≤ n/(k+1), superset of the
+    φ-frequent set) is pinned against heavy_hitters_exact — the
+    hash-green twin — in tests/test_sketches.py. Determinism for the
+    rows-only driver check: hash-partition by doc_id (16 pinned) +
+    sortWithinPartitions, so partition contents and order are
+    reproducible across runs."""
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import misra_gries_topk
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .repartition(16, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+    )
+    items = docs.select(F.explode(tokens("text")).alias("item"))
+    return misra_gries_topk(items, "item", k=48)
+
+
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters (count > n/49) — misra_gries_topk's
+    correctness twin, oracled."""
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import heavy_hitters_exact
+
+    items = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("item"))
+    return heavy_hitters_exact(items, "item", k=48)
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace words + BPE-ish regex
     pieces (letter runs / digit runs / punctuation marks)."""
@@ -1400,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # -- 2. new in round 7 ---------------------------------------
         "semantic_dedup": q_semantic_dedup,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
         # -- 2c. new in round 6 --------------------------------------
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
@@ -1684,6 +1719,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        # heavy_hitters: NO ORACLE BY DESIGN (one-pass stream summary;
+        # guarantee pinned vs the exact twin in tests/test_sketches.py)
+        "heavy_hitters_exact": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                            t -> t <> '')) AS item
+              FROM documents
+            ), c AS (
+              SELECT item, count(*) AS n FROM toks GROUP BY item
+            ), t AS (
+              SELECT count(*) AS n_total FROM toks
+            )
+            SELECT item, n AS exact_n FROM c, t WHERE n * 49 > n_total
+        """,
         "embedding_neardup": _NEARDUP_SQL,
         # the GEMM form filters on the unrounded float64 product and
         # rounds to 6dp on output, exactly like the fold form — one

@@ -191,3 +191,115 @@ def cms_estimate(
         .groupBy(F.col("_k").alias("key"))
         .agg(F.min(F.coalesce(F.col("weight"), F.lit(0))).alias("est"))
     )
+
+
+def misra_gries_summaries(
+    items: DataFrame, item_col: str = "item", k: int = 24
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (Misra & Gries
+    1982): one streaming pass with k counters per partition — the
+    frequent-items complement to the Count-Min Sketch (cms_build):
+    CMS answers point queries with overestimates and is all-JVM;
+    MG RETURNS the candidate heavy-hitter set itself with
+    underestimates, and needs per-partition imperative state, so it
+    is the one sketch in this module built as an Arrow kernel
+    (mapInPandas — the documented CMS/MG tradeoff, rollup.py:cms_build).
+
+    Each partition emits ≤ k (item, w) rows regardless of partition
+    size — at 100 TB that is P×k rows total into the merge, no
+    shuffle of the raw stream at all (contrast wordcount's full
+    groupBy shuffle). Guarantee per partition: true_count − w ≤
+    n_partition/(k+1); weights never overcount.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "w": list(counters.values())}
+        )
+
+    return items.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        kernel, "item string, w long"
+    )
+
+
+def misra_gries_topk(
+    items: DataFrame, item_col: str = "item", k: int = 24
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (Agarwal et al. 2012,
+    "Mergeable Summaries", PODS): per-partition MG summaries, then
+    the associative merge — sum matched counters, subtract the
+    (k+1)-th largest merged weight from everything, keep the positive
+    top k. The merged summary obeys the SAME bound as a single-pass
+    MG over the concatenated stream: est ≤ true and
+    true − est ≤ n_total/(k+1) — pinned against exact counts in
+    tests/test_sketches.py.
+
+    The merge input is ≤ P×k rows (metadata scale), so the global
+    row_number window after the item-sum groupBy is bounded by
+    construction — same justification as the BM25 post-limit windows.
+
+    Output: (item, est) — est is the merged lower-bound weight.
+    DETERMINISM: given a fixed partitioning and within-partition
+    order of `items` the result is exactly reproducible; callers
+    wanting cross-run stability must pin both (the registry entry
+    hash-partitions by doc_id and sorts within partitions).
+    """
+    from pyspark.sql import Window
+
+    s = (
+        misra_gries_summaries(items, item_col=item_col, k=k)
+        .groupBy("item")
+        .agg(F.sum("w").alias("w"))
+    )
+    ranked = s.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("w"), F.asc("item"))),
+    )
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("w"))), F.lit(0)
+        ).alias("thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .filter((F.col("rn") <= k) & (F.col("w") - F.col("thr") > 0))
+        .select("item", (F.col("w") - F.col("thr")).alias("est"))
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str = "item", k: int = 24
+) -> DataFrame:
+    """Exact φ-heavy hitters (count > n/(k+1)) — the correctness twin
+    for misra_gries_topk, and itself a two-shuffle plan (wordcount +
+    1-row broadcast threshold) that stays viable whenever the full
+    groupBy shuffle is affordable."""
+    counts = (
+        items.select(F.col(item_col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = items.select(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * (k + 1) > F.col("n_total"))
+        .select("item", F.col("n").alias("exact_n"))
+    )

@@ -107,3 +107,41 @@ def test_cms_sketch_size_bounded(spark):
     df = _keys(spark, {f"k{i}": 1 for i in range(500)})
     cms = cms_build(df, "key", d=4, w=32)
     assert cms.count() <= 4 * 32
+
+
+def test_misra_gries_guarantees(spark):
+    """Mergeable-MG bounds vs exact counts (Agarwal et al. 2012):
+    est never overcounts, undercount ≤ n/(k+1) total, and every
+    φ-frequent item (count > n/(k+1)) survives — under BOTH a 16-way
+    and a 4-way partitioning (merge-invariance of the guarantee)."""
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import (
+        heavy_hitters_exact,
+        misra_gries_topk,
+    )
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+
+    k = 48
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    for parts in (16, 4):
+        items = (
+            docs.repartition(parts, F.col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .select(F.explode(tokens("text")).alias("item"))
+        )
+        n_total = items.count()
+        exact = {
+            r["item"]: r["n"]
+            for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        mg = {r["item"]: r["est"] for r in misra_gries_topk(items, "item", k=k).collect()}
+        assert 0 < len(mg) <= k
+        bound = n_total // (k + 1)
+        for item, est in mg.items():
+            assert est <= exact[item], (item, est, exact[item])
+            assert exact[item] - est <= bound, (item, est, exact[item], bound)
+        hh = {r["item"] for r in heavy_hitters_exact(items, "item", k=k).collect()}
+        assert hh, "fixture must have φ-frequent items"
+        assert hh <= set(mg), f"missing φ-frequent items: {hh - set(mg)}"
