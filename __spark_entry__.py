@@ -531,6 +531,112 @@ def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every STANDARD-type
+    part, the EUROPE supplier with the lowest average unit cost.
+    Q2's correlated MIN subquery is re-expressed as a WINDOW
+    row_number over (part) — one pass over the aggregated costs, no
+    per-part re-probe. Costs come from lineitem pre-aggregated to
+    (partkey, suppkey) BEFORE any dim join (the fact shuffles once,
+    as decimal-exact sums); part/supplier/nation/region are all
+    broadcast dims. Ranking uses the 6dp-ROUNDED ratio with
+    (cost ASC, s_suppkey ASC) tie-break — engine-stable.
+    (The synthetic schema has no partsupp table; per-pair lineitem
+    aggregates play ps_supplycost's role.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # exact decimal sums, then ONE double division: both engines
+    # divide the identical IEEE inputs, so the 6dp round can't flip
+    # (decimal÷decimal result scale differs between engines)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double")
+            / F.sum(_dec("l_quantity")).cast("double"),
+            6,
+        ).alias("unit_cost")
+    )
+    eur_sup = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        costs.join(F.broadcast(part), costs["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(eur_sup), costs["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+def q_parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) for non-PROMO parts,
+    EXCLUDING negative-balance suppliers — the shape that forces a
+    LEFT-ANTI join + COUNT(DISTINCT). Supply pairs come from
+    lineitem's distinct (partkey, suppkey) — deduped BEFORE the dim
+    join so the fact contributes each relationship once; the
+    excluded-supplier set is a broadcast anti-join (never a NOT IN
+    re-scan). (No partsupp table in the synthetic schema; no
+    s_comment either, so s_acctbal < 0 plays the customer-complaints
+    predicate's role.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): high-balance
+    customers with NO recent orders, grouped by nation — the scalar
+    AVG subquery (1-row broadcast crossJoin, the engine's idiom) plus
+    a LEFT-ANTI join against the recent-order custkeys. The anti
+    side is pre-projected to distinct custkeys so the probe is
+    key-only. (No c_phone in the synthetic schema; the customer's
+    nation plays cntrycode's role, and 'no orders since 2000-01-01'
+    plays 'no orders ever' so the predicate selects real rows.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    cut = F.lit("2000-01-01").cast("timestamp")
+    # avg as exact-decimal sum ÷ double count: identical IEEE inputs
+    # in both engines, so the > comparison can't flip on ulps
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -1435,6 +1541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_exact": q_heavy_hitters_exact,
+        "min_cost_supplier": q_min_cost_supplier,
+        "parts_supplier_stats": q_parts_supplier_stats,
+        "dormant_customers": q_dormant_customers,
         # -- 2c. new in round 6 --------------------------------------
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
@@ -2015,6 +2124,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_count, count(*) AS custdist
             FROM per_cust GROUP BY c_count
+        """,
+        "min_cost_supplier": """
+            WITH costs AS (
+              SELECT l_partkey, l_suppkey,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                AS DOUBLE)
+                           / CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE), 6) AS unit_cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), eur AS (
+              SELECT s_suppkey, s_name, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            ), ranked AS (
+              SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, c.unit_cost,
+                     row_number() OVER (PARTITION BY c.l_partkey
+                       ORDER BY c.unit_cost ASC, e.s_suppkey ASC) AS rn
+              FROM costs c
+              JOIN part p ON c.l_partkey = p.p_partkey
+                         AND p.p_type = 'STANDARD'
+              JOIN eur e ON c.l_suppkey = e.s_suppkey
+            )
+            SELECT p_partkey, p_name, s_name, n_name, unit_cost
+            FROM ranked WHERE rn = 1
+        """,
+        "parts_supplier_stats": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey AND p_type <> 'PROMO'
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "dormant_customers": """
+            SELECT n_name, count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                AS DOUBLE) / count(*)
+                    FROM customer WHERE c_acctbal > 0)
+              AND c_custkey NOT IN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY n_name
         """,
         "cohort_retention": """
             WITH ud AS (
