@@ -1026,7 +1026,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary is a one-pass stream algorithm (not SQL-expressible);
     its guarantee (est ≤ exact, gap ≤ n/(k+1), superset of the
     φ-frequent set) is pinned against heavy_hitters_exact — the
-    hash-green twin — in tests/test_sketches.py. Determinism for the
+    hash-green twin — in tests/test_sketches.py; heavy_hitters_mg is
+    the exactly-oracled variant (explicit SQL-computable grouping, the
+    DuckDB recursive-CTE replay). Determinism for the
     rows-only driver check: hash-partition by doc_id (16 pinned) +
     sortWithinPartitions, so partition contents and order are
     reproducible across runs."""
@@ -1050,6 +1052,28 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     items = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("item"))
     return heavy_hitters_exact(items, "item", k=48)
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-replayable mergeable Misra-Gries (VERDICT r7 #8): the
+    partition is an explicit SQL-computable group (doc_id % 8), the
+    within-group order an explicit (doc_id, pos) sort, and the fold
+    block size a pinned constant — so the DuckDB oracle replays the
+    ENTIRE sketch fold with a recursive CTE over per-group block-count
+    lists (_MG_GROUPED_SQL) and the driver hash-checks the summary
+    itself, not just its bounds. One shuffle (groupBy g), G×k-row
+    merge input."""
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import misra_gries_grouped
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "item"))
+        .withColumn("g", F.pmod(F.col("doc_id"), F.lit(8)))
+    )
+    return misra_gries_grouped(
+        toks, "g", ("doc_id", "pos"), "item", k=32, chunk=512
+    )
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 2. new in round 7 ---------------------------------------
         "semantic_dedup": q_semantic_dedup,
         "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "min_cost_supplier": q_min_cost_supplier,
         "parts_supplier_stats": q_parts_supplier_stats,
@@ -1830,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         # heavy_hitters: NO ORACLE BY DESIGN (one-pass stream summary;
         # guarantee pinned vs the exact twin in tests/test_sketches.py)
+        "heavy_hitters_mg": _MG_GROUPED_SQL,
         "heavy_hitters_exact": """
             WITH toks AS (
               SELECT unnest(list_filter(string_split(text, ' '),
@@ -3070,6 +3096,86 @@ def _bpe_real_sql() -> str:
 
 
 _BPE_REAL_SQL = _bpe_real_sql()
+
+
+def _mg_grouped_sql(P: int = 8, B: int = 512, K: int = 32) -> str:
+    """Oracle for the exactly-replayable grouped Misra-Gries fold
+    (rollup.misra_gries_grouped): a recursive CTE folds each group's
+    per-block exact token counts through the mergeable-MG reduce —
+    sum weights, subtract the (K+1)-th largest when more than K items
+    survive, keep the positive — exactly as the Arrow kernel does,
+    then merges the per-group summaries with the same reduce. The
+    group key (doc_id % P), order (doc_id, pos), and block size B are
+    all pinned relational inputs, so the replay is bit-exact; no
+    tie-break is needed anywhere because at most K items can exceed
+    the (K+1)-th largest weight. Same recursive-replay trick as the
+    greedy-BPE oracle (_bpe_real_sql); LATERAL is avoided in the
+    recursive term (DuckDB 1.0 binder limitation), so the merge
+    expression is inlined via this builder."""
+
+    def reduce_expr(m: str) -> str:
+        return f"""CASE WHEN len({m}) <= {K} THEN {m}
+          ELSE list_filter(
+                 list_transform({m}, x -> {{'item': x.item,
+                   'w': x.w - list_sort(list_transform({m}, y -> y.w),
+                                        'DESC')[{K} + 1]}}),
+                 x -> x.w > 0)
+          END"""
+
+    merged = """list_transform(
+          list_distinct(list_transform(f.st || b.cl, x -> x.item)),
+          it -> {'item': it,
+                 'w': list_sum(list_transform(
+                        list_filter(f.st || b.cl, y -> y.item = it),
+                        y -> y.w))})"""
+    return f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id % {P} AS g, t.item AS item,
+                 row_number() OVER (PARTITION BY doc_id % {P}
+                                    ORDER BY doc_id, t.pos) - 1 AS rn
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                FROM documents) d,
+               LATERAL (SELECT unnest(d.ts) AS item,
+                               unnest(range(1, 1 + len(d.ts))) AS pos) t
+        ),
+        blocks AS (
+          SELECT g, CAST(rn / {B} AS INT) AS bi, item, COUNT(*) AS c
+          FROM toks GROUP BY g, CAST(rn / {B} AS INT), item
+        ),
+        block_lists AS (
+          SELECT g, bi, list({{'item': item, 'w': c}}) AS cl
+          FROM blocks GROUP BY g, bi
+        ),
+        nblocks AS (SELECT g, MAX(bi) AS maxbi FROM block_lists GROUP BY g),
+        fold AS (
+          SELECT g, 0 AS bi, {reduce_expr('cl')} AS st
+          FROM block_lists WHERE bi = 0
+          UNION ALL
+          SELECT f.g, f.bi + 1, {reduce_expr(f'({merged})')} AS st
+          FROM fold f
+          JOIN block_lists b ON b.g = f.g AND b.bi = f.bi + 1
+        ),
+        finals AS (
+          SELECT u.s.item AS item, u.s.w AS w
+          FROM fold f JOIN nblocks n ON n.g = f.g AND f.bi = n.maxbi,
+               LATERAL (SELECT unnest(f.st) AS s) u
+        ),
+        summed AS (SELECT item, SUM(w) AS w FROM finals GROUP BY item),
+        thr AS (
+          SELECT CASE WHEN COUNT(*) <= {K} THEN 0
+                 ELSE (SELECT w FROM summed
+                       ORDER BY w DESC, item OFFSET {K} LIMIT 1)
+                 END AS t
+          FROM summed
+        )
+        SELECT item, CAST(w - thr.t AS BIGINT) AS est
+        FROM summed, thr
+        WHERE w - thr.t > 0
+    """
+
+
+_MG_GROUPED_SQL = _mg_grouped_sql()
 
 
 def _phash_base_sql() -> str:

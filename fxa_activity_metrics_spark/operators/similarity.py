@@ -524,7 +524,7 @@ def ivf_centroids(
     rows = (
         corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
         .withColumn("h", F.md5(F.concat(F.lit(seed + ":"), F.col("cid").cast("string"))))
-        .orderBy("h")
+        .orderBy("h", "cid")
         .limit(n_cells)
         .collect()
     )
@@ -1120,9 +1120,15 @@ def semantic_dedup(
     Output: one row per input vector — (vec_id, cell, keep) — so the
     result is a gate, composable with clean-corpus filters.
     """
-    assigned = _assign_cells(corpus, centroids or ivf_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
-    ), id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        # ADVICE r7: an explicitly-passed empty list must fail loudly,
+        # not silently recompute; n_cells is ignored when provided.
+        assert len(centroids) > 0, "centroids must be non-empty when provided"
+    else:
+        centroids = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+        )
+    assigned = _assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     a = assigned.select(
         F.col("neighbor_id").alias("id_a"),
         F.col("c_vec").alias("va"),
