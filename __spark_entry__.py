@@ -135,6 +135,7 @@ def _estimated_splits(spark: SparkSession, df: DataFrame) -> int:
 
 _EMB_DIM: dict[str, int] = {}
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+_KMEANS_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
@@ -769,6 +770,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return similarity.semantic_dedup(
         emb, threshold=0.3, n_cells=16, centroids=_IVF_CENTROIDS[sf_dir]
+    )
+
+
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED cells (VERDICT r7 #4 — the mega-cell
+    mitigation made first-class): 2 deterministic fixed-point Lloyd's
+    iterations (kmeans_centroids) refine the md5-sampled init before
+    the within-cell pairwise gate. Training balances cell mass when
+    the hash sample lands badly (the skewed-corpus pin in
+    tests/test_semantic_dedup_skew.py measures max-cell pair count
+    shrinking ~3x and drop-recall recovering exactly), and the whole
+    chain stays bit-deterministic — integer micro-unit mean
+    accumulation — so _SEMANTIC_DEDUP_TRAINED_SQL replays both Lloyd
+    iterations and the dedup gate exactly."""
+    emb = _emb(spark, sf_dir)
+    if sf_dir not in _KMEANS_CENTROIDS:
+        _KMEANS_CENTROIDS[sf_dir] = similarity.kmeans_centroids(
+            read_table(spark, sf_dir, "embeddings"), n_cells=16, n_iter=2
+        )
+    return similarity.semantic_dedup(
+        emb, threshold=0.3, n_cells=16, centroids=_KMEANS_CENTROIDS[sf_dir]
     )
 
 
@@ -1563,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # -- 2. new in round 7 ---------------------------------------
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_trained": q_semantic_dedup_trained,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "heavy_hitters_exact": q_heavy_hitters_exact,
@@ -1853,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "semantic_dedup_trained": _SEMANTIC_DEDUP_TRAINED_SQL,
         # heavy_hitters: NO ORACLE BY DESIGN (one-pass stream summary;
         # guarantee pinned vs the exact twin in tests/test_sketches.py)
         "heavy_hitters_mg": _MG_GROUPED_SQL,
@@ -3378,6 +3402,95 @@ _ANN_IVF_SQL = """
 # SemDeDup oracle: the IVF cents/assign replay (shared with
 # _ANN_IVF_SQL) + within-cell pairwise cosine + min-id EXISTS drop —
 # similarity.semantic_dedup's exact declarative mirror.
+def _semantic_dedup_trained_sql(n_iter: int = 2, n_cells: int = 16,
+                                threshold: float = 0.3) -> str:
+    """Oracle for semantic_dedup over kmeans_centroids(n_iter=2):
+    unrolls the deterministic Lloyd's iterations as CTE pairs — each
+    iteration is (nearest-cell assignment of nrm>0 rows with the
+    cos DESC, cell DESC tie rule) → (per-cell per-dim FIXED-POINT
+    mean: SUM(round(x·1e6) AS BIGINT), then s/1e6/n in double, the
+    exact arithmetic of similarity.kmeans_centroids) with empty cells
+    keeping their previous centroid — then reuses the untrained
+    oracle's assignment + min-id drop gate against the trained
+    centroids. Bit-exact replay is possible only because the training
+    accumulation is integer micro-units; float-sum training would
+    diverge by ulps per engine."""
+    assign_tpl = """
+        a{i} AS (
+          SELECT id, e, cell FROM (
+            SELECT v.id, v.e, c.cell,
+                   row_number() OVER (PARTITION BY v.id ORDER BY
+                     list_sum(list_transform(range(1, 1 + len(v.e)),
+                       j -> v.e[j] * c.cv[j])) / (v.nrm * c.cnrm) DESC,
+                     c.cell DESC) AS r
+            FROM v CROSS JOIN c{i} c WHERE v.nrm > 0) WHERE r = 1
+        ),
+        s{i} AS (
+          SELECT cell, u.pos AS pos,
+                 SUM(CAST(round(u.x * 1000000.0) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM a{i},
+               LATERAL (SELECT unnest(range(1, 1 + len(a{i}.e))) AS pos,
+                               unnest(a{i}.e) AS x) u
+          GROUP BY cell, u.pos
+        ),
+        c{j} AS (
+          SELECT c.cell, COALESCE(m.cv, c.cv) AS cv,
+                 sqrt(list_sum(list_transform(COALESCE(m.cv, c.cv),
+                   x -> x * x))) AS cnrm
+          FROM c{i} c LEFT JOIN (
+            SELECT cell, list(s / 1000000.0 / n ORDER BY pos) AS cv
+            FROM s{i} GROUP BY cell) m ON m.cell = c.cell
+        )"""
+    iters = ",".join(
+        assign_tpl.format(i=i, j=i + 1) for i in range(n_iter)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT (row_number() OVER (
+                    ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id) - 1)
+                   AS cell,
+                 e AS cv, nrm AS cnrm
+          FROM v
+          ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id
+          LIMIT {n_cells}
+        ),{iters},
+        assign AS (
+          SELECT v.id, v.e, v.nrm, c.cell,
+                 list_sum(list_transform(range(1, 1 + len(v.e)),
+                   i -> v.e[i] * c.cv[i])) / (v.nrm * c.cnrm) AS ccos
+          FROM v CROSS JOIN c{n_iter} c
+        ),
+        corpus AS (
+          SELECT id, e, nrm, cell FROM (
+            SELECT a.*, row_number() OVER (PARTITION BY id
+                     ORDER BY ccos DESC, cell DESC) AS r
+            FROM assign a) WHERE r = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.id AS drop_id
+          FROM corpus a JOIN corpus b
+            ON a.cell = b.cell AND a.id < b.id
+          WHERE list_sum(list_transform(range(1, 1 + len(a.e)),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= {threshold}
+        )
+        SELECT c.id AS vec_id, CAST(c.cell AS INT) AS cell,
+               d.drop_id IS NULL AS keep
+        FROM corpus c LEFT JOIN dropped d ON d.drop_id = c.id
+    """
+
+
+_SEMANTIC_DEDUP_TRAINED_SQL = _semantic_dedup_trained_sql()
+
+
 _SEMANTIC_DEDUP_SQL = """
     WITH v AS (
       SELECT vec_id AS id,
