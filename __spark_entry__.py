@@ -638,6 +638,157 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders of one brand's small parts were not
+    taken. Q17's correlated per-part AVG subquery is re-expressed as
+    a pre-aggregated per-part threshold joined back to the fact —
+    the fact scans twice but never re-probes per row. Spark-first
+    exactness: the threshold is 0.2 × (exact decimal qty sum ÷
+    count), ONE double division per part, so the < comparison sees
+    identical IEEE inputs in both engines. Brand parts are a
+    broadcast dim on both passes. (No p_container in the synthetic
+    schema; p_size <= 10 plays its role.) Output: one row."""
+    li = _fact(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    branded = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    thresholds = branded.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("qty_cut")
+    )
+    return (
+        branded.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose total
+    line quantity exceeds 250 units, with their customer. Q18's
+    HAVING-subquery IN is the direct groupBy-then-join plan: the
+    lineitem rollup keys the ONE fact shuffle (exact decimal qty
+    sums), the orders join reuses the same key, and customer is a
+    broadcast dim. Output: (c_name, c_custkey, o_orderkey,
+    o_orderdate, o_totalprice, total_qty)."""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit("250.00").cast("decimal(18,2)"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue over lineitem ⋈ part under three OR'd brand/size/quantity
+    predicate groups — the shape that breaks naive predicate pushdown.
+    Spark keeps the equi-join key (partkey) clean and attaches the
+    whole disjunction as the join's residual filter; part stays a
+    broadcast dim so the disjunction never forces a shuffle.
+    (No l_shipmode/l_shipinstruct in the synthetic schema; the
+    brand × size × quantity groups carry the disjunction.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(grp).agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    finalized multi-supplier orders, suppliers who were the ONLY one
+    with a returned line. Q21's EXISTS/NOT-EXISTS self-join pair is
+    re-expressed as ONE per-order aggregate — distinct suppliers and
+    distinct returned-line suppliers per order — joined back to the
+    returned lines: two passes over one shuffle key instead of two
+    correlated re-probes. Supplier and nation are broadcast dims.
+    (No l_receiptdate/l_commitdate in the synthetic schema;
+    l_returnflag = 'R' plays the late-delivery predicate, orderstatus
+    'F' is as in Q21.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    ordersF = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    base = li.join(ordersF, li["l_orderkey"] == ordersF["o_orderkey"])
+    per_order = base.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    late = (
+        base.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(sup), late["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -1592,6 +1743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "parts_supplier_stats": q_parts_supplier_stats,
         "dormant_customers": q_dormant_customers,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
         # -- 2c. new in round 6 --------------------------------------
         "phash_png": q_phash_png,
         "lm_score_trigram": q_lm_score_trigram,
@@ -2208,6 +2363,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY p_brand, p_type, p_size
+        """,
+        "small_qty_revenue": """
+            WITH bp AS (
+              SELECT p_partkey FROM part
+              WHERE p_brand = 'Brand#23' AND p_size <= 10
+            ),
+            br AS (
+              SELECT l.* FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+            ),
+            thr AS (
+              SELECT l_partkey,
+                     0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                                 AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)) AS qty_cut
+              FROM br GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM br JOIN thr USING (l_partkey)
+            WHERE l_quantity < qty_cut
+        """,
+        "large_volume_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS total_qty
+            FROM (SELECT l_orderkey,
+                         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(CAST(l_quantity AS DECIMAL(18,2)))
+                         > CAST('250.00' AS DECIMAL(18,2))) b
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "disjunctive_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "waiting_suppliers": """
+            WITH base AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+            ),
+            late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM base WHERE l_returnflag = 'R'
+            )
+            SELECT s_name, n_name, count(*) AS numwait
+            FROM late t
+            JOIN supplier ON t.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE EXISTS (SELECT 1 FROM base b
+                          WHERE b.l_orderkey = t.l_orderkey
+                            AND b.l_suppkey <> t.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM base b
+                              WHERE b.l_orderkey = t.l_orderkey
+                                AND b.l_suppkey <> t.l_suppkey
+                                AND b.l_returnflag = 'R')
+            GROUP BY s_name, n_name
         """,
         "dormant_customers": """
             SELECT n_name, count(*) AS numcust,
