@@ -99,6 +99,19 @@ BENCH_QUERIES = [
     "lm_score_trigram",
     "lm_score_backoff",
     "lm_buckets",
+    # round 7-8: semantic dedup, heavy hitters, TPC-H join shapes
+    "semantic_dedup",
+    "semantic_dedup_trained",
+    "heavy_hitters",
+    "heavy_hitters_mg",
+    "heavy_hitters_exact",
+    "min_cost_supplier",
+    "parts_supplier_stats",
+    "dormant_customers",
+    "small_qty_revenue",
+    "large_volume_orders",
+    "disjunctive_revenue",
+    "waiting_suppliers",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -62,4 +62,6 @@ def test_sf1_record_has_no_scaling_violations():
     with open(p) as f:
         rec = json.load(f)
     assert rec["budget_violations"] == []
-    assert rec["skipped"] == ["embedding_neardup", "embedding_neardup_gemm"]
+    from bench import QUADRATIC_BASELINES
+
+    assert rec["skipped"] == sorted(QUADRATIC_BASELINES)

@@ -140,3 +140,60 @@ def test_pack_sequences_single_block_shuffle(spark):
     plan = _plan(E.queries()["pack_sequences"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_semantic_dedup_single_cell_keyed_exchange(spark):
+    """SemDeDup's pair join must key on the cell — one exchange per
+    join side, hash-partitioned on cell, never a cartesian: the
+    O(sum |cell|^2) cost model depends on it (VERDICT r7 #3 pin)."""
+    plan = _plan(E.queries()["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the pair join is EQUI-KEYED on cell: shuffle-keyed at scale,
+    # broadcast at this sf (tiny corpus) — both keep the cell key
+    assert (
+        "Exchange hashpartitioning(cell" in plan
+        or "BroadcastHashJoin [cell" in plan
+    ), plan
+
+
+def test_heavy_hitters_merge_input_is_summary_scale(spark):
+    """The mergeable-MG pipeline never shuffles the raw token stream:
+    the only exchange below the kernel is the pinned doc_id
+    repartition; the merge input is the <= P*k-row kernel output,
+    folded on the driver (VERDICT r7 #3 pin). The registry entry
+    returns a LocalTableScan of <= k merged rows."""
+    from fxa_activity_metrics_spark.operators.dedup import tokens
+    from fxa_activity_metrics_spark.operators.rollup import misra_gries_summaries
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        read_table(spark, SF, "documents")
+        .repartition(16, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+    )
+    items = docs.select(F.explode(tokens("text")).alias("item"))
+    summaries = misra_gries_summaries(items, "item", k=48)
+    plan = _plan(summaries)
+    # the raw exploded stream feeds mapInPandas directly: no exchange
+    # between the explode and the kernel beyond the pinned repartition
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+    assert summaries.count() <= 16 * 48
+
+    out = E.queries()["heavy_hitters"](spark, SF)
+    # final merge folded on the driver: the result is a local relation
+    # (createDataFrame -> ExistingRDD/LocalTableScan), not a plan over
+    # the stream
+    out_plan = _plan(out)
+    assert "ExistingRDD" in out_plan or "LocalTableScan" in out_plan
+    assert out.count() <= 48
+
+
+def test_waiting_suppliers_single_fact_shuffle_key(spark):
+    """Q21's EXISTS/NOT-EXISTS rewrite reuses ONE shuffle key
+    (l_orderkey) for the per-order aggregate and the join-back;
+    supplier/nation stay broadcast."""
+    plan = _plan(E.queries()["waiting_suppliers"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

@@ -39,6 +39,17 @@ HEADLINE = {
     "funnel_steps": "pre-filtered scan, one uid shuffle, fold-in-codegen chain",
     "dedup_spans": "positional-gram anchors: one count shuffle, 1:1 digest join, doc-window islands",
     "substring_dedup": "span removal: collect_list spans + exists() token filter, no UDF",
+    "semantic_dedup": "SemDeDup: centroid-literal cell map, ONE cell-keyed exchange for the pair join",
+    "semantic_dedup_trained": "SemDeDup over 2-iter fixed-point Lloyd cells: same single cell-keyed exchange",
+    "heavy_hitters": "mergeable MG: mapInPandas summaries (<=P*k rows) -> driver fold, raw stream never shuffles",
+    "heavy_hitters_mg": "replayable MG: one groupBy(g) exchange into applyInPandas, G*k-row merge",
+    "min_cost_supplier": "Q2 shape: fact pre-agg before dims, all dims broadcast, per-part window",
+    "parts_supplier_stats": "Q16 shape: distinct pairs -> broadcast anti-join -> count_distinct",
+    "dormant_customers": "Q22 shape: 1-row broadcast avg + left-anti recent-orders probe",
+    "small_qty_revenue": "Q17 shape: per-part threshold pre-agg joined back, brand dim broadcast twice",
+    "large_volume_orders": "Q18 shape: one fact shuffle keys both the rollup and the orders join",
+    "disjunctive_revenue": "Q19 shape: clean equi-key + OR-group residual on a broadcast join",
+    "waiting_suppliers": "Q21 shape: EXISTS/NOT-EXISTS pair as one per-order aggregate, dims broadcast",
 }
 
 
