@@ -758,7 +758,13 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated re-probes. Supplier and nation are broadcast dims.
     (No l_receiptdate/l_commitdate in the synthetic schema;
     l_returnflag = 'R' plays the late-delivery predicate, orderstatus
-    'F' is as in Q21.)"""
+    'F' is as in Q21.)
+
+    The fact shuffles ONCE, to the distinct (order, supplier) pair
+    aggregate with an any-returned flag; both the per-order counts
+    and the returned-pair probe derive from that one aggregate
+    (ReuseExchange serves the second reader), so no COUNT(DISTINCT)
+    Expand ever doubles the fact."""
     li = _fact(spark, sf_dir, "lineitem")
     ordersF = (
         _t(spark, sf_dir, "orders")
@@ -768,16 +774,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     base = li.join(ordersF, li["l_orderkey"] == ordersF["o_orderkey"])
-    per_order = base.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    pairs = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_ret")
     )
-    late = (
-        base.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_ret").alias("n_ret_supp"),
+    )
+    late = pairs.filter(F.col("has_ret") == 1).select(
+        "l_orderkey", "l_suppkey"
     )
     return (
         late.join(per_order, "l_orderkey")
