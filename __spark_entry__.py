@@ -1765,18 +1765,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "waiting_suppliers": q_waiting_suppliers,
-        # -- 2b. implementation changed in round 8 -------------------
+        # -- 2b. results changed in round 8 (MG kernel rewrite) ------
         "heavy_hitters": q_heavy_hitters,
+        # -- 2c. implementation changed in round 8, LM rollup plan ---
+        "lm_score_backoff": q_lm_score_backoff,
+        # -- 3. newest driver-green row is r6 (past-50 in r7): at the
+        # two-round staleness limit, must be re-checked this round ---
+        "flow_sessionize": q_flow_sessionize,
+        "parse_functions": q_parse_functions,
+        "scalar_functions": q_scalar_functions,
+        "retention_filter": q_retention_filter,
+        "high_water_mark": q_high_water_mark,
+        "partition_discovery": q_partition_discovery,
+        # ---- position 51+: rotated-out entries, driver-green in
+        # r6/r7 and still oracle-checked locally every round. Round-8
+        # implementation touches with bit-identical results
+        # (semantic_dedup centroid handling, ann_ivf md5 tie-break,
+        # lm_score_trigram rollup feed) are demoted below the line in
+        # favor of the hard staleness contract — their hashes are
+        # pinned unchanged by tests/test_oracle_parity.py ------------
         "semantic_dedup": q_semantic_dedup,
         "ann_ivf": q_ann_ivf,
         "lm_score_trigram": q_lm_score_trigram,
-        "lm_score_backoff": q_lm_score_backoff,
-        # -- 3. r6-green refresh (spread the next rotation) ----------
         "phash_png": q_phash_png,
         "lm_buckets": q_lm_buckets,
         "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
-        # ---- position 51+: rotated-out entries, driver-green in
-        # r6/r7 and still oracle-checked locally every round ---------
         "pack_sequences": q_pack_sequences,
         "training_manifest": q_training_manifest,
         "multi_device_users_window": q_multi_device_window,
@@ -1819,12 +1832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_per_device": q_daily_activity,
         "multi_device_users_join": q_multi_device_join,
         "cohort_sample": q_cohort_sample,
-        "flow_sessionize": q_flow_sessionize,
-        "parse_functions": q_parse_functions,
-        "scalar_functions": q_scalar_functions,
-        "retention_filter": q_retention_filter,
-        "high_water_mark": q_high_water_mark,
-        "partition_discovery": q_partition_discovery,
     }
 
 

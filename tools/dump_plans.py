@@ -30,7 +30,7 @@ HEADLINE = {
     "ivf_query_index": "persisted cells: probed cells partition-pruned",
     "blob_stats_compressed": "compress + decompress-in-kernel: two Arrow passes, zero shuffle",
     "lm_score": "bigram-count joins + integer micro-nat sum: JVM-only, order-free",
-    "lm_score_backoff": "five gram-key joins + CASE branches: all-JVM Stupid Backoff",
+    "lm_score_backoff": "ONE persisted model rollup probed by five gram-key joins: all-JVM Stupid Backoff",
     "lm_buckets": "distributed rank: range exchange + _pid-partitioned window, no bare global window",
     "phash_png": "PNG inflate+unfilter in one Arrow pass: zero shuffle",
     "dedup_clusters": "star contraction phase 1: fold groupBy + supernode edge rewrite",
