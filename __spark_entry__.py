@@ -796,6 +796,422 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the customer and supplier share an ASIA nation.
+    Spark-first join order: orders (date-pruned at the scan) joins
+    customer on custkey FIRST — the selective filter shrinks the fact
+    before it ever meets lineitem — then lineitem joins that slice on
+    orderkey (the one big fact shuffle). The supplier⋈nation⋈region
+    slice is a broadcast dim whose join carries BOTH equi-conditions
+    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey) as one
+    compound key — Q5's "local" predicate never becomes a post-join
+    filter. At 100 TB the supplier slice is region-pruned (1/5 of
+    suppliers) before broadcast; customer⋈orders shuffles on custkey
+    if AQE rules out the broadcast."""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    sup_n = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust_ord = (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        li.join(cust_ord, li["l_orderkey"] == cust_ord["o_orderkey"])
+        .join(
+            F.broadcast(sup_n),
+            (li["l_suppkey"] == sup_n["s_suppkey"])
+            & (F.col("c_nationkey") == sup_n["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure
+    scan-aggregate — revenue that would vanish if discounts in a band
+    were eliminated. Zero joins, zero shuffles past the partial agg;
+    the whole query is a pushed-down predicate trio (shipdate year,
+    discount band, quantity cap) over one column-pruned scan — the
+    plan the test suite pins PushedFilters on. At 100 TB this is the
+    query that proves the scan path: day-partition pruning plus
+    parquet min/max skipping do all the work."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue shipped between two
+    specific nations, by supplier-nation × customer-nation × year.
+    The two nation roles are two INDEPENDENT broadcast dims (supplier
+    nation onto lineitem, customer nation onto orders⋈customer) —
+    never a self-join of an annotated fact. The disjunctive nation
+    pair ((N1→N2) OR (N2→N1)) is the broadcast join's residual, with
+    the equi-keys kept clean. One fact shuffle: lineitem ⋈ the
+    customer-annotated orders slice on orderkey."""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    sup_n = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    cust_ord = orders.join(
+        cust_n, orders["o_custkey"] == cust_n["c_custkey"]
+    ).select("o_orderkey", "cust_nation")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .join(cust_ord, li["l_orderkey"] == cust_ord["o_orderkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    EUROPE-customer ECONOMY-part revenue, per order year. The
+    CASE-inside-ratio is ONE aggregation pass — numerator and
+    denominator as two conditional decimal sums over the same rows,
+    never two subqueries re-scanning the fact. Part (type-filtered)
+    and supplier-nation are broadcast dims on lineitem; the
+    EUROPE-customer slice annotates orders before the single
+    orderkey fact shuffle. Exactness: both sums stay decimal to the
+    end, ONE double division, round 6 — the ratio can't flip on
+    summation order."""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    sup_n = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    eur_cust = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    eur_ord = (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(eur_cust, orders["o_custkey"] == eur_cust["c_custkey"], "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .join(eur_ord, li["l_orderkey"] == eur_ord["o_orderkey"])
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit("0.00").cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on green parts by
+    supplier nation × year. Part (name-pruned at the scan — the LIKE
+    prefix pushes down) and supplier⋈nation are broadcast dims; no
+    fact-fact join at all, so the only exchange is the final groupBy.
+    Profit stays decimal-exact end to end: revenue minus a
+    10%-of-retail supply-cost proxy (the synthetic schema has no
+    partsupp/ps_supplycost; p_retailprice is exact at 1dp so the
+    decimal product is exact)."""
+    li = _fact(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("green%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rate = F.lit("0.10").cast("decimal(3,2)")
+    sup_n = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", "n_name")
+    )
+    profit = _dec("l_extendedprice") * (one - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * rate * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    returned the most revenue in 1997H2. One fact shuffle (lineitem's
+    returned slice ⋈ date-pruned orders on orderkey), then the
+    groupBy runs on custkey and the customer/nation dims broadcast
+    onto the AGGREGATED frame — at most |customers| rows see the dim
+    join, not |lineitem|. Top-20 orders by the EXACT decimal revenue
+    with custkey as tie-break (engine-stable), surfacing the rounded
+    double."""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    lo = F.lit("1997-07-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    ord_slice = (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ord_slice, li["l_orderkey"] == ord_slice["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    return (
+        per_cust.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+        .limit(20)
+        .join(F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    supplied value from NATION_5's suppliers exceeds a fixed fraction
+    of that nation's total. The HAVING-against-a-global-scalar is the
+    engine's 1-row broadcast crossJoin idiom: per-part decimal value
+    sums once (the only fact shuffle), the grand total derives from a
+    second read of the SAME aggregate (ReuseExchange — never a
+    second fact scan), and the fraction gate compares decimals
+    exactly. (No partsupp in the synthetic schema; the nation's
+    lineitem revenue per part plays ps_supplycost×ps_availqty. The
+    0.0005 fraction mirrors Q11's scale-dependent 0.0001/SF: it
+    selects above-average parts at any SF.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_sup = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_sup), li["l_suppkey"] == nat_sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("_val"))
+    )
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double") > 0.0005 * F.col("_tot").cast("double")
+        )
+        .select(
+            "l_partkey", F.round(F.col("_val").cast("double"), 2).alias("value")
+        )
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): among 1997
+    shipments that went out ≥60 days after their order, how many
+    came from high- vs low-priority orders, per return class. The
+    late predicate compares columns from BOTH sides, so it rides as
+    the orderkey join's residual — the one fact-fact shuffle — and
+    the CASE split is one aggregation pass (two conditional sums,
+    never two scans). (No l_shipmode/l_commitdate/l_receiptdate in
+    the synthetic schema: l_returnflag plays the mode axis and
+    shipdate−orderdate ≥ 60 days plays the late-delivery
+    predicate.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            (li["l_orderkey"] == F.col("o_orderkey"))
+            & (
+                li["l_shipdate"]
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1))).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_promo_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO parts' percentage of
+    one month's revenue. Broadcast part dim onto the date-pruned
+    fact; numerator and denominator are two conditional decimal sums
+    in ONE pass; a single double division rounded to 6dp closes it.
+    Output: one row."""
+    li = _fact(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit("0.00").cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): NATION_7 suppliers
+    who shipped a MAJORITY of some small-part's 1997 volume. Q20's
+    nested IN(IN(...)) + correlated half-of-shipments subquery
+    becomes one (part, supplier) decimal-qty aggregate — the single
+    fact shuffle — whose per-part totals derive from re-aggregating
+    the SAME frame (ReuseExchange, like the Q21 pair trick); the
+    majority gate is all-decimal (2·pair > total, no division), and
+    the supplier dim joins the surviving DISTINCT suppkeys only.
+    (No partsupp/ps_availqty in the synthetic schema: 'shipped the
+    majority of the part's volume' plays 'availqty exceeds half the
+    shipped volume'.)"""
+    li = _fact(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    pair = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+    )
+    per_part = pair.groupBy("l_partkey").agg(F.sum("_qty").alias("_tot"))
+    dominant = (
+        pair.join(per_part, "l_partkey")
+        .filter(F.col("_qty") * 2 > F.col("_tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(dominant, sup["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -1832,6 +2248,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_per_device": q_daily_activity,
         "multi_device_users_join": q_multi_device_join,
         "cohort_sample": q_cohort_sample,
+        # round-8 session 2: the remaining TPC-H shapes (Q5-Q12, Q14,
+        # Q20) — all 22 TPC-H query shapes now have a registry entry.
+        # Appended past the driver window by the staleness contract
+        # (new entries rotate in at round 9); test_oracle_parity
+        # hash-checks them locally this round.
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "volume_shipping": q_volume_shipping,
+        "national_market_share": q_national_market_share,
+        "product_type_profit": q_product_type_profit,
+        "returned_item_revenue": q_returned_item_revenue,
+        "important_stock": q_important_stock,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue_effect": q_promo_revenue_effect,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
     }
 
 
@@ -2714,6 +3145,185 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS blob_md5
             FROM documents
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "forecast_revenue_change": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "national_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (CAST('1.00' AS DECIMAL(3,2))
+                                  - CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST('0.00' AS DECIMAL(18,2)) END)
+                         AS DOUBLE)
+                       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+              AND o_custkey IN (
+                    SELECT c_custkey FROM customer
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region ON n2.n_regionkey = r_regionkey
+                    WHERE r_name = 'EUROPE')
+            GROUP BY year(o_orderdate)
+        """,
+        "product_type_profit": """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                   round(CAST(sum(
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST('1.00' AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))
+                       - CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST('0.10' AS DECIMAL(3,2))
+                         * CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'green%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, year(l_shipdate)
+        """,
+        "returned_item_revenue": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST('1.00' AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS _rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1997-07-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01'
+              GROUP BY o_custkey
+            ), top20 AS (
+              SELECT * FROM per_cust
+              ORDER BY _rev DESC, o_custkey ASC LIMIT 20
+            )
+            SELECT c_custkey, c_name,
+                   round(CAST(_rev AS DOUBLE), 2) AS revenue,
+                   c_acctbal, n_name
+            FROM top20
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "important_stock": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _val
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+                         AND n_name = 'NATION_5'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(CAST(_val AS DOUBLE), 2) AS value
+            FROM per_part
+            WHERE CAST(_val AS DOUBLE)
+                  > 0.0005 * (SELECT CAST(sum(_val) AS DOUBLE) FROM per_part)
+        """,
+        "late_shipment_priority": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+        """,
+        "promo_revenue_effect": """
+            SELECT round(100.0
+                   * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (CAST('1.00' AS DECIMAL(3,2))
+                                  - CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST('0.00' AS DECIMAL(18,2)) END)
+                     AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST('1.00' AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE), 6) AS promo_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "dominant_part_suppliers": """
+            WITH pair AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS _qty
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+                       AND p_name LIKE 'small%'
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l_partkey, l_suppkey
+            ), per_part AS (
+              SELECT l_partkey, sum(_qty) AS _tot FROM pair GROUP BY l_partkey
+            ), dominant AS (
+              SELECT DISTINCT l_suppkey
+              FROM pair JOIN per_part USING (l_partkey)
+              WHERE _qty * 2 > _tot
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
         """,
     }
     # Stratified sampling: quality bands from the verified quality

@@ -112,6 +112,17 @@ BENCH_QUERIES = [
     "large_volume_orders",
     "disjunctive_revenue",
     "waiting_suppliers",
+    # round 8 session 2: the remaining TPC-H shapes — all 22 covered
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "national_market_share",
+    "product_type_profit",
+    "returned_item_revenue",
+    "important_stock",
+    "late_shipment_priority",
+    "promo_revenue_effect",
+    "dominant_part_suppliers",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

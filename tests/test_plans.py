@@ -23,6 +23,15 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _formatted(df, spark) -> str:
+    """Formatted explain: unlike executedPlan().toString(), scan
+    PushedFilters lists are NOT width-truncated here."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_pricing_summary_pushdown_and_pruning(spark):
     df = E.queries()["pricing_summary"](spark, SF)
     plan = _plan(df)
@@ -197,3 +206,87 @@ def test_waiting_suppliers_single_fact_shuffle_key(spark):
     plan = _plan(E.queries()["waiting_suppliers"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_change_pure_scan_agg(spark):
+    """Q6 is the scan-path proof: all three predicates reach the
+    parquet scan and the only exchange is the final 1-row agg."""
+    plan = _formatted(E.queries()["forecast_revenue_change"](spark, SF), spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_local_supplier_volume_compound_broadcast_key(spark):
+    """Q5's local predicate (c_nationkey = s_nationkey) must ride the
+    supplier broadcast join as an equi-key, never a post-join filter
+    or a nested-loop."""
+    plan = _plan(E.queries()["local_supplier_volume"](spark, SF))
+    assert "BroadcastHashJoin [l_suppkey" in plan and "c_nationkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_national_market_share_single_fact_pass(spark):
+    """Q8's share ratio is ONE aggregation pass: the lineitem scan
+    appears once, with numerator and denominator as conditional
+    partial sums."""
+    plan = _plan(E.queries()["national_market_share"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_product_type_profit_name_prefix_pushed(spark):
+    """Q9's LIKE 'green%' prunes part at the scan (StringStartsWith),
+    and both dims broadcast — no fact-fact join at all."""
+    plan = _plan(E.queries()["product_type_profit"](spark, SF))
+    assert "StringStartsWith(p_name,green)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_returned_item_revenue_dims_join_after_limit(spark):
+    """Q10's customer/nation dims must join the 20-row top-k result,
+    not the fact: the plan takes the ordered limit BELOW the
+    broadcast joins."""
+    plan = _plan(E.queries()["returned_item_revenue"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the limit feeds the joins: TakeOrdered appears deeper (later in
+    # the tree dump) than the broadcast joins that consume it
+    assert plan.index("TakeOrderedAndProject") < plan.index("customer.parquet")
+
+
+def test_important_stock_total_reuses_aggregate(spark):
+    """Q11's global scalar must derive from the per-part aggregate
+    (ReuseExchange / reused subtree), never a second lineitem scan;
+    the scalar joins as a 1-row broadcast."""
+    plan = _plan(E.queries()["important_stock"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 2  # once + possible reuse dump
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_late_shipment_priority_residual_on_equi_join(spark):
+    """Q12's late predicate references both sides, so it must ride the
+    orderkey equi-join as a residual — never force a nested-loop."""
+    plan = _plan(E.queries()["late_shipment_priority"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_dominant_part_suppliers_no_second_fact_scan(spark):
+    """Q20's per-part totals re-aggregate the (part, supplier) frame;
+    the branded fact scan must not run twice uncached (ReuseExchange
+    serves the second reader) and the name prefix pushes down."""
+    df = E.queries()["dominant_part_suppliers"](spark, SF)
+    plan = _plan(df)
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "CartesianProduct" not in plan
+    df.collect()
+    assert "ReusedExchange" in _plan(df) or plan.count("lineitem.parquet") == 1

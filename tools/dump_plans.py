@@ -50,6 +50,16 @@ HEADLINE = {
     "large_volume_orders": "Q18 shape: one fact shuffle keys both the rollup and the orders join",
     "disjunctive_revenue": "Q19 shape: clean equi-key + OR-group residual on a broadcast join",
     "waiting_suppliers": "Q21 shape: EXISTS/NOT-EXISTS pair as one per-order aggregate, dims broadcast",
+    "local_supplier_volume": "Q5 shape: compound (suppkey, nationkey) broadcast key carries the local predicate",
+    "forecast_revenue_change": "Q6 shape: pure scan-agg, all three predicates pushed to the scan",
+    "volume_shipping": "Q7 shape: two independent nation roles as separate broadcast dims, one fact shuffle",
+    "national_market_share": "Q8 shape: CASE-ratio in ONE aggregation pass over a single fact scan",
+    "product_type_profit": "Q9 shape: LIKE prefix pushed (StringStartsWith), dims broadcast, no fact-fact join",
+    "returned_item_revenue": "Q10 shape: top-20 on the aggregate BEFORE the dim joins see any rows",
+    "important_stock": "Q11 shape: global scalar reuses the per-part aggregate, 1-row broadcast gate",
+    "late_shipment_priority": "Q12 shape: both-sides late predicate as the equi-join residual",
+    "promo_revenue_effect": "Q14 shape: conditional-sum ratio, one pass, broadcast part dim",
+    "dominant_part_suppliers": "Q20 shape: per-part totals re-aggregate the pair frame (ReuseExchange)",
 }
 
 
