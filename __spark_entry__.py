@@ -996,13 +996,14 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Profit stays decimal-exact end to end: revenue minus a
     10%-of-retail supply-cost proxy (the synthetic schema has no
     partsupp/ps_supplycost; p_retailprice is exact at 1dp so the
-    decimal product is exact)."""
+    decimal product is exact; Q9's 'green' is 'red' here — the
+    synthetic p_name adjective vocabulary has no green)."""
     li = _fact(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     part = (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("green%"))
+        .filter(F.col("p_name").like("red%"))
         .select("p_partkey", "p_retailprice")
     )
     one = F.lit("1.00").cast("decimal(3,2)")
@@ -1076,9 +1077,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     second read of the SAME aggregate (ReuseExchange — never a
     second fact scan), and the fraction gate compares decimals
     exactly. (No partsupp in the synthetic schema; the nation's
-    lineitem revenue per part plays ps_supplycost×ps_availqty. The
-    0.0005 fraction mirrors Q11's scale-dependent 0.0001/SF: it
-    selects above-average parts at any SF.)"""
+    lineitem revenue per part plays ps_supplycost×ps_availqty.
+    Q11's literal 0.0001 fraction is scale-dependent — the spec
+    divides it by SF — so the gate here is the scale-free
+    equivalent: value > 2 × the mean per-part value, with the mean
+    derived from the SAME aggregate as the values.)"""
     li = _fact(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -1090,11 +1093,14 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("_val"))
     )
-    total = per_part.agg(F.sum("_val").alias("_tot"))
+    total = per_part.agg(
+        F.sum("_val").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("_val").cast("double") > 0.0005 * F.col("_tot").cast("double")
+            F.col("_val").cast("double")
+            > 2.0 * F.col("_tot").cast("double") / F.col("_n").cast("double")
         )
         .select(
             "l_partkey", F.round(F.col("_val").cast("double"), 2).alias("value")
@@ -3230,7 +3236,7 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(l_quantity AS DECIMAL(18,2)))
                      AS DOUBLE), 2) AS sum_profit
             FROM lineitem
-            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'green%'
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, year(l_shipdate)
@@ -3271,7 +3277,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, round(CAST(_val AS DOUBLE), 2) AS value
             FROM per_part
             WHERE CAST(_val AS DOUBLE)
-                  > 0.0005 * (SELECT CAST(sum(_val) AS DOUBLE) FROM per_part)
+                  > 2.0 * (SELECT CAST(sum(_val) AS DOUBLE) FROM per_part)
+                        / (SELECT CAST(count(*) AS DOUBLE) FROM per_part)
         """,
         "late_shipment_priority": """
             SELECT l_returnflag,

@@ -244,7 +244,7 @@ def test_product_type_profit_name_prefix_pushed(spark):
     """Q9's LIKE 'green%' prunes part at the scan (StringStartsWith),
     and both dims broadcast — no fact-fact join at all."""
     plan = _plan(E.queries()["product_type_profit"](spark, SF))
-    assert "StringStartsWith(p_name,green)" in plan
+    assert "StringStartsWith(p_name,red)" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
