@@ -1739,6 +1739,19 @@ def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_decontaminate(corpus, probe, n=4)
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: same corpus/probe split as
+    ngram_decontam, but the probe set broadcasts as a 16 KB bitset
+    (2^17 bits, 3 hashes) instead of its full gram-digest set; the
+    bloom gate runs as a pure JVM expression in the corpus scan
+    stage and only candidates reach the exact digest join. n_bloom ⊇
+    n_exact per doc — the gap IS the measured false-positive cost."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.bloom_decontaminate(corpus, probe, n=4)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: emails/IPv4/long digit runs replaced with typed
     placeholders + per-category counts. The corpus carries no PII, so
@@ -2269,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": q_late_shipment_priority,
         "promo_revenue_effect": q_promo_revenue_effect,
         "dominant_part_suppliers": q_dominant_part_suppliers,
+        "bloom_decontam": q_bloom_decontam,
     }
 
 
@@ -3309,6 +3323,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "bloom_decontam": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 4 THEN
+                       list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                     ELSE [] END AS gs
+              FROM tk
+            ), u AS (
+              SELECT doc_id, unnest(gs) AS gram FROM g
+            ), pg AS (
+              SELECT DISTINCT gram FROM u WHERE doc_id % 20 = 0
+            ), bloom AS (
+              SELECT DISTINCT
+                     ('0x' || substring(md5(gram || '|' || j), 1, 15))::BIGINT
+                       % 131072 AS pos
+              FROM pg CROSS JOIN (VALUES (0), (1), (2)) s(j)
+            ), cand AS (
+              SELECT doc_id, gram, md5(gram) AS gh
+              FROM u
+              WHERE doc_id % 20 != 0
+                AND ('0x' || substring(md5(gram || '|0'), 1, 15))::BIGINT
+                      % 131072 IN (SELECT pos FROM bloom)
+                AND ('0x' || substring(md5(gram || '|1'), 1, 15))::BIGINT
+                      % 131072 IN (SELECT pos FROM bloom)
+                AND ('0x' || substring(md5(gram || '|2'), 1, 15))::BIGINT
+                      % 131072 IN (SELECT pos FROM bloom)
+            )
+            SELECT doc_id, count(*) AS n_bloom,
+                   sum(CASE WHEN gh IN (SELECT md5(gram) FROM pg)
+                            THEN 1 ELSE 0 END) AS n_exact
+            FROM cand GROUP BY doc_id
         """,
         "dominant_part_suppliers": """
             WITH pair AS (

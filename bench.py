@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "late_shipment_priority",
     "promo_revenue_effect",
     "dominant_part_suppliers",
+    "bloom_decontam",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

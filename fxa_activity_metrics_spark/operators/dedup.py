@@ -452,6 +452,115 @@ def ngram_decontaminate(
     )
 
 
+def _bloom_pos(g: F.Column, j: int, m_bits: int) -> F.Column:
+    """Bloom hash j of a gram: the first 15 hex chars of
+    md5(gram "|" j) as an integer, mod the filter width. 15 hex chars
+    = 60 bits — fits a BIGINT exactly in Spark and DuckDB, so both
+    engines compute the identical position (the 7-hex cohort trick,
+    widened)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(g, F.lit(f"|{j}"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination prefilter: ngram_decontaminate's
+    broadcast side, compressed to a bitset.
+
+    ngram_decontaminate broadcasts the probe set's gram DIGESTS — at
+    32 hex chars per distinct benchmark gram, a 10M-gram benchmark
+    suite costs ~320 MB per executor. This variant broadcasts a
+    Bloom BITSET instead (m_bits/8 bytes — 16 KB at the default
+    2^17, independent of gram count): each probe gram sets k
+    deterministic md5-derived bits; a corpus gram is a CANDIDATE iff
+    all k of its bits are set. Candidates then confirm against the
+    exact digest join — but at 100 TB the bloom gate runs INSIDE the
+    corpus scan stage (a pure JVM expression against an array
+    literal, no join, no shuffle), so the exact join's input is the
+    (tiny) candidate slice, not the corpus. False positives only
+    cost a wasted exact probe; false negatives are impossible — every
+    probe gram's bits are set, so bloom_hits ⊇ exact_hits per doc
+    (pinned in tests).
+
+    The bitset build is itself distributed: probe grams explode to k
+    bit positions, distinct positions fold to ≤ m_bits/64 words via
+    bit_or — metadata-scale rows collected once, shipped as ONE
+    array<bigint> literal.
+
+    Output: (doc_id, n_bloom, n_exact) per corpus doc with ≥1
+    candidate gram — n_bloom counts distinct grams passing the bloom
+    gate, n_exact the exactly-contaminated subset."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("g"),
+    )
+    pgrams = probe.select(
+        F.explode(shingles(probe_text_col, n)).alias("g")
+    ).distinct()
+
+    # --- build: k positions per probe gram -> distinct -> 64-bit words
+    pos = pgrams.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("g"), j, m_bits) for j in range(k_hashes)])
+        ).alias("pos")
+    ).distinct()
+    word_rows = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            (F.col("pos") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            # SQL shiftleft takes a column shift amount; the PySpark
+            # wrapper's numBits is a Python int, hence call_function
+            F.bit_or(
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), F.col("b"))
+            ).alias("bits")
+        )
+        .collect()
+    )  # bounded at m_bits/64 rows (2048 at the default) — metadata-scale
+    words = [0] * (m_bits // 64)
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    bitset = F.lit(words)
+
+    # --- probe: pure-expression membership gate inside the scan stage
+    hit = F.lit(True)
+    for j in range(k_hashes):
+        pj = _bloom_pos(F.col("g"), j, m_bits)
+        word = F.element_at(bitset, (pj / 64).cast("int") + 1)
+        hit = hit & (
+            F.call_function("shiftrightunsigned", word, (pj % 64).cast("int"))
+            % 2
+            == 1
+        )
+    exact = pgrams.select(F.md5("g").alias("gh"), F.lit(1).alias("_pm"))
+    return (
+        grams.withColumn("bloom_hit", hit)
+        .filter(F.col("bloom_hit"))
+        .withColumn("gh", F.md5("g"))
+        .join(F.broadcast(exact), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom"),
+            F.sum(
+                F.when(F.col("_pm").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_exact"),
+        )
+    )
+
+
 def _positional_gram_hashes(
     docs: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:

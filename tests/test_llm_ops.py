@@ -531,3 +531,80 @@ def test_substring_dedup_min_count_threshold(spark):
     rows = [(1, "m n o p tail"), (2, "m n o p other")]
     df = substring_dedup(_span_docs(spark, rows), k=4, min_count=3)
     assert {r["n_removed"] for r in df.collect()} == {0}
+
+
+# --- bloom-filter decontamination prefilter ------------------------------
+
+
+def _bloom_fixture(spark):
+    from fxa_activity_metrics_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 4-grams with probe
+            (2, "zeta eta theta iota kappa"),       # clean
+            (3, "alpha beta gamma delta unrelated tail words here"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon extra")],
+        "doc_id long, text string",
+    )
+    return bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12), corpus, probe
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every exactly-contaminated doc must surface with n_exact equal
+    to its true shared-gram count: bloom candidates are a SUPERSET of
+    exact hits by construction."""
+    out, _, _ = _bloom_fixture(spark)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: grams "a b g d" and "b g d e" both in probe -> n_exact=2
+    assert rows[1]["n_exact"] == 2
+    # doc 3: only "alpha beta gamma delta" shared -> n_exact=1
+    assert rows[3]["n_exact"] == 1
+    for r in rows.values():
+        assert r["n_bloom"] >= r["n_exact"]
+
+
+def test_bloom_matches_exact_decontam_counts(spark):
+    """n_exact must equal ngram_decontaminate's per-doc shared-gram
+    total over the same inputs — the bloom gate may only ADD
+    candidates, never change the exact answer."""
+    from fxa_activity_metrics_spark.operators.dedup import ngram_decontaminate
+
+    out, corpus, probe = _bloom_fixture(spark)
+    exact = (
+        ngram_decontaminate(corpus, probe, n=4)
+        .groupBy("doc_id")
+        .agg(F.sum("n_shared").alias("n"))
+    )
+    got = {r["doc_id"]: r["n_exact"] for r in out.collect()}
+    want = {r["doc_id"]: r["n"] for r in exact.collect()}
+    assert {k: v for k, v in got.items() if v > 0} == want
+
+
+def test_bloom_tiny_filter_produces_false_positives_only(spark):
+    """Squeezing m_bits forces collisions: candidates grow, exact
+    stays fixed — the documented FP-only failure mode."""
+    from fxa_activity_metrics_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(1, 60)],
+        "doc_id long, text string",
+    )
+    # enough probe grams that a 64-bit filter saturates (~70% bit
+    # density -> ~1/3 of corpus grams false-positive) while 2^12 bits
+    # stay sparse
+    probe = spark.createDataFrame(
+        [(100, " ".join(f"p{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    wide = bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12)
+    tiny = bloom_decontaminate(corpus, probe, n=4, m_bits=64)
+    assert wide.agg(F.sum("n_exact")).first()[0] in (None, 0)
+    assert tiny.agg(F.sum("n_exact")).first()[0] in (None, 0)
+    n_wide = wide.agg(F.sum("n_bloom")).first()[0] or 0
+    n_tiny = tiny.agg(F.sum("n_bloom")).first()[0] or 0
+    assert n_tiny > n_wide

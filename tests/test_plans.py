@@ -290,3 +290,14 @@ def test_dominant_part_suppliers_no_second_fact_scan(spark):
     assert "CartesianProduct" not in plan
     df.collect()
     assert "ReusedExchange" in _plan(df) or plan.count("lineitem.parquet") == 1
+
+
+def test_bloom_decontam_gate_is_scan_side_expression(spark):
+    """The bloom gate must be a pure expression (bitset literal +
+    shiftrightunsigned) filtering the corpus BEFORE the only join —
+    the exact-confirm broadcast. No shuffle join anywhere."""
+    plan = _plan(E.queries()["bloom_decontam"](spark, SF))
+    assert "shiftrightunsigned" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

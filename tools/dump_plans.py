@@ -60,6 +60,7 @@ HEADLINE = {
     "late_shipment_priority": "Q12 shape: both-sides late predicate as the equi-join residual",
     "promo_revenue_effect": "Q14 shape: conditional-sum ratio, one pass, broadcast part dim",
     "dominant_part_suppliers": "Q20 shape: per-part totals re-aggregate the pair frame (ReuseExchange)",
+    "bloom_decontam": "bloom prefilter: 16 KB bitset literal gates the corpus scan; exact join sees candidates only",
 }
 
 
