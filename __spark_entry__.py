@@ -1621,6 +1621,33 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "token").select("token", "est", "exact_n")
 
 
+def q_daily_uniques_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per day over the events
+    stream, PLUS the union-merged all-days sketch as a final 'ALL'
+    row — the merge is part of the oracled query, so mergeability
+    itself is hash-checked. Unlike the HLL rows (daily_uniques_hll,
+    rows-only), md5-order bottom-k is fully deterministic: the DuckDB
+    oracle replays the sketch AND the (k-1)/u_k estimate bit-for-bit.
+    Sub-k days estimate exactly (the sketch IS the value set)."""
+    from fxa_activity_metrics_spark.operators.rollup import (
+        kmv_daily_sketches,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_daily_sketches(ev, k=64)
+    per_day = kmv_estimate(sk, k=64).select(
+        F.col("day").cast("string").alias("day_key"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "est_uniques",
+    )
+    merged = kmv_estimate(kmv_merge(sk, k=64), k=64, key_col="day_key").select(
+        "day_key", F.col("n_kept").cast("long").alias("n_kept"), "est_uniques"
+    )
+    return per_day.unionByName(merged)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the token stream — the
     frequent-items sketch the CMS entry can't give (CMS answers point
@@ -2283,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_effect": q_promo_revenue_effect,
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "bloom_decontam": q_bloom_decontam,
+        "daily_uniques_kmv": q_daily_uniques_kmv,
     }
 
 
@@ -3323,6 +3351,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "daily_uniques_kmv": """
+            WITH dh AS (
+              SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_key,
+                     md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events
+            ), ranked AS (
+              SELECT day_key, h,
+                     row_number() OVER (PARTITION BY day_key ORDER BY h) AS r
+              FROM dh
+            ), kept AS (
+              SELECT day_key, h, r FROM ranked WHERE r <= 64
+            ), per_day AS (
+              SELECT day_key, max(r) AS n_kept,
+                     list_sort(list(h)) AS hs
+              FROM kept GROUP BY day_key
+            ), mh AS (
+              SELECT h FROM (SELECT DISTINCT h FROM kept)
+              ORDER BY h LIMIT 64
+            ), merged AS (
+              SELECT 'ALL' AS day_key, count(*) AS n_kept,
+                     list_sort(list(h)) AS hs
+              FROM mh
+            ), allsk AS (
+              SELECT * FROM per_day UNION ALL SELECT * FROM merged
+            )
+            SELECT day_key, n_kept,
+                   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                        ELSE round(63.0 /
+                          (CAST(('0x' || substring(hs[64], 1, 15))::BIGINT
+                                AS DOUBLE) / 1152921504606846976.0), 4)
+                   END AS est_uniques
+            FROM allsk
         """,
         "bloom_decontam": """
             WITH tk AS (

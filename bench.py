@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "promo_revenue_effect",
     "dominant_part_suppliers",
     "bloom_decontam",
+    "daily_uniques_kmv",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

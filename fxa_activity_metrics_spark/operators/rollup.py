@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.sources.lake import Lake
@@ -390,4 +390,101 @@ def heavy_hitters_exact(
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") * (k + 1) > F.col("n_total"))
         .select("item", F.col("n").alias("exact_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch: mergeable AND exactly oracled
+# ---------------------------------------------------------------------------
+
+
+def _kmv_frac(h: F.Column) -> F.Column:
+    """md5 hex -> U(0,1): first 15 hex chars (60 bits — BIGINT-exact
+    in Spark and DuckDB alike) over 2^60. Both engines round the
+    60-bit integer to double identically (IEEE nearest), so the
+    estimate is bit-reproducible across engines."""
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def kmv_daily_sketches(
+    events: DataFrame,
+    k: int = 64,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    n_salts: int = 32,
+) -> DataFrame:
+    """One KMV (bottom-k / k-minimum-values) sketch row per day: the
+    k lexicographically-smallest md5 hashes of the day's DISTINCT
+    ids, as a sorted array. Beyer et al. 2007 ("On synopses for
+    distinct-value estimation"): with u_k = the k-th smallest hash as
+    a U(0,1) draw, (k-1)/u_k is an unbiased distinct-count estimate;
+    the sketch is MERGEABLE (union the hash sets, re-take the
+    bottom k) — same persistence story as the HLL rows above, but
+    md5 is deterministic, so unlike HLL the whole sketch AND its
+    estimate replay exactly in the DuckDB oracle.
+
+    Distributed bottom-k, no global sort: distinct (day, hash) pairs
+    first (one map-side-combinable shuffle), then a SALTED two-level
+    rank — bottom-k within (day, salt) prunes each day's candidates
+    to ≤ n_salts·k rows in parallel windows, and only that bounded
+    set meets the final per-day rank. At 100 TB no executor ever
+    sorts a full day's distinct set in one task."""
+    h = F.md5(F.col(id_col).cast("string"))
+    day = F.to_date(F.col(ts_col)).alias("day")
+    distinct_hashes = events.select(day, h.alias("h")).distinct()
+    salted = distinct_hashes.withColumn(
+        "_s", F.pmod(F.xxhash64("h"), F.lit(n_salts))
+    )
+    w_local = Window.partitionBy("day", "_s").orderBy("h")
+    w_day = Window.partitionBy("day").orderBy("h")
+    return (
+        salted.withColumn("_rl", F.row_number().over(w_local))
+        .filter(F.col("_rl") <= k)
+        .withColumn("_r", F.row_number().over(w_day))
+        .filter(F.col("_r") <= k)
+        .groupBy("day")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.max("_r").alias("n_kept"),
+        )
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame, k: int = 64, key_col: str = "day"
+) -> DataFrame:
+    """Per-sketch distinct estimate: exact n_kept when the day had
+    fewer than k distinct ids (the sketch IS the value set), else
+    (k-1)/u_k rounded to 4dp. Pure JVM expressions over the sketch
+    rows — the raw stream is long gone."""
+    u_k = _kmv_frac(F.element_at("hs", k))
+    return sketches.select(
+        key_col,
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1)) / u_k, 4))
+        .alias("est_uniques"),
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge sketch rows into ONE range sketch: explode the
+    (tiny) hash arrays, distinct, bottom-k again. Input is |days|·k
+    rows — KB-scale; lossless in the KMV sense (the merged sketch
+    equals the sketch of the concatenated streams, pinned exactly in
+    tests)."""
+    w = Window.orderBy("h")
+    return (
+        sketches.select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.max("_r").alias("n_kept"),
+        )
+        .select(F.lit("ALL").cast("string").alias("day_key"), "hs", "n_kept")
     )

@@ -145,3 +145,82 @@ def test_misra_gries_guarantees(spark):
         hh = {r["item"] for r in heavy_hitters_exact(items, "item", k=k).collect()}
         assert hh, "fixture must have φ-frequent items"
         assert hh <= set(mg), f"missing φ-frequent items: {hh - set(mg)}"
+
+
+# --- KMV bottom-k distinct sketch ---------------------------------------
+
+
+def _kmv_events(spark):
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+
+    return read_table(spark, "/root/testdata/sf0.01", "events")
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Union-merging per-day sketches must reproduce the bottom-k of
+    the whole stream EXACTLY — KMV merge is lossless, not
+    approximately so."""
+    from fxa_activity_metrics_spark.operators.rollup import (
+        kmv_daily_sketches,
+        kmv_merge,
+    )
+    from pyspark.sql import functions as F
+
+    ev = _kmv_events(spark)
+    merged = kmv_merge(kmv_daily_sketches(ev, k=64), k=64).first()
+    direct = (
+        ev.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .first()
+    )
+    assert merged["hs"] == direct["hs"]
+    assert merged["n_kept"] == len(direct["hs"])
+
+
+def test_kmv_estimate_within_tolerance_and_exact_below_k(spark):
+    """(k-1)/u_k lands within the ~1/sqrt(k) KMV error band of the
+    true distinct count; a sub-k stream is answered EXACTLY."""
+    from fxa_activity_metrics_spark.operators.rollup import (
+        kmv_daily_sketches,
+        kmv_estimate,
+        kmv_merge,
+    )
+    from pyspark.sql import functions as F
+
+    ev = _kmv_events(spark)
+    exact = ev.select("user_id").distinct().count()
+    est = kmv_estimate(
+        kmv_merge(kmv_daily_sketches(ev, k=64), k=64), k=64, key_col="day_key"
+    ).first()["est_uniques"]
+    assert abs(est - exact) / exact < 0.5  # k=64 -> rsd ~12.5%; 4 sigma
+    # sub-k: 10 distinct ids, k=64 -> the sketch IS the value set
+    small = ev.filter(F.col("user_id") < 10)
+    row = kmv_estimate(kmv_daily_sketches(small, k=64), k=64).first()
+    got = (
+        small.select(F.to_date("ts").alias("d"), "user_id")
+        .filter(F.col("d") == F.lit(str(row["day"])))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row["est_uniques"] == float(got)
+
+
+def test_kmv_salt_count_does_not_change_sketch(spark):
+    """The two-level salted rank is an execution detail: any n_salts
+    must yield the identical bottom-k."""
+    from fxa_activity_metrics_spark.operators.rollup import kmv_daily_sketches
+
+    ev = _kmv_events(spark)
+    a = {
+        r["day"]: r["hs"]
+        for r in kmv_daily_sketches(ev, k=32, n_salts=4).collect()
+    }
+    b = {
+        r["day"]: r["hs"]
+        for r in kmv_daily_sketches(ev, k=32, n_salts=17).collect()
+    }
+    assert a == b

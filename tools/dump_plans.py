@@ -61,6 +61,7 @@ HEADLINE = {
     "promo_revenue_effect": "Q14 shape: conditional-sum ratio, one pass, broadcast part dim",
     "dominant_part_suppliers": "Q20 shape: per-part totals re-aggregate the pair frame (ReuseExchange)",
     "bloom_decontam": "bloom prefilter: 16 KB bitset literal gates the corpus scan; exact join sees candidates only",
+    "daily_uniques_kmv": "KMV bottom-k: salted two-level rank, KB-scale merge — sketch AND estimate exactly oracled",
 }
 
 
