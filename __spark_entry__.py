@@ -1621,6 +1621,23 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "token").select("token", "est", "exact_n")
 
 
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 fixed rounds, d=0.85 in micro-units) over
+    the symmetrized MinHash-LSH candidate graph — which documents
+    are most centrally entangled in near-duplicate structure. All
+    arithmetic is integer div/sum, so the DuckDB oracle replays every
+    round exactly (the float formulation would be summation-order
+    noise); the oracle unrolls the 3 rounds as CTEs."""
+    from fxa_activity_metrics_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, shingle_n=3
+    )
+    pr = graph.pagerank(graph.symmetrize(pairs), n_iters=3)
+    return pr.select(F.col("id").alias("doc_id"), "pr_micro")
+
+
 def q_daily_uniques_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-count sketch per day over the events
     stream, PLUS the union-merged all-days sketch as a final 'ALL'
@@ -2311,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "bloom_decontam": q_bloom_decontam,
         "daily_uniques_kmv": q_daily_uniques_kmv,
+        "pagerank_neardup": q_pagerank_neardup,
     }
 
 
@@ -3352,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
+        "pagerank_neardup": _PAGERANK_SQL,
         "daily_uniques_kmv": """
             WITH dh AS (
               SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_key,
@@ -4666,6 +4685,52 @@ _LSH_PAIRS_SQL = """
        AND a.doc_id < b.doc_id
     )
 """
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-round integer PageRank over the LSH candidate
+    graph: the same micro-unit div/sum arithmetic as
+    operators/graph.py, one CTE pair per round (DuckDB's `//` floors,
+    Spark's `div` truncates — identical on these non-negative
+    values)."""
+    rounds = []
+    prev = "p0"
+    for i in range(1, 4):
+        rounds.append(f"""
+            , s{i} AS (
+              SELECT e.b AS id, sum({prev}.pr // deg.d) AS sm
+              FROM e JOIN {prev} ON e.a = {prev}.id
+              JOIN deg ON e.a = deg.a
+              GROUP BY e.b
+            ), p{i} AS (
+              SELECT n.id,
+                     CAST(150000 + (85 * COALESCE(s{i}.sm, 0)) // 100
+                          AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN s{i} ON n.id = s{i}.id
+            )""")
+        prev = f"p{i}"
+    return (
+        _LSH_PAIRS_SQL
+        + """
+            , e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS id FROM e
+            ), deg AS (
+              SELECT a, count(*) AS d FROM e GROUP BY a
+            ), p0 AS (
+              SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
+            )"""
+        + "".join(rounds)
+        + """
+            SELECT id AS doc_id, pr AS pr_micro FROM p3
+        """
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
 
 _LANG_SQL = """
     WITH t AS (

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dominant_part_suppliers",
     "bloom_decontam",
     "daily_uniques_kmv",
+    "pagerank_neardup",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

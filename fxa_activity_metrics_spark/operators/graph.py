@@ -1,0 +1,105 @@
+"""Graph analytics over edge-list DataFrames: PageRank as iterated
+join-aggregate rounds (the Pregel pattern without GraphX — plain
+DataFrame ops so Catalyst/AQE keep optimizing every round).
+
+Scale shape (100 TB): one PageRank round = edges ⋈ ranks on src
+(co-partitioned when the edge table is pre-partitioned/bucketed on
+src — the rank side reuses that partitioning every round) followed
+by ONE groupBy(dst) exchange with map-side partial sums. The edge
+table is persisted once and re-read each round; rank state is
+node-scale, not edge-scale. Rounds run as a driver-side loop over
+DataFrames with per-round persists to truncate lineage (a handful of
+fixed rounds here; checkpoint() for long chains).
+
+Determinism contract (what makes the DuckDB oracle possible): all
+arithmetic is INTEGER micro-units — contribution = rank div
+out_degree, damping = 150000 + (85 · Σcontrib) div 100 — so every
+sum is an associative integer fold and the result is bit-identical
+under any partitioning or join order. The classical float PageRank
+would differ per summation order; this one cannot. Dangling mass:
+with caller-symmetrized edges every connected node has out-degree
+≥ 1, so no dangling redistribution is needed (isolated nodes are
+not graph members at all).
+
+Cross-engine pin: Spark's `div` truncates toward zero, DuckDB's `//`
+floors — identical on the non-negative values used here.
+
+Related: duplicate_clusters (star-contraction connected components)
+in operators/dedup.py is this family's other member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INIT_MICRO = 1_000_000
+_BASE_MICRO = 150_000  # (1 - d) · 1e6 at d = 0.85
+
+
+def symmetrize(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Undirected pair list -> directed edge list with both
+    orientations: (src, dst). Input pairs are assumed deduped with
+    a < b (the LSH candidate convention), so the union is
+    duplicate-free without a distinct."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round integer PageRank over a directed edge list.
+
+    Every round: rank flows along edges as rank div out_degree, is
+    summed per destination (the round's one exchange), damped at
+    0.85, and floored back onto the full node set (nodes receiving
+    nothing keep the (1-d) base — they are still ranked). Returns
+    (id, pr_micro): rank in integer micro-units, init 1e6 per node.
+
+    n_iters is deliberately a fixed small constant rather than a
+    convergence test: convergence checks make the OUTPUT depend on
+    float tolerance; fixed integer rounds make it a pure function of
+    the graph — replayable by the oracle round for round.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # edge list annotated with its source's out-degree once, reused
+    # every round (degree never changes)
+    ed = e.join(deg, "src").persist()
+
+    pr = nodes.select("id", F.lit(_INIT_MICRO).cast("long").alias("pr_micro"))
+    for _ in range(n_iters):
+        sums = (
+            ed.join(pr, ed["src"] == pr["id"])
+            .select("dst", F.expr("pr_micro div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sm"))
+        )
+        pr = (
+            nodes.join(sums, nodes["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(_BASE_MICRO)
+                    + F.expr("85 * coalesce(sm, 0L) div 100")
+                ).cast("long").alias("pr_micro"),
+            )
+            .persist()
+        )
+        # materialize the round so the next one joins a computed
+        # node-scale table, not a growing lineage
+        pr.count()
+    return pr

@@ -1,0 +1,67 @@
+"""Integer PageRank contracts: determinism under partitioning,
+structural sanity on known graphs, and the micro-unit arithmetic
+bounds the oracle replay depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators.graph import pagerank, symmetrize
+
+
+def _ranks(spark, pairs, n_iters=3):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = pagerank(symmetrize(df), n_iters=n_iters).collect()
+    return {r["id"]: r["pr_micro"] for r in rows}
+
+
+def test_star_center_dominates(spark):
+    # 0 connected to 1..5: the hub must outrank every spoke, and all
+    # spokes tie exactly (integer arithmetic — not approximately)
+    got = _ranks(spark, [(0, i) for i in range(1, 6)])
+    spokes = {got[i] for i in range(1, 6)}
+    assert len(spokes) == 1
+    assert got[0] > max(spokes)
+
+
+def test_symmetric_graph_symmetric_ranks(spark):
+    # path 1-2-3: the ends must tie bit-exactly
+    got = _ranks(spark, [(1, 2), (2, 3)])
+    assert got[1] == got[3]
+    assert got[2] > got[1]
+
+
+def test_rank_floor_is_base_mass(spark):
+    # every node receives at least the (1-d) base each round
+    got = _ranks(spark, [(1, 2), (3, 4), (4, 5)])
+    assert all(v >= 150000 for v in got.values())
+
+
+def test_partitioning_invariance(spark):
+    """The oracle contract: ranks are a pure function of the graph.
+    Any repartitioning of the edge list yields bit-identical
+    ranks."""
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(200) if i != (i * 7 + 3) % 50]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    base = {
+        r["id"]: r["pr_micro"]
+        for r in pagerank(symmetrize(df), n_iters=3).collect()
+    }
+    for parts in (1, 7, 32):
+        shuffled = symmetrize(df).repartition(parts, F.col("dst"))
+        got = {
+            r["id"]: r["pr_micro"]
+            for r in pagerank(shuffled, n_iters=3).collect()
+        }
+        assert got == base, parts
+
+
+def test_iteration_count_changes_ranks(spark):
+    # a bipartite-ish star OSCILLATES round to round (hub mass
+    # sloshes to spokes and back), so distinct n_iters must give
+    # distinct — but always hub-dominant — rank vectors
+    pairs = [(0, i) for i in range(1, 8)]
+    r1 = _ranks(spark, pairs, n_iters=1)
+    r3 = _ranks(spark, pairs, n_iters=3)
+    assert r1 != r3
+    assert r1[0] > r1[1] and r3[0] > r3[1]

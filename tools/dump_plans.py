@@ -62,6 +62,7 @@ HEADLINE = {
     "dominant_part_suppliers": "Q20 shape: per-part totals re-aggregate the pair frame (ReuseExchange)",
     "bloom_decontam": "bloom prefilter: 16 KB bitset literal gates the corpus scan; exact join sees candidates only",
     "daily_uniques_kmv": "KMV bottom-k: salted two-level rank, KB-scale merge — sketch AND estimate exactly oracled",
+    "pagerank_neardup": "integer PageRank round: co-partitioned edge join + one groupBy(dst) exchange per round",
 }
 
 
