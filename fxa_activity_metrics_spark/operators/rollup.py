@@ -432,20 +432,35 @@ def kmv_daily_sketches(
     to ≤ n_salts·k rows in parallel windows, and only that bounded
     set meets the final per-day rank. At 100 TB no executor ever
     sorts a full day's distinct set in one task."""
-    h = F.md5(F.col(id_col).cast("string"))
-    day = F.to_date(F.col(ts_col)).alias("day")
-    distinct_hashes = events.select(day, h.alias("h")).distinct()
+    keyed = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    return kmv_sketches_by_key(keyed, k=k, key_col="day", n_salts=n_salts)
+
+
+def kmv_sketches_by_key(
+    keyed: DataFrame,
+    k: int = 64,
+    key_col: str = "day",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Bottom-k per group over pre-hashed rows (key_col, h): the
+    generic core of kmv_daily_sketches, reused by the streaming
+    maintenance path (where the group key is the drop's file day and
+    the hashed values are vocabulary tokens)."""
+    distinct_hashes = keyed.select(key_col, "h").distinct()
     salted = distinct_hashes.withColumn(
         "_s", F.pmod(F.xxhash64("h"), F.lit(n_salts))
     )
-    w_local = Window.partitionBy("day", "_s").orderBy("h")
-    w_day = Window.partitionBy("day").orderBy("h")
+    w_local = Window.partitionBy(key_col, "_s").orderBy("h")
+    w_key = Window.partitionBy(key_col).orderBy("h")
     return (
         salted.withColumn("_rl", F.row_number().over(w_local))
         .filter(F.col("_rl") <= k)
-        .withColumn("_r", F.row_number().over(w_day))
+        .withColumn("_r", F.row_number().over(w_key))
         .filter(F.col("_r") <= k)
-        .groupBy("day")
+        .groupBy(key_col)
         .agg(
             F.sort_array(F.collect_list("h")).alias("hs"),
             F.max("_r").alias("n_kept"),

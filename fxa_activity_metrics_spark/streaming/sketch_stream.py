@@ -194,3 +194,81 @@ def heavy_hitters_from_lake(
     return spark.createDataFrame(
         [(i, wt) for i, wt in out], "item string, est long"
     )
+
+
+# --- KMV vocabulary sketches ---------------------------------------------
+
+KMV_DAY_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.StringType())),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("day", T.DateType()),
+    ]
+)
+
+KMV_K = 64
+
+
+def day_vocab_kmv(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-day KMV sketch of the DISTINCT VOCABULARY (token set):
+    the k smallest md5 token hashes per day — one array row per day.
+    Merged across days (explode + re-rank, KB of input) it answers
+    "how many distinct tokens has the whole ingested corpus used"
+    without ever rescanning it; md5 determinism makes the fold
+    bit-exact, not estimate-vs-estimate."""
+    from fxa_activity_metrics_spark.operators.rollup import kmv_sketches_by_key
+
+    keyed = docs.select(
+        "day", F.explode(tokens("text")).alias("item")
+    ).select("day", F.md5("item").alias("h"))
+    return kmv_sketches_by_key(keyed, k=k, key_col="day").select(
+        "hs", F.col("n_kept").cast("int").alias("n_kept"), "day"
+    )
+
+
+def run_vocab_kmv_stream(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    kmv_table: str = "vocab_kmv",
+    k: int = KMV_K,
+    schema: T.StructType = DOCS_SCHEMA,
+):
+    """Maintain the day-partitioned vocabulary-KMV table from
+    `documents-YYYY-MM-DD.json` day-drops through the idempotent day
+    sink: re-dropped days replace their own sketch row, replays
+    converge."""
+    docs = _docs_with_file_day(spark, source_dir, schema)
+
+    def write_kmv(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _require_file_days(batch_df)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        lake.write_days(kmv_table, day_vocab_kmv(batch_df, k=k), sort_cols=[])
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_kmv)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def vocab_uniques_from_lake(
+    lake: Lake, k: int = KMV_K, kmv_table: str = "vocab_kmv"
+) -> DataFrame:
+    """Union-merge the per-day sketch rows into the corpus-wide
+    sketch + estimate: explode the (days × k)-row hash arrays,
+    bottom-k again, estimate. Bit-identical to a one-shot KMV over
+    every ingested document's tokens (pinned) — the KMV analogue of
+    cms_from_lake's additive fold."""
+    from fxa_activity_metrics_spark.operators.rollup import (
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    sk = lake.read(kmv_table, KMV_DAY_SCHEMA)
+    return kmv_estimate(kmv_merge(sk, k=k), k=k, key_col="day_key")

@@ -169,3 +169,79 @@ def test_streamed_topk_respects_mg_bounds(spark, src_dir, tmp_path):
         assert exact[item] - est <= n_total // (MG_K + 1)
     hh = {r["item"] for r in heavy_hitters_exact(items, "item", k=MG_K).collect()}
     assert hh and hh <= set(mg)
+
+
+# --- streaming KMV vocabulary sketches -----------------------------------
+
+
+def _batch_vocab_kmv(spark, days: dict):
+    """One-shot KMV over every ingested token: the merged stream
+    fold's exactness baseline."""
+    docs = _docs_with_day(spark, days)
+    return (
+        docs.select(F.explode(tokens("text")).alias("item"))
+        .select(F.md5("item").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .first()["hs"]
+    )
+
+
+def test_stream_kmv_fold_equals_oneshot(spark, src_dir, tmp_path):
+    from fxa_activity_metrics_spark.streaming.sketch_stream import (
+        KMV_DAY_SCHEMA,
+        run_vocab_kmv_stream,
+        vocab_uniques_from_lake,
+    )
+    from fxa_activity_metrics_spark.operators.rollup import kmv_merge
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_vocab_kmv_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    two = {k: _DAYS[k] for k in ("2024-07-01", "2024-07-02")}
+    merged = kmv_merge(lake.read("vocab_kmv", KMV_DAY_SCHEMA), k=64).first()
+    assert merged["hs"] == _batch_vocab_kmv(spark, two)
+    # estimate surfaces through the lake reader, sub-k -> exact count
+    est = vocab_uniques_from_lake(lake).first()
+    n_vocab = len(
+        set(
+            t
+            for _, rows in two.items()
+            for _, text in rows
+            for t in text.split()
+            if t
+        )
+    )
+    if n_vocab < 64:
+        assert est["est_uniques"] == float(n_vocab)
+
+    # third day arrives; the fold must track exactly
+    _write_drop(src_dir, "documents-2024-07-03.json", _DAY3, time.time())
+    run_vocab_kmv_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    merged = kmv_merge(lake.read("vocab_kmv", KMV_DAY_SCHEMA), k=64).first()
+    assert merged["hs"] == _batch_vocab_kmv(spark, _DAYS)
+
+
+def test_stream_kmv_replay_converges(spark, src_dir, tmp_path):
+    from fxa_activity_metrics_spark.streaming.sketch_stream import (
+        KMV_DAY_SCHEMA,
+        run_vocab_kmv_stream,
+    )
+    from fxa_activity_metrics_spark.operators.rollup import kmv_merge
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_vocab_kmv_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    before = kmv_merge(lake.read("vocab_kmv", KMV_DAY_SCHEMA), k=64).first()["hs"]
+    # fresh checkpoint: full re-ingestion replaces each day's row
+    run_vocab_kmv_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt2")
+    ).awaitTermination(120)
+    after = kmv_merge(lake.read("vocab_kmv", KMV_DAY_SCHEMA), k=64).first()["hs"]
+    assert after == before
