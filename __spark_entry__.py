@@ -1638,6 +1638,20 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id").alias("doc_id"), "pr_micro")
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the LSH near-dup graph
+    (ordered-edge wedge join — every triangle found once, both joins
+    equi-keyed). Triangle density distinguishes true duplicate
+    clusters (cliques) from chained false-positive bands."""
+    from fxa_activity_metrics_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, shingle_n=3
+    )
+    return graph.triangle_counts(pairs)
+
+
 def q_daily_uniques_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-count sketch per day over the events
     stream, PLUS the union-merged all-days sketch as a final 'ALL'
@@ -2329,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "daily_uniques_kmv": q_daily_uniques_kmv,
         "pagerank_neardup": q_pagerank_neardup,
+        "triangle_counts": q_triangle_counts,
     }
 
 
@@ -3371,6 +3386,21 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
         "pagerank_neardup": _PAGERANK_SQL,
+        "triangle_counts": _LSH_PAIRS_SQL
+        + """
+            , tri AS (
+              SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z
+              FROM pairs p1
+              JOIN pairs p2 ON p1.id_b = p2.id_a
+              JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+            ), corners AS (
+              SELECT x AS doc_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT doc_id, count(*) AS n_triangles
+            FROM corners GROUP BY doc_id
+        """,
         "daily_uniques_kmv": """
             WITH dh AS (
               SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_key,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "bloom_decontam",
     "daily_uniques_kmv",
     "pagerank_neardup",
+    "triangle_counts",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -103,3 +103,41 @@ def pagerank(
         # node-scale table, not a growing lineage
         pr.count()
     return pr
+
+
+def triangle_counts(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Per-node triangle membership counts over an undirected pair
+    list (deduped, a < b — the LSH candidate convention).
+
+    The ordered-edge strategy (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer"): every triangle
+    {x < y < z} is found EXACTLY once, as the wedge x→y→z closed by
+    the edge (x, z). Joining only low→high edges means a hub of
+    degree d contributes wedges only through its HIGHER-id neighbors
+    — the classic mitigation that keeps the wedge join from
+    exploding on skewed degree distributions (at 100 TB the full
+    degree-ordering refinement — orient each edge from the
+    lower-degree endpoint — drops the bound to O(m^1.5); id order is
+    the deterministic stand-in here and what the oracle replays).
+    Both joins are equi-keyed (no cartesian); wedge rows never
+    materialize past the probe into the broadcast/shuffled edge set.
+
+    Output: (doc_id, n_triangles) for every node in ≥ 1 triangle.
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    xy = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    yz = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    xz = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        xy.join(yz, "y")
+        .join(xz, ["x", "z"], "left_semi")
+        .select("x", "y", "z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

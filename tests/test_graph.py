@@ -65,3 +65,37 @@ def test_iteration_count_changes_ranks(spark):
     r3 = _ranks(spark, pairs, n_iters=3)
     assert r1 != r3
     assert r1[0] > r1[1] and r3[0] > r3[1]
+
+
+# --- triangle counting ---------------------------------------------------
+
+
+def _tris(spark, pairs):
+    from fxa_activity_metrics_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_single(spark):
+    got = _tris(spark, [(1, 2), (2, 3), (1, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_shared_edges(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _tris(spark, k4)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_open_wedge_is_not_a_triangle(spark):
+    assert _tris(spark, [(1, 2), (2, 3)]) == {}
+
+
+def test_triangle_found_exactly_once(spark):
+    # a triangle plus a pendant edge: the pendant never inflates
+    got = _tris(spark, [(1, 2), (2, 3), (1, 3), (3, 9)])
+    assert got == {1: 1, 2: 1, 3: 1}

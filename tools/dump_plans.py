@@ -63,6 +63,7 @@ HEADLINE = {
     "bloom_decontam": "bloom prefilter: 16 KB bitset literal gates the corpus scan; exact join sees candidates only",
     "daily_uniques_kmv": "KMV bottom-k: salted two-level rank, KB-scale merge — sketch AND estimate exactly oracled",
     "pagerank_neardup": "integer PageRank round: co-partitioned edge join + one groupBy(dst) exchange per round",
+    "triangle_counts": "ordered-edge wedge join: each triangle found once, both joins equi-keyed",
 }
 
 
