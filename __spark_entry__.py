@@ -1638,6 +1638,20 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id").alias("doc_id"), "pr_micro")
 
 
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL ±1 projection of the embedding table to 8
+    dims (Achlioptas 2001) in integer micro-units — the
+    dimensionality-reduction front-end for bucket-then-verify ANN.
+    Zero shuffles, zero UDFs; the md5-derived sign matrix regenerates
+    identically in the DuckDB oracle, so every projected component is
+    exact-hash-checked."""
+    emb = _emb(spark, sf_dir)
+    d = _emb_dim(spark, sf_dir)
+    return similarity.jl_project(emb, d_in=d, d_out=8).select(
+        F.col("id").alias("vec_id"), "j", "proj_micro"
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the LSH near-dup graph
     (ordered-edge wedge join — every triangle found once, both joins
@@ -2344,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_uniques_kmv": q_daily_uniques_kmv,
         "pagerank_neardup": q_pagerank_neardup,
         "triangle_counts": q_triangle_counts,
+        "jl_projection": q_jl_projection,
     }
 
 
@@ -3386,6 +3401,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
         "pagerank_neardup": _PAGERANK_SQL,
+        "jl_projection": """
+            SELECT vec_id, u.j AS j,
+                   CAST(list_sum(list_transform(
+                     range(1, len(embedding) + 1), i ->
+                       CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                            AS BIGINT)
+                       * (CASE WHEN substring(md5('jl:' || CAST(u.j AS VARCHAR)
+                                    || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                               < '8' THEN 1 ELSE -1 END)
+                   )) AS BIGINT) AS proj_micro
+            FROM embeddings
+            CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) u(j)
+        """,
         "triangle_counts": _LSH_PAIRS_SQL
         + """
             , tri AS (

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "daily_uniques_kmv",
     "pagerank_neardup",
     "triangle_counts",
+    "jl_projection",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -1161,3 +1161,77 @@ def semantic_dedup(
             F.col("drop_id").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def jl_signs(d_in: int, d_out: int) -> list[list[int]]:
+    """The ±1 projection matrix, derived from md5 so every engine
+    (and every run) regenerates the identical matrix: sign(j, i) is
+    +1 iff the first hex digit of md5("jl:{j}:{i}") is < '8'.
+    Achlioptas 2001: ±1 entries satisfy the JL lemma with the same
+    constants as Gaussians — and make integer arithmetic possible."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0] < "8"
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def jl_project(
+    vectors: DataFrame,
+    d_in: int,
+    d_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings to d_out dimensions with a deterministic ±1
+    JL matrix — the cheap front-end that lets downstream ANN/near-dup
+    work in 8 dims instead of 64+ (project once, bucket/search in the
+    small space, verify survivors in the original space).
+
+    Integer-exact by construction: components quantize to micro-units
+    (round(x·1e6), the engine's Lloyd-training idiom), signs are ±1,
+    so each output is an associative INTEGER sum — bit-identical
+    under any partitioning, and the DuckDB oracle replays the whole
+    projection from the same md5-derived matrix. All JVM-side: one
+    zip_with/aggregate fold per output dim over a sign-array literal,
+    zero shuffles, zero UDFs.
+
+    Output: (id, j, proj_micro) — one row per output dimension.
+    """
+    signs = jl_signs(d_in, d_out)
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+    )
+    vecs = vectors.select(F.col(id_col).alias("id"), micro.alias("_m"))
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_m"),
+                        F.lit(signs[j]),
+                        lambda x, s: x * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("proj_micro"),
+            )
+            for j in range(d_out)
+        ]
+    )
+    return vecs.select("id", F.explode(comps).alias("c")).select(
+        "id", F.col("c.j").alias("j"), F.col("c.proj_micro").alias("proj_micro")
+    )

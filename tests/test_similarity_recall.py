@@ -247,3 +247,57 @@ def test_semantic_dedup_drops_subset_of_allpairs(spark):
     allpairs = embedding_neardup_pairs(emb, threshold=0.3).collect()
     droppable = {r["id_b"] for r in allpairs}
     assert dropped <= droppable
+
+
+# --- JL projection -------------------------------------------------------
+
+
+def test_jl_projection_preserves_distance_structure(spark):
+    """Achlioptas ±1 JL: E[‖Px‖²] = d_out·‖x‖², so the normalized
+    squared-distance ratio dp/(d_out·do) must sit in the JL
+    concentration band (the property bucket-then-verify ANN rests
+    on). NOT a correlation test — the synthetic embeddings'
+    pairwise distances concentrate, so correlation would measure
+    noise; the ratio band is the actual lemma."""
+    import numpy as np
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        jl_project,
+        jl_signs,
+    )
+    from fxa_activity_metrics_spark.sources.testdata import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings").limit(40)
+    rows = emb.collect()
+    d_in = len(rows[0]["embedding"])
+    proj = jl_project(emb, d_in=d_in, d_out=8).collect()
+    pv = {}
+    for r in proj:
+        pv.setdefault(r["id"], {})[r["j"]] = r["proj_micro"]
+    P = {i: np.array([v[j] for j in range(8)], dtype=float) for i, v in pv.items()}
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=float) * 1e6 for r in rows}
+    ids = sorted(X)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            do = float(np.sum((X[ids[a]] - X[ids[b]]) ** 2))
+            dp = float(np.sum((P[ids[a]] - P[ids[b]]) ** 2))
+            ratios.append(dp / (8.0 * do))
+    r = np.array(ratios)
+    assert 0.6 < float(np.median(r)) < 1.5
+    assert float(np.percentile(r, 5)) > 0.1
+    assert float(np.percentile(r, 95)) < 3.5
+    # and the matrix is the documented md5 derivation
+    s = jl_signs(4, 2)
+    assert all(v in (1, -1) for row in s for v in row)
+
+
+def test_jl_projection_is_shuffle_free_jvm(spark):
+    """The projection is a pure per-row expression: no exchange past
+    the parallelism-floor repartition, no Python eval."""
+    import __spark_entry__ as E
+
+    df = E.queries()["jl_projection"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan

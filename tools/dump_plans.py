@@ -64,6 +64,7 @@ HEADLINE = {
     "daily_uniques_kmv": "KMV bottom-k: salted two-level rank, KB-scale merge — sketch AND estimate exactly oracled",
     "pagerank_neardup": "integer PageRank round: co-partitioned edge join + one groupBy(dst) exchange per round",
     "triangle_counts": "ordered-edge wedge join: each triangle found once, both joins equi-keyed",
+    "jl_projection": "JL ±1 projection: per-row integer folds over sign-array literals, zero shuffle, zero UDF",
 }
 
 
