@@ -1693,6 +1693,22 @@ def q_daily_uniques_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(merged)
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal (Raffel et al. 2020 §2.2): drop
+    every occurrence of any 8-token segment shared by >= 2 distinct
+    docs, reassemble the survivors in order. Complements
+    substring_dedup on axis: spans remove text duplicated ANYWHERE
+    (incl. within one doc); this removes text duplicated ACROSS docs
+    (headers/footers/license blurbs). One explode, one hash-keyed
+    frequency shuffle, one blocklist equi-join (AQE-broadcast when
+    small), ONE groupBy(doc_id) that computes totals + removed +
+    clean text together. Exact oracle: md5 segment hashes replay in
+    DuckDB."""
+    return dedup.remove_boilerplate(
+        _docs(spark, sf_dir), width=8, min_docs=2
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the token stream — the
     frequent-items sketch the CMS entry can't give (CMS answers point
@@ -2359,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup": q_pagerank_neardup,
         "triangle_counts": q_triangle_counts,
         "jl_projection": q_jl_projection,
+        # round-8 session 3
+        "boilerplate_removal": q_boilerplate_removal,
     }
 
 
@@ -3401,6 +3419,33 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
         "pagerank_neardup": _PAGERANK_SQL,
+        "boilerplate_removal": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, u.i AS seg_idx,
+                     array_to_string(tk[u.i*8+1 : u.i*8+8], ' ') AS seg
+              FROM t, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS INT))) AS u(i)
+            ), blocked AS (
+              SELECT h FROM (SELECT DISTINCT doc_id, md5(seg) AS h FROM segs)
+              GROUP BY h HAVING count(*) >= 2
+            ), kept AS (
+              SELECT doc_id, seg_idx, seg FROM segs
+              WHERE md5(seg) NOT IN (SELECT h FROM blocked)
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+            ), re AS (
+              SELECT doc_id AS kdoc, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT totals.doc_id AS doc_id, n_segments,
+                   n_segments - coalesce(n_kept, 0) AS n_removed,
+                   coalesce(clean_text, '') AS clean_text
+            FROM totals LEFT JOIN re ON totals.doc_id = re.kdoc
+        """,
         "jl_projection": """
             SELECT vec_id, u.j AS j,
                    CAST(list_sum(list_transform(

@@ -689,3 +689,130 @@ def substring_dedup(
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def text_segments(width: int = 8, toks_col: str = "_toks") -> F.Column:
+    """Non-overlapping ``width``-token windows of a MATERIALIZED token
+    array column, as "w1 ... w8" strings (the tail segment may be
+    shorter). Takes a column NAME on purpose: referencing a bound
+    column inside the transform lambda is a per-row attribute read,
+    while referencing the tokens() expression would re-run the split
+    per SEGMENT (the quadratic trap documented on shingles()). Callers
+    materialize the token array in a prior select."""
+    t = F.col(toks_col)
+    n_segs = F.ceil(F.size(t) / F.lit(width)).cast("int")
+    return F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(t, i * width + 1, width), " "),
+        )
+    )
+
+
+def segment_rows(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, segment): (doc_id, seg_idx, seg, seg_hash).
+    posexplode_outer keeps zero-token docs (null seg row), so the
+    downstream re-aggregation never loses a document. seg_hash (md5)
+    is what shuffles in the frequency count — 32 bytes regardless of
+    segment width."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.posexplode_outer(text_segments(width)).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+
+
+def frequent_segments(
+    docs: DataFrame,
+    width: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequent segment discovery — the blocklist side of
+    C4-style boilerplate removal (Raffel et al. 2020 §2.2 drop lines
+    repeated in the corpus; CCNet, Wenzek et al. 2020, dedups on
+    paragraph hashes). Frequency is DISTINCT-DOC frequency: a doc
+    internally repeating its own segment doesn't make it boilerplate.
+
+    One map-side-combinable distinct + groupBy on seg_hash — the only
+    full-corpus shuffle in the family, and it moves (hash, doc_id)
+    pairs, never text. Returns (seg_hash, n_docs) for segments in
+    >= min_docs distinct docs."""
+    return (
+        segment_rows(docs, width, id_col, text_col)
+        .select("seg_hash", "doc_id")
+        .filter(F.col("seg_hash").isNotNull())
+        .distinct()
+        .groupBy("seg_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    width: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop EVERY occurrence of any
+    width-token segment that appears in >= min_docs distinct docs,
+    and reassemble the surviving segments in document order.
+
+    Differs from substring_dedup (Lee et al. 2021 spans) on axis, not
+    degree: spans remove text duplicated ANYWHERE (including within
+    one doc, counted by occurrence); this removes text duplicated
+    ACROSS documents (headers, footers, license blurbs) — the classic
+    web-corpus cleaning pass.
+
+    Plan shape (pinned in PLANS.md): one explode, the blocklist
+    aggregation, one equi-join of segments against the blocklist, and
+    ONE groupBy(doc_id) exchange that computes totals, removed counts,
+    and the reassembled text together (kept segments collect as
+    (seg_idx, seg) structs; collect_list skips the nulls the blocked
+    rows are mapped to). The blocklist join is deliberately NOT
+    broadcast-hinted: at web scale the frequent-segment set can be
+    arbitrarily large, so AQE decides — it converts to broadcast
+    exactly when the blocklist is small.
+
+    Output: (doc_id, n_segments, n_removed, clean_text); fully-
+    boilerplate docs come out with clean_text = '' (caller drops).
+    """
+    segs = segment_rows(docs, width, id_col, text_col)
+    block = frequent_segments(docs, width, min_docs, id_col, text_col)
+    flagged = segs.join(
+        block.select("seg_hash", F.lit(True).alias("_blocked")),
+        "seg_hash",
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("_blocked").isNull() & F.col("seg").isNotNull(),
+        F.struct("seg_idx", "seg"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("seg").alias("n_segments"),
+            F.sum(
+                F.when(F.col("_blocked"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_segments", "n_removed", "clean_text")
+    )

@@ -608,3 +608,56 @@ def test_bloom_tiny_filter_produces_false_positives_only(spark):
     n_wide = wide.agg(F.sum("n_bloom")).first()[0] or 0
     n_tiny = tiny.agg(F.sum("n_bloom")).first()[0] or 0
     assert n_tiny > n_wide
+
+
+# ---- C4-style boilerplate removal (remove_boilerplate) -------------
+
+
+def _boiler(spark, rows, width=2, min_docs=2):
+    from fxa_activity_metrics_spark.operators.dedup import remove_boilerplate
+
+    got = remove_boilerplate(
+        _span_docs(spark, rows), width=width, min_docs=min_docs
+    ).collect()
+    return {r["doc_id"]: r for r in got}
+
+
+def test_boilerplate_shared_segment_removed_from_every_doc(spark):
+    got = _boiler(
+        spark,
+        [(1, "a b C D e f"), (2, "x y C D z w"), (3, "all unique here ok")],
+    )
+    assert got[1]["clean_text"] == "a b e f"
+    assert got[1]["n_removed"] == 1 and got[1]["n_segments"] == 3
+    assert got[2]["clean_text"] == "x y z w"
+    assert got[3]["clean_text"] == "all unique here ok"
+    assert got[3]["n_removed"] == 0
+
+
+def test_boilerplate_internal_repeat_is_not_boilerplate(spark):
+    # frequency is DISTINCT-DOC frequency: a doc repeating its own
+    # segment stays intact
+    got = _boiler(spark, [(1, "p q p q r s"), (2, "t u v w x y")])
+    assert got[1]["clean_text"] == "p q p q r s"
+    assert got[1]["n_removed"] == 0
+
+
+def test_boilerplate_fully_duplicated_doc_empties(spark):
+    got = _boiler(spark, [(1, "a b"), (2, "a b")])
+    for d in (1, 2):
+        assert got[d]["clean_text"] == ""
+        assert got[d]["n_removed"] == 1 and got[d]["n_segments"] == 1
+
+
+def test_boilerplate_tail_segment_participates(spark):
+    # trailing sub-width segments hash and match like any other
+    got = _boiler(spark, [(1, "a b c"), (2, "z z c")])
+    assert got[1]["clean_text"] == "a b"
+    assert got[2]["clean_text"] == "z z"
+
+
+def test_boilerplate_min_docs_threshold(spark):
+    got = _boiler(
+        spark, [(1, "a b x"), (2, "a b y"), (3, "c d z")], min_docs=3
+    )
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
