@@ -1709,6 +1709,19 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sampling (Efraimidis &
+    Spirakis A-ES) of 50 docs, weight = n_chars — the data-mixing
+    primitive stratified_sample can't give (it samples at a fixed
+    rate per stratum; this draws a fixed-size set with
+    length-proportional inclusion). All-BIGINT micro-nat keys make
+    the selected set a pure function of (seed, ids, weights):
+    exact-hash oracle, no global sort (salted two-level rank)."""
+    from fxa_activity_metrics_spark.operators.assembly import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the token stream — the
     frequent-items sketch the CMS entry can't give (CMS answers point
@@ -2377,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": q_jl_projection,
         # round-8 session 3
         "boilerplate_removal": q_boilerplate_removal,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3419,6 +3433,22 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
         "pagerank_neardup": _PAGERANK_SQL,
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                     ('0x' || substring(md5('fxa-wrs:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT AS h
+              FROM documents
+              WHERE CAST(n_chars AS BIGINT) >= 1
+            ), p AS (
+              SELECT doc_id, weight,
+                     ((41588831 - CAST(round(ln(h + 1) * 1000000, 0) AS BIGINT))
+                      * 1000000) // weight AS priority
+              FROM s
+            )
+            SELECT doc_id, weight, priority FROM p
+            ORDER BY priority, doc_id LIMIT 50
+        """,
         "boilerplate_removal": """
             WITH t AS (
               SELECT doc_id,

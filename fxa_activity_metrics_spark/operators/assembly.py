@@ -577,3 +577,83 @@ def write_training_shards(
         .partitionBy("shard")
         .json(out_dir)
     )
+
+
+# ln(2^60) in micro-nats: the -ln(u) offset for 60-bit hash draws
+# (u = (h+1)/2^60). Shared verbatim by the DuckDB oracle.
+_LN_2_60_MICRO = 41_588_831
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "fxa-wrs",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES): item i draws
+    u_i = (h_i + 1) / 2^60 from the first 15 hex chars of
+    md5(seed:id) and wins a reservoir slot iff its key
+    -ln(u_i) / w_i is among the k smallest — inclusion probability
+    rises with the integer weight, and the selected SET is exactly
+    the A-ES reservoir for these u draws. Re-runs, re-partitions,
+    and the DuckDB oracle all select the identical set.
+
+    Integer keys (the LM-family micro-nat trick, one deliberate
+    departure from this module's no-log rule — documented because
+    the quantized key feeds a TOP-K, so a last-ulp ln flip at a .5
+    rounding boundary would swap a selection; 60-bit inputs make
+    that measure-zero in practice and the oracle replays the same
+    rounding):
+
+        priority = (ln(2^60)·1e6 − round(ln(h+1)·1e6)) · 1e6 div w
+
+    All BIGINT; non-negative (h+1 ≤ 2^60), so DuckDB's flooring //
+    and Spark's truncating div agree. Ties (same priority) break on
+    the id.
+
+    Distributed top-k with no global sort (the KMV two-level rank):
+    bottom-k within each of n_salts hash-salt groups prunes to
+    ≤ n_salts·k candidates, and only that bounded set meets the
+    final single-task rank. Rows with weight < 1 are excluded (a
+    zero/negative weight has no A-ES key).
+
+    Output: (doc_id, weight, priority) — the k selected rows.
+    """
+    h = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        )
+    )
+    scored = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            h.alias("_h"),
+        )
+        .filter(F.col("weight") >= 1)
+        .select(
+            "doc_id",
+            "weight",
+            F.expr(
+                f"({_LN_2_60_MICRO}L - cast(round(ln(_h + 1) * 1000000) as bigint))"
+                " * 1000000L div weight"
+            ).alias("priority"),
+        )
+    )
+    salted = scored.withColumn(
+        "_s", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    )
+    w_local = Window.partitionBy("_s").orderBy("priority", "doc_id")
+    w_glob = Window.partitionBy().orderBy("priority", "doc_id")
+    return (
+        salted.withColumn("_rl", F.row_number().over(w_local))
+        .filter(F.col("_rl") <= k)
+        .withColumn("_r", F.row_number().over(w_glob))
+        .filter(F.col("_r") <= k)
+        .select("doc_id", "weight", "priority")
+    )

@@ -661,3 +661,57 @@ def test_boilerplate_min_docs_threshold(spark):
         spark, [(1, "a b x"), (2, "a b y"), (3, "c d z")], min_docs=3
     )
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+
+
+# ---- deterministic weighted reservoir sampling (A-ES) --------------
+
+
+def _wrs(spark, rows, k, **kw):
+    from fxa_activity_metrics_spark.operators.assembly import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    return weighted_sample(df, k=k, **kw)
+
+
+def test_weighted_sample_matches_pure_python_twin(spark):
+    import hashlib
+    import math
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    got = {r["doc_id"]: r for r in _wrs(spark, rows, k=20).collect()}
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"fxa-wrs:{i}".encode()).hexdigest()[:15], 16)
+        key = 41_588_831 - round(math.log(h + 1) * 1e6)
+        return (key * 1_000_000) // w
+
+    expect = sorted(((prio(i, w), i, w) for i, w in rows))[:20]
+    assert sorted(got) == sorted(i for _, i, _ in expect)
+    for p, i, w in expect:
+        assert got[i]["priority"] == p and got[i]["weight"] == w
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    rows = [(i, i % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    from fxa_activity_metrics_spark.operators.assembly import weighted_sample
+
+    a = sorted(weighted_sample(df.repartition(1), k=25).collect())
+    b = sorted(weighted_sample(df.repartition(7), k=25).collect())
+    c = sorted(weighted_sample(df.repartition(32), k=25, n_salts=5).collect())
+    assert a == b == c
+
+
+def test_weighted_sample_heavy_item_wins(spark):
+    # k=1 over one weight-100000 item among 99 weight-1 items: the
+    # heavy item's key is ~1e5 smaller in expectation; pinned for
+    # this seed
+    rows = [(i, 1) for i in range(99)] + [(999, 100_000)]
+    got = _wrs(spark, rows, k=1).collect()
+    assert [r["doc_id"] for r in got] == [999]
+
+
+def test_weighted_sample_nonpositive_weights_excluded(spark):
+    rows = [(1, 0), (2, -5), (3, 10), (4, 10)]
+    got = _wrs(spark, rows, k=4).collect()
+    assert sorted(r["doc_id"] for r in got) == [3, 4]
