@@ -1709,6 +1709,21 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 2-core peeling (3 rounds) over the LSH near-dup
+    graph — strips pendant chains so only cyclically-connected
+    duplicate structure remains (the triangle entry's complement:
+    triangles find dense cores, peeling removes the frays). Pure
+    integer rounds, unrolled-CTE oracle."""
+    from fxa_activity_metrics_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, shingle_n=3
+    )
+    return graph.kcore(pairs, k=2, n_rounds=3)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted reservoir sampling (Efraimidis &
     Spirakis A-ES) of 50 docs, weight = n_chars — the data-mixing
@@ -2391,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 session 3
         "boilerplate_removal": q_boilerplate_removal,
         "weighted_sample": q_weighted_sample,
+        "kcore_neardup": q_kcore_neardup,
     }
 
 
@@ -3433,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
         "pagerank_neardup": _PAGERANK_SQL,
+        "kcore_neardup": _KCORE_SQL,
         "weighted_sample": """
             WITH s AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
@@ -4863,6 +4880,43 @@ def _pagerank_sql() -> str:
 
 
 _PAGERANK_SQL = _pagerank_sql()
+
+
+def _kcore_sql(k: int = 2, n_rounds: int = 3) -> str:
+    """Unrolled fixed-round k-core peeling over the LSH candidate
+    graph — one (degree, keep, edges) CTE triple per round, mirroring
+    operators/graph.py::kcore exactly."""
+    rounds = []
+    prev = "e0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+            , d{i} AS (
+              SELECT src, count(*) AS d FROM {prev} GROUP BY src
+            ), kp{i} AS (
+              SELECT src AS id FROM d{i} WHERE d >= {k}
+            ), e{i} AS (
+              SELECT e.src, e.dst FROM {prev} e
+              JOIN kp{i} a ON e.src = a.id
+              JOIN kp{i} b ON e.dst = b.id
+            )""")
+        prev = f"e{i}"
+    return (
+        _LSH_PAIRS_SQL
+        + """
+            , e0 AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            )"""
+        + "".join(rounds)
+        + f"""
+            SELECT src AS doc_id, count(*) AS degree
+            FROM {prev} GROUP BY src
+        """
+    )
+
+
+_KCORE_SQL = _kcore_sql()
 
 
 _LANG_SQL = """

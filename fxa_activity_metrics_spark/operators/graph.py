@@ -141,3 +141,50 @@ def triangle_counts(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
     return corners.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    n_rounds: int = 3,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair list
+    (deduped, a < b): each round drops every node whose CURRENT
+    degree is below k, then every edge touching a dropped node.
+    After enough rounds this converges to the classical k-core
+    (Seidman 1983); like pagerank() above, the round count is a
+    FIXED constant on purpose — the output is a pure integer
+    function of the graph, replayable round-for-round by the
+    unrolled-CTE oracle, never dependent on a convergence test.
+
+    Each round is one degree aggregation (groupBy src with map-side
+    partial counts — the symmetrized edge list makes in+out degree a
+    single count) plus two left-semi equi-joins filtering the edge
+    list against the surviving node set (node-scale, broadcastable
+    under AQE). Edges persist per round to truncate lineage; at
+    100 TB the peeling removes mass monotonically, so every round's
+    working set shrinks.
+
+    Output: (doc_id, degree) — degree within the round-R subgraph,
+    for every node still carrying an edge. Degree-0 survivors cannot
+    exist (an edge survives iff both ends do).
+    """
+    e = symmetrize(pairs, a, b).persist()
+    for _ in range(n_rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        e = (
+            e.join(keep, e["src"] == keep["id"], "left_semi")
+            .join(keep, F.col("dst") == keep["id"], "left_semi")
+            .persist()
+        )
+        e.count()
+    return e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

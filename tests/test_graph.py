@@ -99,3 +99,53 @@ def test_triangle_found_exactly_once(spark):
     # a triangle plus a pendant edge: the pendant never inflates
     got = _tris(spark, [(1, 2), (2, 3), (1, 3), (3, 9)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---- fixed-round k-core peeling ------------------------------------
+
+
+def _core(spark, pairs, k=2, n_rounds=3):
+    from fxa_activity_metrics_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = kcore(df, k=k, n_rounds=n_rounds).collect()
+    return {r["doc_id"]: r["degree"] for r in rows}
+
+
+def test_kcore_cycle_survives(spark):
+    # C4 is its own 2-core: every node keeps degree 2 forever
+    got = _core(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_path_peels_to_nothing(spark):
+    # P4: endpoints peel in round 1, the remaining pair in round 2
+    got = _core(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {}
+
+
+def test_kcore_pendant_stripped_triangle_stays(spark):
+    # triangle + pendant edge: the pendant (and only it) peels
+    got = _core(spark, [(1, 2), (2, 3), (1, 3), (3, 9)])
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_round_limit_is_the_contract(spark):
+    # a 4-chain hanging off a triangle needs 4 peels to fully clear;
+    # with n_rounds=2 exactly the part still standing after 2 peels
+    # remains (8 peels round 1, 7 round 2 — node 6 is KEPT in round 2
+    # because its degree was still 2 at decision time, and ends the
+    # round holding one edge)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 5), (5, 6), (6, 7), (7, 8)]
+    got2 = _core(spark, pairs, n_rounds=2)
+    assert got2 == {1: 2, 2: 2, 3: 3, 5: 2, 6: 1}
+    got4 = _core(spark, pairs, n_rounds=4)
+    assert got4 == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_keeps_only_the_clique(spark):
+    # K4 plus a triangle sharing one vertex: only K4 is 3-core
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(4, 5), (5, 6), (4, 6)]
+    got = _core(spark, k4 + tri, k=3)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
