@@ -1709,6 +1709,16 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per document (keyword extraction — the
+    inverse of bm25_search's doc-ranking). Integer micro-quantized
+    idf, df derived from the tf frame (no corpus re-scan), per-doc
+    window rank. Exact-hash oracle."""
+    from fxa_activity_metrics_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
 def q_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round 2-core peeling (3 rounds) over the LSH near-dup
     graph — strips pendant chains so only cyclically-connected
@@ -2407,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "weighted_sample": q_weighted_sample,
         "kcore_neardup": q_kcore_neardup,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -3450,6 +3461,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
+        "tfidf_terms": """
+            WITH tf AS (
+              SELECT doc_id, u.term AS term, count(*) AS tf
+              FROM documents,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS u(term)
+              GROUP BY doc_id, u.term
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)
+                                           / CAST(df AS DOUBLE)) * 1000000, 0)
+                                  AS BIGINT) AS score_micro
+              FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_micro DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, score_micro, rank
+            FROM ranked WHERE rank <= 3
+        """,
         "weighted_sample": """
             WITH s AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,

@@ -413,3 +413,58 @@ def upsert_text_index(
         keys=doclens.select("doc_id"),
     )
     _write_manifest_from_doclens(lake, name, tag, n_buckets)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf — the keyword-extraction
+    complement to bm25_search (which ranks docs for a query; this
+    ranks terms for a doc).
+
+    Integer scoring end-to-end: idf_micro = round(ln(N/df)·1e6) as
+    BIGINT (the module's micro-quantized-ln rule — ln is the only
+    non-correctly-rounded op, so it is snapped once), and
+    score_micro = tf · idf_micro, an exact integer product. Corpus-
+    universal terms (df = N) score exactly 0 and rank last; ties
+    break on the term string, so the top-k SET AND ORDER are pure
+    functions of the corpus — exact-hash oracle.
+
+    Plan shape: one exchange on (doc_id, term) for tf (map-side
+    partial counts), one on term for df — derived by re-aggregating
+    the tf frame, never re-scanning the corpus (the lm_score_backoff
+    lesson from round 7) — a 1-row stats broadcast for N, and a
+    per-doc window (partitioned rank, no global sort).
+
+    Output: (doc_id, term, tf, df, score_micro, rank), rank ≤ top_k.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micro",
+            F.col("tf")
+            * F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )

@@ -105,3 +105,45 @@ def test_bm25_invalid_args(spark):
         search.bm25_search(docs, [])
     with pytest.raises(ValueError):
         search.bm25_search(docs, ["a", "a"])
+
+
+# ---- tf-idf keyword extraction -------------------------------------
+
+
+def test_tfidf_universal_term_scores_zero_and_ranks_last(spark):
+    from fxa_activity_metrics_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared rare1 rare1 rare1"),
+            (2, "shared rare2"),
+            (3, "shared other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_top_terms(docs, top_k=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'shared' is in every doc: idf = ln(1) = 0 exactly
+    for r in got:
+        if r["term"] == "shared":
+            assert r["score_micro"] == 0 and r["df"] == 3
+    # doc 1: rare1 (tf=3, df=1) must outrank shared
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert d1[0]["term"] == "rare1" and d1[0]["tf"] == 3
+    assert d1[0]["score_micro"] == 3 * round(__import__("math").log(3) * 1e6)
+    # deterministic tie-break: zero-score terms order alphabetically
+    zero = [r["term"] for r in d1 if r["score_micro"] == 0]
+    assert zero == sorted(zero)
+
+
+def test_tfidf_top_k_truncates(spark):
+    from fxa_activity_metrics_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x")], "doc_id long, text string"
+    )
+    got = tfidf_top_terms(docs, top_k=3).collect()
+    assert sum(1 for r in got if r["doc_id"] == 1) == 3
+    assert sum(1 for r in got if r["doc_id"] == 2) == 1
