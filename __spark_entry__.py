@@ -1709,6 +1709,21 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via JL sign buckets — bucket-then-verify with
+    the jl_projection front-end: integer ±1 projection to 8 dims,
+    bucket on the sign byte, 1-bit multiprobe, exact-cosine verify
+    in the original space. The bucket is a pure integer function of
+    the vector (no float sign boundaries), so candidates AND ranks
+    replay exactly in the oracle; recall floor pinned in
+    tests/test_similarity_recall.py."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.jl_topk(
+        emb, queries_df, k=5, d_in=_emb_dim(spark, sf_dir), d_out=6, probe_ham=2
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf·idf terms per document (keyword extraction — the
     inverse of bm25_search's doc-ranking). Integer micro-quantized
@@ -2418,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "kcore_neardup": q_kcore_neardup,
         "tfidf_terms": q_tfidf_terms,
+        "ann_jl": q_ann_jl,
     }
 
 
@@ -3461,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
+        "ann_jl": _ANN_JL_SQL,
         "tfidf_terms": """
             WITH tf AS (
               SELECT doc_id, u.term AS term, count(*) AS tf
@@ -4954,6 +4971,69 @@ def _kcore_sql(k: int = 2, n_rounds: int = 3) -> str:
 
 
 _KCORE_SQL = _kcore_sql()
+
+
+def _ann_jl_sql(d_out: int = 6, probe_ham: int = 2, k: int = 5) -> str:
+    """JL sign-bucket ANN oracle: regenerates the ±1 matrix from the
+    same md5 rule as similarity.jl_signs, buckets on integer
+    projection signs, probes the Hamming-<=probe_ham mask set from
+    similarity._ham_masks (enumerated here identically), verifies
+    with the exact 6dp-rounded cosine."""
+    from fxa_activity_metrics_spark.operators.similarity import _ham_masks
+
+    masks = ", ".join(f"xor(b.bucket, {m})" for m in _ham_masks(d_out, probe_ham))
+    return f"""
+        WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+        signs AS (
+          SELECT j, list_transform(range(0, (SELECT d FROM dim)), i ->
+            CASE WHEN substring(md5('jl:' || CAST(j AS VARCHAR) || ':'
+                        || CAST(i AS VARCHAR)), 1, 1) < '8'
+                 THEN 1 ELSE -1 END) AS sg
+          FROM range(0, {d_out}) t(j)
+        ),
+        v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS m
+          FROM embeddings
+        ),
+        bkt AS (
+          SELECT v.id, v.e, v.nrm,
+                 CAST(COALESCE(SUM(CASE WHEN
+                   list_sum(list_transform(range(1, 1 + len(v.m)),
+                     i -> v.m[i] * s.sg[i])) >= 0
+                   THEN (CAST(1 AS BIGINT) << s.j) ELSE 0 END), 0) AS BIGINT)
+                   AS bucket
+          FROM v CROSS JOIN signs s
+          GROUP BY v.id, v.e, v.nrm, v.m
+        ),
+        probes AS (
+          SELECT b.id, b.e, b.nrm, u.pb AS bucket
+          FROM bkt b, (SELECT unnest([{masks}]) AS pb) u
+          WHERE b.id < 20
+        ),
+        scored AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 1 + len(q.e)),
+                         i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 6) AS cos
+          FROM probes q JOIN bkt c ON c.bucket = q.bucket AND c.id <> q.id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank,
+                 cos AS cosine
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+_ANN_JL_SQL = _ann_jl_sql()
 
 
 _LANG_SQL = """

@@ -24,7 +24,7 @@ def exact_topk(spark):
     return _neighbor_sets(E.queries()["ann_bruteforce"](spark, SF))
 
 
-@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf"])
+@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf", "ann_jl"])
 def test_ann_recall(spark, exact_topk, name):
     approx = _neighbor_sets(E.queries()[name](spark, SF))
     hits = total = 0
