@@ -1709,6 +1709,32 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of MinHash-LSH candidates: keep
+    pairs with levenshtein <= 30% of the longer text. The O(|a|·|b|)
+    DP runs only on LSH survivors, JVM-side; integer
+    cross-multiplied gate, exact-hash oracle (DuckDB's levenshtein
+    computes the same classic distance)."""
+    return dedup.neardup_editdist(_docs(spark, sf_dir), max_pct=30)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup candidate pairs
+    bucketed by the (unordered) source pair — the double-counting
+    diagnostic read before weighting a source mixture."""
+    return dedup.source_overlap(_docs(spark, sf_dir))
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (share of distinct grams unique to the
+    doc, integer micro-units) — the curation signal between exact
+    dedup and substring dedup: low-novelty docs are corpus-common
+    phrasing even when no span crosses the removal threshold."""
+    from fxa_activity_metrics_spark.operators.textstats import novelty_score
+
+    return novelty_score(_docs(spark, sf_dir), n=3)
+
+
 def q_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via JL sign buckets — bucket-then-verify with
     the jl_projection front-end: integer ±1 projection to 8 dims,
@@ -2434,6 +2460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_neardup": q_kcore_neardup,
         "tfidf_terms": q_tfidf_terms,
         "ann_jl": q_ann_jl,
+        "neardup_editdist": q_neardup_editdist,
+        "source_overlap": q_source_overlap,
+        "novelty_score": q_novelty_score,
     }
 
 
@@ -3478,6 +3507,57 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
         "ann_jl": _ANN_JL_SQL,
+        "neardup_editdist": _LSH_PAIRS_SQL
+        + """
+            SELECT p.id_a, p.id_b,
+                   levenshtein(a.text, b.text) AS edit_dist,
+                   len(a.text) AS len_a, len(b.text) AS len_b
+            FROM pairs p
+            JOIN documents a ON p.id_a = a.doc_id
+            JOIN documents b ON p.id_b = b.doc_id
+            WHERE levenshtein(a.text, b.text) * 100
+                  <= 30 * greatest(len(a.text), len(b.text))
+        """,
+        "source_overlap": _LSH_PAIRS_SQL
+        + """
+            SELECT least(a.source, b.source) AS source_a,
+                   greatest(a.source, b.source) AS source_b,
+                   count(*) AS n_pairs
+            FROM pairs p
+            JOIN documents a ON p.id_a = a.doc_id
+            JOIN documents b ON p.id_b = b.doc_id
+            GROUP BY 1, 2
+        """,
+        "novelty_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+                     ELSE [] END AS grams
+              FROM t
+            ), g AS (
+              SELECT doc_id, md5(u.gram) AS gh
+              FROM sh, unnest(sh.grams) AS u(gram)
+            ), dfq AS (
+              SELECT gh, count(*) AS df FROM g GROUP BY gh
+            ), pd AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+              FROM g JOIN dfq USING (gh) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_grams, 0) AS n_grams,
+                   coalesce(pd.n_shared, 0) AS n_shared,
+                   CASE WHEN coalesce(pd.n_grams, 0) > 0
+                        THEN (pd.n_grams - pd.n_shared) * 1000000 // pd.n_grams
+                   END AS novelty_micro
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """,
         "tfidf_terms": """
             WITH tf AS (
               SELECT doc_id, u.term AS term, count(*) AS tf

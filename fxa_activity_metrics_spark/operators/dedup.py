@@ -816,3 +816,99 @@ def remove_boilerplate(
         )
         .select("doc_id", "n_segments", "n_removed", "clean_text")
     )
+
+
+def neardup_editdist(
+    docs: DataFrame,
+    max_pct: int = 30,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance verification of MinHash-LSH candidates: keep a
+    candidate pair iff levenshtein(a, b) · 100 <= max_pct ·
+    max(len(a), len(b)) — the character-level verify for near-dup
+    pairs whose token-level Jaccard gate (jaccard_pairs) is too
+    coarse (reorderings score high Jaccard but high edit distance).
+
+    The O(|a|·|b|) dynamic program runs ONLY on LSH survivors —
+    never all pairs — and entirely JVM-side (built-in levenshtein on
+    both engines, exact integer, so the gate is an exact-hash
+    oracle). The integer cross-multiplied threshold avoids a float
+    ratio. Text reaches the pair rows via two equi-joins of the
+    (bounded) candidate list against an (id, text) projection; at
+    100 TB AQE broadcasts the candidate side.
+
+    Output: (id_a, id_b, edit_dist, len_a, len_b), passing pairs
+    only, id_a < id_b inherited from the candidate convention.
+    """
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+    )
+    texts = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    joined = (
+        pairs.join(texts, pairs["id_a"] == texts["_tid"])
+        .select("id_a", "id_b", F.col("_txt").alias("_ta"))
+        .join(texts, F.col("id_b") == texts["_tid"])
+        .select("id_a", "id_b", "_ta", F.col("_txt").alias("_tb"))
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+            F.length("_ta").alias("len_a"),
+            F.length("_tb").alias("len_b"),
+        )
+        .filter(
+            F.col("edit_dist") * 100
+            <= F.lit(max_pct) * F.greatest("len_a", "len_b")
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (unordered) source
+    pair, how many near-dup candidate pairs straddle it — the
+    contamination overview a corpus curator reads before mixing
+    sources (a heavy diagonal means internal churn; heavy
+    off-diagonals mean the sources scraped the same content and
+    mixture weights double-count).
+
+    Near-dup pairs come from the shared LSH candidate generation;
+    the source lookup is the same two-equi-join shape as
+    neardup_editdist (narrow (id, source) projection, candidate side
+    AQE-broadcast); the matrix aggregation is at most n_sources²
+    rows. Output: (source_a, source_b, n_pairs) with source_a <=
+    source_b (least/greatest normalization).
+    """
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+    )
+    srcs = docs.select(F.col(id_col).alias("_sid"), F.col(source_col).alias("_src"))
+    joined = (
+        pairs.join(srcs, pairs["id_a"] == srcs["_sid"])
+        .select("id_a", "id_b", F.col("_src").alias("_sa"))
+        .join(srcs, F.col("id_b") == srcs["_sid"])
+        .select("_sa", F.col("_src").alias("_sb"))
+    )
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

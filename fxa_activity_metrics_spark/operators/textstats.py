@@ -662,3 +662,57 @@ def bpe_train(
         )
         state = state.select(apply.alias("syms"), "cnt").localCheckpoint()
     return merges
+
+
+def novelty_score(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's DISTINCT
+    n-grams appear in no other document. The corpus-curation signal
+    between exact dedup (whole-text) and substring dedup (span
+    surgery): a low-novelty doc is assembled from corpus-common
+    phrasing even when no single span crosses the removal threshold.
+
+    Integer output (novelty_micro = (n_grams − n_shared)·1e6 div
+    n_grams) — exact-hash oracle. Plan: one shingle explode, one
+    gram-keyed doc-frequency shuffle (map-side combinable — grams
+    are md5-narrowed before the exchange), re-join df onto the gram
+    rows, ONE groupBy(doc_id). Docs with fewer than n tokens surface
+    with n_grams = 0 and NULL novelty (left join from the corpus).
+
+    Output: (doc_id, n_grams, n_shared, novelty_micro).
+    """
+    from fxa_activity_metrics_spark.operators.dedup import shingles
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(text_col, n=n)).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("gh"))
+    )
+    dfreq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr("(n_grams - n_shared) * 1000000L div n_grams"),
+            ).alias("novelty_micro"),
+        )
+    )

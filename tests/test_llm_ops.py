@@ -715,3 +715,60 @@ def test_weighted_sample_nonpositive_weights_excluded(spark):
     rows = [(1, 0), (2, -5), (3, 10), (4, 10)]
     got = _wrs(spark, rows, k=4).collect()
     assert sorted(r["doc_id"] for r in got) == [3, 4]
+
+
+# ---- edit-distance verify / source overlap / novelty ---------------
+
+
+def test_editdist_exact_dup_passes_unrelated_absent(spark):
+    from fxa_activity_metrics_spark.operators.dedup import neardup_editdist
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely different content with nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = neardup_editdist(docs).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in got] == [(1, 2, 0)]
+    assert got[0]["len_a"] == len(dup)
+
+
+def test_editdist_gate_filters_far_candidates(spark):
+    from fxa_activity_metrics_spark.operators.dedup import neardup_editdist
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    far = base + " " + "x" * 60  # shares all base shingles; >30% longer
+    docs = spark.createDataFrame(
+        [(1, base), (2, far)], "doc_id long, text string"
+    )
+    strict = neardup_editdist(docs, max_pct=30).collect()
+    loose = neardup_editdist(docs, max_pct=100).collect()
+    assert strict == []  # candidate found but gate rejects
+    assert [(r["id_a"], r["id_b"]) for r in loose] == [(1, 2)]
+
+
+def test_source_overlap_counts_and_orders_pairs(spark):
+    from fxa_activity_metrics_spark.operators.dedup import source_overlap
+
+    dup = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, dup, "zsrc"), (2, dup, "asrc"), (3, dup, "asrc")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in source_overlap(docs).collect()}
+    # pairs: (1,2) cross, (1,3) cross, (2,3) within asrc
+    assert got == {("asrc", "zsrc"): 2, ("asrc", "asrc"): 1}
+
+
+def test_novelty_counts_shared_grams(spark):
+    from fxa_activity_metrics_spark.operators.textstats import novelty_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x b c d"), (3, "q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_score(docs, n=3).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_shared"] == 1
+    assert got[1]["novelty_micro"] == 500_000
+    assert got[2]["n_grams"] == 2 and got[2]["n_shared"] == 1
+    assert got[3]["n_grams"] == 0 and got[3]["novelty_micro"] is None
