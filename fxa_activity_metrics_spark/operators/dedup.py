@@ -764,6 +764,7 @@ def remove_boilerplate(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style boilerplate removal: drop EVERY occurrence of any
     width-token segment that appears in >= min_docs distinct docs,
@@ -787,9 +788,20 @@ def remove_boilerplate(
 
     Output: (doc_id, n_segments, n_removed, clean_text); fully-
     boilerplate docs come out with clean_text = '' (caller drops).
+
+    ``blocklist`` (a frame with a seg_hash column) substitutes an
+    externally-maintained frequent-segment set — the streaming
+    maintenance path (streaming/boilerplate_stream.py) folds
+    day-partitioned counts into exactly this shape; min_docs is
+    ignored when it is given (the blocklist already encodes the
+    threshold).
     """
     segs = segment_rows(docs, width, id_col, text_col)
-    block = frequent_segments(docs, width, min_docs, id_col, text_col)
+    block = (
+        blocklist.select("seg_hash")
+        if blocklist is not None
+        else frequent_segments(docs, width, min_docs, id_col, text_col)
+    )
     flagged = segs.join(
         block.select("seg_hash", F.lit(True).alias("_blocked")),
         "seg_hash",
