@@ -1709,6 +1709,16 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / integer stickiness per day —
+    rolling distinct counts via explode-onto-window-days (no range
+    self-join, no skew surface; the multi_device J1 lesson applied
+    to counting)."""
+    from fxa_activity_metrics_spark.operators.summaries import rolling_actives
+
+    return rolling_actives(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of MinHash-LSH candidates: keep
     pairs with levenshtein <= 30% of the longer text. The O(|a|·|b|)
@@ -2463,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_editdist": q_neardup_editdist,
         "source_overlap": q_source_overlap,
         "novelty_score": q_novelty_score,
+        "rolling_actives": q_rolling_actives,
     }
 
 
@@ -3507,6 +3518,22 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
         "ann_jl": _ANN_JL_SQL,
+        "rolling_actives": """
+            WITH da AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid
+              FROM events
+            ), d1 AS (
+              SELECT day, count(*) AS dau FROM da GROUP BY day
+            ), w AS (
+              SELECT DISTINCT day + CAST(u.i AS INT) AS wday, uid
+              FROM da, unnest(range(0, 7)) AS u(i)
+            ), w1 AS (
+              SELECT wday, count(*) AS wau FROM w GROUP BY wday
+            )
+            SELECT d1.day AS day, d1.dau AS dau, w1.wau AS wau,
+                   d1.dau * 1000000 // w1.wau AS stickiness_micro
+            FROM d1 JOIN w1 ON d1.day = w1.wday
+        """,
         "neardup_editdist": _LSH_PAIRS_SQL
         + """
             SELECT p.id_a, p.id_b,

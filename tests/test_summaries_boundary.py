@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.operators.summaries import (
     multi_device_users_grouped,
@@ -62,3 +63,36 @@ def test_grouped_form_agrees(dapd):
     assert _rows(multi_device_users_grouped(dapd, 7)) == _rows(
         multi_device_users_join(dapd, 7)
     )
+
+
+def test_rolling_actives_window_and_observed_days_only(spark):
+    from fxa_activity_metrics_spark.operators.summaries import rolling_actives
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-05 10:00:00"),
+            (2, "2024-01-05 11:00:00"),  # same user+day: distinct'd
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {str(r["day"]): r for r in rolling_actives(events, 7).collect()}
+    # only days WITH events appear (the trailing window is a read on
+    # observed days, not a calendar densification)
+    assert sorted(got) == ["2024-01-01", "2024-01-05"]
+    assert got["2024-01-01"]["dau"] == 1 and got["2024-01-01"]["wau"] == 1
+    # day 5: user 1 (active day 1) still inside the trailing 7 days
+    assert got["2024-01-05"]["dau"] == 1 and got["2024-01-05"]["wau"] == 2
+    assert got["2024-01-05"]["stickiness_micro"] == 500_000
+
+
+def test_rolling_actives_window_expiry(spark):
+    from fxa_activity_metrics_spark.operators.summaries import rolling_actives
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-08 00:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {str(r["day"]): r for r in rolling_actives(events, 7).collect()}
+    # day 8 is the first day user 1's activity no longer supports
+    assert got["2024-01-08"]["wau"] == 1
