@@ -128,6 +128,16 @@ BENCH_QUERIES = [
     "pagerank_neardup",
     "triangle_counts",
     "jl_projection",
+    # round 8 session 3: corpus curation + graph + sampling batch
+    "boilerplate_removal",
+    "weighted_sample",
+    "kcore_neardup",
+    "tfidf_terms",
+    "ann_jl",
+    "neardup_editdist",
+    "source_overlap",
+    "novelty_score",
+    "rolling_actives",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

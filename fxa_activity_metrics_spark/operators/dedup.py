@@ -797,11 +797,24 @@ def remove_boilerplate(
     threshold).
     """
     segs = segment_rows(docs, width, id_col, text_col)
-    block = (
-        blocklist.select("seg_hash")
-        if blocklist is not None
-        else frequent_segments(docs, width, min_docs, id_col, text_col)
-    )
+    if blocklist is not None:
+        block = blocklist.select("seg_hash")
+    else:
+        # derive the blocklist from the SAME exploded frame and
+        # persist it: without the cache Catalyst plans two full
+        # corpus scans + explodes (no subtree sharing across join
+        # branches — the lm_score_backoff lesson). MEMORY_AND_DISK
+        # default: at 100 TB the exploded frame spills rather than
+        # re-reading the corpus twice.
+        segs = segs.persist()
+        block = (
+            segs.filter(F.col("seg_hash").isNotNull())
+            .select("seg_hash", "doc_id")
+            .distinct()
+            .groupBy("seg_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+        )
     flagged = segs.join(
         block.select("seg_hash", F.lit(True).alias("_blocked")),
         "seg_hash",

@@ -445,6 +445,10 @@ def tfidf_top_terms(
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # persisted: df re-aggregates THIS frame — without the cache
+        # Catalyst re-scans and re-explodes the corpus for the df
+        # branch (no subtree sharing across join branches)
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))

@@ -511,9 +511,16 @@ def rolling_actives(
     event, stickiness_micro = dau·1e6 div wau (integer; DuckDB's //
     agrees on non-negatives).
     """
-    da = events.select(
-        F.to_date(F.col(ts_col)).alias("day"), F.col(id_col).alias("uid")
-    ).distinct()
+    da = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("day"), F.col(id_col).alias("uid")
+        )
+        .distinct()
+        # persisted: both the DAU and the window branch read this
+        # day-scale fact — without the cache Catalyst scans and
+        # re-distincts the event stream twice
+        .persist()
+    )
     dau = da.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
         da.select(

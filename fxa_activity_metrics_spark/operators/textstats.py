@@ -693,6 +693,10 @@ def novelty_score(
             F.explode(shingles(text_col, n=n)).alias("gram"),
         )
         .select("doc_id", F.md5("gram").alias("gh"))
+        # persisted: the df branch re-aggregates THIS frame — without
+        # the cache Catalyst re-scans and re-shingles the corpus for
+        # the second join branch
+        .persist()
     )
     dfreq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
