@@ -65,6 +65,15 @@ HEADLINE = {
     "pagerank_neardup": "integer PageRank round: co-partitioned edge join + one groupBy(dst) exchange per round",
     "triangle_counts": "ordered-edge wedge join: each triangle found once, both joins equi-keyed",
     "jl_projection": "JL ±1 projection: per-row integer folds over sign-array literals, zero shuffle, zero UDF",
+    "boilerplate_removal": "C4-style segment blocklist: persisted explode shared by both branches, broadcast anti-gate, ONE groupBy(doc_id)",
+    "weighted_sample": "A-ES weighted reservoir: integer micro-nat keys, salted two-level rank, no global sort",
+    "kcore_neardup": "fixed-round peeling: degree agg + two left-semi joins per round, edges persist per round",
+    "tfidf_terms": "tf persisted once, df re-aggregates it; WindowGroupLimit pushes the per-doc top-k below the exchange",
+    "ann_jl": "JL sign buckets: integer projection, Hamming-radius multiprobe, equi-join + exact-cosine verify",
+    "neardup_editdist": "levenshtein verify on LSH survivors only: two equi-joins, DP runs on the bounded pair set",
+    "source_overlap": "near-dup pairs x two broadcast source lookups -> n_sources^2 matrix",
+    "novelty_score": "persisted gram frame feeds both the df count and the per-doc fold",
+    "rolling_actives": "rolling distinct via explode-onto-window-days: two combine shuffles, no range join",
 }
 
 
