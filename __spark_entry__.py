@@ -1709,6 +1709,17 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window volume spike flags over daily event counts —
+    the monitor on top of the reference's import_counts dailies.
+    Integer cross-multiplied gate (no float average); the global
+    RANGE window runs over the calendar-bounded per-day aggregate,
+    never the raw stream."""
+    from fxa_activity_metrics_spark.operators.summaries import daily_spikes
+
+    return daily_spikes(_t(spark, sf_dir, "events"), window_days=7, factor_pct=103)
+
+
 def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day WAU / integer stickiness per day —
     rolling distinct counts via explode-onto-window-days (no range
@@ -2474,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "novelty_score": q_novelty_score,
         "rolling_actives": q_rolling_actives,
+        "daily_spikes": q_daily_spikes,
     }
 
 
@@ -3518,6 +3530,24 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
         "ann_jl": _ANN_JL_SQL,
+        "daily_spikes": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT day, n_events,
+                     coalesce(sum(n_events) OVER (ORDER BY day
+                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                             AND INTERVAL 1 DAYS PRECEDING), 0) AS trail_sum,
+                     count(n_events) OVER (ORDER BY day
+                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                             AND INTERVAL 1 DAYS PRECEDING) AS trail_days
+              FROM d
+            )
+            SELECT day, n_events, trail_sum, trail_days,
+                   n_events * trail_days * 100 > 103 * trail_sum AS spike
+            FROM w
+        """,
         "rolling_actives": """
             WITH da AS (
               SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid

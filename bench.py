@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "novelty_score",
     "rolling_actives",
+    "daily_spikes",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

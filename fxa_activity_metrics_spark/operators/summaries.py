@@ -545,3 +545,45 @@ def rolling_actives(
             F.expr("dau * 1000000L div wau").alias("stickiness_micro"),
         )
     )
+
+
+def daily_spikes(
+    events: DataFrame,
+    window_days: int = 7,
+    factor_pct: int = 103,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-trailing-window volume spike detection: flag a day
+    whose event count exceeds factor_pct% of the trailing
+    window_days-day average — the alerting read over the reference's
+    daily import counts (import_counts.py keeps the daily numbers;
+    this is the monitor on top).
+
+    The spike gate is integer cross-multiplied
+    (n·trail_days·100 > factor_pct·trail_sum — no float average), so
+    the flags replay exactly. The window is a RANGE frame over epoch
+    days, ordered WITHOUT a partition — deliberate and safe here,
+    unlike a corpus-scale global window (the lm_buckets rule):
+    the windowed relation is the per-day aggregate, calendar-bounded
+    (≤ 365·years rows) after its one exchange. Days with an empty
+    trailing window (the first) never flag.
+
+    Output: (day, n_events, trail_sum, trail_days, spike).
+    """
+    daily = events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-window_days, -1)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_days"),
+        (
+            F.col("n_events") * F.count(F.lit(1)).over(w) * 100
+            > F.lit(factor_pct) * F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        ).alias("spike"),
+    )

@@ -96,3 +96,27 @@ def test_rolling_actives_window_expiry(spark):
     got = {str(r["day"]): r for r in rolling_actives(events, 7).collect()}
     # day 8 is the first day user 1's activity no longer supports
     assert got["2024-01-08"]["wau"] == 1
+
+
+def test_daily_spikes_gate_and_first_day(spark):
+    from fxa_activity_metrics_spark.operators.summaries import daily_spikes
+
+    rows = []
+    # days 1-7: 10 events each; day 8: 25 events (spike); day 9: 10
+    for d in range(1, 8):
+        rows += [(i, f"2024-01-0{d} 00:00:0{i % 10}") for i in range(10)]
+    rows += [(i, "2024-01-08 00:00:00") for i in range(25)]
+    rows += [(i, "2024-01-09 00:00:00") for i in range(10)]
+    events = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    # NOTE: counts are EVENTS (not distinct users): 10/day then 25
+    got = {str(r["day"]): r for r in daily_spikes(events, 7, 150).collect()}
+    first = got["2024-01-01"]
+    assert first["trail_days"] == 0 and not first["spike"]
+    assert got["2024-01-08"]["spike"]  # 25 > 1.5 x 10
+    assert got["2024-01-08"]["trail_sum"] == 70
+    assert not got["2024-01-02"]["spike"]  # equal volume
+    # day 9's trailing window now contains the spike day
+    assert got["2024-01-09"]["trail_sum"] == 10 * 6 + 25
+    assert not got["2024-01-09"]["spike"]

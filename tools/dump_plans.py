@@ -74,6 +74,7 @@ HEADLINE = {
     "source_overlap": "near-dup pairs x two broadcast source lookups -> n_sources^2 matrix",
     "novelty_score": "persisted gram frame feeds both the df count and the per-doc fold",
     "rolling_actives": "rolling distinct via explode-onto-window-days: two combine shuffles, no range join",
+    "daily_spikes": "integer spike gate over a calendar-bounded RANGE window on the per-day aggregate",
 }
 
 
