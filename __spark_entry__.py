@@ -1709,6 +1709,59 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap fill: densify each user's value series onto the
+    observed-day calendar and carry the last per-day MAX(value)
+    forward — the regular-grid materialization on top of asof_join.
+    Values pass through untouched, so the fill is exact-hash
+    oracled."""
+    from fxa_activity_metrics_spark.operators.asof import locf_fill
+
+    return locf_fill(_t(spark, sf_dir, "events"))
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (SURVEY §2.4 extension): Q1's aggregate
+    under ROLLUP(returnflag, linestatus) with grouping flags — the
+    subtotal/total lattice in ONE aggregation pass (Spark expands
+    the rollup inside a single Expand + hash aggregate, no
+    re-scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty")
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-day event counts spread across a FIXED
+    event-type column list (the explicit list keeps the plan free of
+    a distinct-values pre-pass — at 100 TB a pivot on an unbounded
+    key domain is a driver collect in disguise). One aggregation
+    pass; the oracle replays it as conditional sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .select(
+            "day",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("signup", F.lit(0)).alias("n_signup"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+        )
+    )
+
+
 def q_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window volume spike flags over daily event counts —
     the monitor on top of the reference's import_counts dailies.
@@ -2486,6 +2539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score": q_novelty_score,
         "rolling_actives": q_rolling_actives,
         "daily_spikes": q_daily_spikes,
+        "locf_fill": q_locf_fill,
+        "pricing_rollup": q_pricing_rollup,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -3530,6 +3586,44 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_neardup": _PAGERANK_SQL,
         "kcore_neardup": _KCORE_SQL,
         "ann_jl": _ANN_JL_SQL,
+        "locf_fill": """
+            WITH obs AS (
+              SELECT user_id AS uid, CAST(ts AS DATE) AS day,
+                     max(value) AS day_value
+              FROM events GROUP BY 1, 2
+            ), days AS (
+              SELECT DISTINCT day FROM obs
+            ), ids AS (
+              SELECT DISTINCT uid FROM obs
+            ), grid AS (
+              SELECT uid, day FROM ids CROSS JOIN days
+            )
+            SELECT g.uid, g.day, o.day_value,
+                   last_value(o.day_value IGNORE NULLS) OVER (
+                     PARTITION BY g.uid ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value,
+                   o.day_value IS NOT NULL AS observed
+            FROM grid g LEFT JOIN obs o ON g.uid = o.uid AND g.day = o.day
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status,
+                   count(*) AS n_rows,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "event_type_pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY 1
+        """,
         "daily_spikes": """
             WITH d AS (
               SELECT CAST(ts AS DATE) AS day, count(*) AS n_events

@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "novelty_score",
     "rolling_actives",
     "daily_spikes",
+    "locf_fill",
+    "pricing_rollup",
+    "event_type_pivot",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -96,3 +96,58 @@ def asof_join_via_join(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_p.{c}").alias(c) for c in payload],
     )
+
+
+def locf_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: densify each
+    entity's series onto the full observed-day calendar and carry
+    the most recent per-day value forward across the gap days — the
+    time-series regularization an as-of join family needs before
+    windowed models (asof_join answers point probes; this
+    materializes the whole regular grid).
+
+    Per-day observation = MAX(value) over the entity's day (a
+    deterministic pick; "last by timestamp" would tie-break
+    ambiguously). The grid is entities × observed days — linear in
+    the OUTPUT, built from a broadcast crossJoin of the day list
+    (calendar-bounded) against the entity list; the fill itself is
+    one shuffle on the entity key + a running last(ignorenulls)
+    window per entity. Values pass through untouched (no float
+    arithmetic), so the fill replays exactly.
+
+    Output: (uid, day, day_value, filled_value, observed) — rows
+    before an entity's first observation keep filled_value NULL.
+    """
+    obs = (
+        events.select(
+            F.col(id_col).alias("uid"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("uid", "day")
+        .agg(F.max("v").alias("day_value"))
+        .persist()  # grid + join both read it; don't re-scan events
+    )
+    days = obs.select("day").distinct()
+    ids = obs.select("uid").distinct()
+    grid = ids.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["uid", "day"], "left")
+        .select(
+            "uid",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNotNull().alias("observed"),
+        )
+    )

@@ -62,3 +62,29 @@ def test_formulations_agree(frames):
         map(str, asof_join_via_join(left, right, "k", "ts", "rts", ["rts", "val"]).collect())
     )
     assert a == b
+
+
+def test_locf_fill_carries_forward_and_leading_nulls(spark):
+    from pyspark.sql import functions as F
+    from fxa_activity_metrics_spark.operators.asof import locf_fill
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 10.0),
+            (1, "2024-01-01 10:00:00", 12.0),  # same day: MAX wins
+            (1, "2024-01-03 09:00:00", 7.0),
+            (2, "2024-01-02 09:00:00", 5.0),
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = {
+        (r["uid"], str(r["day"])): r for r in locf_fill(events).collect()
+    }
+    # grid = 2 users x 3 observed days
+    assert len(got) == 6
+    assert got[(1, "2024-01-01")]["filled_value"] == 12.0  # MAX of the day
+    assert got[(1, "2024-01-02")]["filled_value"] == 12.0  # carried
+    assert not got[(1, "2024-01-02")]["observed"]
+    assert got[(1, "2024-01-03")]["filled_value"] == 7.0   # new obs wins
+    assert got[(2, "2024-01-01")]["filled_value"] is None  # before first obs
+    assert got[(2, "2024-01-03")]["filled_value"] == 5.0

@@ -75,6 +75,9 @@ HEADLINE = {
     "novelty_score": "persisted gram frame feeds both the df count and the per-doc fold",
     "rolling_actives": "rolling distinct via explode-onto-window-days: two combine shuffles, no range join",
     "daily_spikes": "integer spike gate over a calendar-bounded RANGE window on the per-day aggregate",
+    "locf_fill": "entity x observed-day grid (broadcast day list) + running last(ignorenulls) per entity",
+    "pricing_rollup": "ROLLUP lattice in ONE Expand + hash aggregate pass",
+    "event_type_pivot": "fixed-list pivot: one aggregation, no distinct-values pre-pass",
 }
 
 
