@@ -1075,8 +1075,9 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's 1-row broadcast crossJoin idiom: per-part decimal value
     sums once (the only fact shuffle), the grand total derives from a
     second read of the SAME aggregate (ReuseExchange — never a
-    second fact scan), and the fraction gate compares decimals
-    exactly. (No partsupp in the synthetic schema; the nation's
+    second fact scan), and the fraction gate is a DOUBLE
+    comparison (both sides cast, replayed identically by the
+    oracle — not a decimal-exact compare). (No partsupp in the synthetic schema; the nation's
     lineitem revenue per part plays ps_supplycost×ps_availqty.
     Q11's literal 0.0001 fraction is scale-dependent — the spec
     divides it by SF — so the gate here is the scale-free
@@ -1986,7 +1987,15 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2^17 bits, 3 hashes) instead of its full gram-digest set; the
     bloom gate runs as a pure JVM expression in the corpus scan
     stage and only candidates reach the exact digest join. n_bloom ⊇
-    n_exact per doc — the gap IS the measured false-positive cost."""
+    n_exact per doc — the gap IS the measured false-positive cost.
+
+    NOT a local win: at sf0.1 the bitset-build collect + 3 md5
+    probes per corpus gram cost MORE than the exact join they avoid
+    (~2.4s vs ngram_decontam's ~0.6s steady). The prefilter pays off
+    when the corpus-side gram set dwarfs the probe set — the 100 TB
+    regime where the exact join's corpus-side shuffle is the
+    bottleneck and the scan-stage gate prunes it; below that
+    crossover, use ngram_decontam directly."""
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
@@ -3764,10 +3773,17 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
               FROM kept GROUP BY doc_id
             )
-            SELECT totals.doc_id AS doc_id, n_segments,
-                   n_segments - coalesce(n_kept, 0) AS n_removed,
+            -- anchored on documents, not segs: a zero/whitespace-only
+            -- doc produces no segment rows, but the Spark side's
+            -- posexplode_outer keeps it (doc_id, 0, 0, '') — both
+            -- engines must agree on empty-doc handling
+            SELECT d.doc_id AS doc_id,
+                   coalesce(n_segments, 0) AS n_segments,
+                   coalesce(n_segments, 0) - coalesce(n_kept, 0) AS n_removed,
                    coalesce(clean_text, '') AS clean_text
-            FROM totals LEFT JOIN re ON totals.doc_id = re.kdoc
+            FROM documents d
+            LEFT JOIN totals ON d.doc_id = totals.doc_id
+            LEFT JOIN re ON d.doc_id = re.kdoc
         """,
         "jl_projection": """
             SELECT vec_id, u.j AS j,

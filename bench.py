@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
+from fxa_activity_metrics_spark import cacheutil  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -236,6 +237,10 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             per_run.append(time.perf_counter() - t0)
+            # caller-owned cache lifecycle: drop this query's tracked
+            # intermediates so residue never accumulates across the
+            # 100+-query session (VERDICT r8 item 8)
+            cacheutil.release_all()
         cold[name] = round(per_run[0], 3)
         timings[name] = round(min(per_run), 3)
 
@@ -257,6 +262,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             per_run.append(time.perf_counter() - t0)
+            cacheutil.release_all()
         warm[name] = round(min(per_run), 3)
     for df in shared:
         df.unpersist()

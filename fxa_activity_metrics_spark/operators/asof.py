@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def asof_join(
     left: DataFrame,
@@ -133,6 +135,7 @@ def locf_fill(
         .agg(F.max("v").alias("day_value"))
         .persist()  # grid + join both read it; don't re-scan events
     )
+    obs = cacheutil.track(obs)
     days = obs.select("day").distinct()
     ids = obs.select("uid").distinct()
     grid = ids.crossJoin(F.broadcast(days))

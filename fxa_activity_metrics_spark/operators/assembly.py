@@ -33,6 +33,8 @@ from fxa_activity_metrics_spark.functions.core import hex_to_long
 from fxa_activity_metrics_spark.operators.dedup import tokens
 from fxa_activity_metrics_spark.operators.textstats import text_stats
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def _hash_bucket(id_col: F.Column, mod: int, salt: str = "") -> F.Column:
     """Deterministic bucket in [0, mod) from md5 of the row id.
@@ -508,7 +510,7 @@ def global_rank(
     """
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartitionByRange(nparts, *order_cols).localCheckpoint(eager=True)
+    part = df.repartitionByRange(nparts, *order_cols).transform(cacheutil.local_checkpoint)
     sizes = {
         r["_pid"]: r["n"]
         for r in part.withColumn("_pid", F.spark_partition_id())

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def tokens(text_col: str | F.Column = "text") -> F.Column:
     """Whitespace tokens, empties dropped. Matches the DuckDB oracle's
@@ -348,14 +350,14 @@ def duplicate_clusters(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(cacheutil.local_checkpoint)
     )
     assign = (
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(cacheutil.local_checkpoint)
     )
     for _ in range(max_iter):
         if edges.isEmpty():
@@ -370,7 +372,7 @@ def duplicate_clusters(
             .select(
                 F.col("u").alias("node"), F.least("u", "m").alias("lbl")
             )
-            .localCheckpoint()
+            .transform(cacheutil.local_checkpoint)
         )
         # compose the assignment through this phase's fold (current
         # cluster ids ARE current-graph node ids, so a left join
@@ -387,7 +389,7 @@ def duplicate_clusters(
                 "doc_id",
                 F.coalesce("_new", "cluster_id").alias("cluster_id"),
             )
-            .localCheckpoint()
+            .transform(cacheutil.local_checkpoint)
         )
         # contract: rewrite endpoints onto supernodes, drop loops
         edges = (
@@ -403,7 +405,7 @@ def duplicate_clusters(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .transform(cacheutil.local_checkpoint)
         )
     else:
         if not edges.isEmpty():
@@ -806,7 +808,7 @@ def remove_boilerplate(
         # branches — the lm_score_backoff lesson). MEMORY_AND_DISK
         # default: at 100 TB the exploded frame spills rather than
         # re-reading the corpus twice.
-        segs = segs.persist()
+        segs = cacheutil.track(segs.persist())
         block = (
             segs.filter(F.col("seg_hash").isNotNull())
             .select("seg_hash", "doc_id")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark import cacheutil
+
 _INIT_MICRO = 1_000_000
 _BASE_MICRO = 150_000  # (1 - d) · 1e6 at d = 0.85
 
@@ -66,10 +68,10 @@ def pagerank(
     float tolerance; fixed integer rounds make it a pure function of
     the graph — replayable by the oracle round for round.
     """
-    e = edges.select(
+    e = cacheutil.track(edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).persist()
-    nodes = (
+    ).persist())
+    nodes = cacheutil.track(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
@@ -78,7 +80,7 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # edge list annotated with its source's out-degree once, reused
     # every round (degree never changes)
-    ed = e.join(deg, "src").persist()
+    ed = cacheutil.track(e.join(deg, "src").persist())
 
     pr = nodes.select("id", F.lit(_INIT_MICRO).cast("long").alias("pr_micro"))
     for _ in range(n_iters):
@@ -88,6 +90,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("sm"))
         )
+        prev = pr
         pr = (
             nodes.join(sums, nodes["id"] == sums["dst"], "left")
             .select(
@@ -100,9 +103,13 @@ def pagerank(
             .persist()
         )
         # materialize the round so the next one joins a computed
-        # node-scale table, not a growing lineage
+        # node-scale table, not a growing lineage — then drop the
+        # superseded round; only base frames + the final round stay
+        # cached (released by cacheutil.release_all)
         pr.count()
-    return pr
+        if prev.is_cached:
+            prev.unpersist()
+    return cacheutil.track(pr)
 
 
 def triangle_counts(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
@@ -179,12 +186,15 @@ def kcore(
             .filter(F.col("d") >= k)
             .select(F.col("src").alias("id"))
         )
+        prev = e
         e = (
             e.join(keep, e["src"] == keep["id"], "left_semi")
             .join(keep, F.col("dst") == keep["id"], "left_semi")
             .persist()
         )
         e.count()
-    return e.groupBy(F.col("src").alias("doc_id")).agg(
+        # round materialized: the superseded edge set is dead weight
+        prev.unpersist()
+    return cacheutil.track(e).groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.operators.dedup import tokens
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def _positional_ngrams(text_col: str, n: int) -> F.Column:
     """Array<struct<w1..wn>> of consecutive n-token windows, in
@@ -313,7 +315,7 @@ def lm_score_ngram(
     # one model scan for every gram order (VERDICT r7 #7): the rollup
     # is the persisted model side, probed by the n-gram join, the
     # context join, and the vocab aggregate
-    rolled = lm_gram_rollup(model, n, text_col).persist()
+    rolled = cacheutil.track(lm_gram_rollup(model, n, text_col).persist())
     unigrams = lm_gram_table(rolled, 1, n).withColumnRenamed("cn", "c1")
     vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
     grams_n = lm_gram_table(rolled, n, n)
@@ -395,7 +397,7 @@ def lm_score_backoff(
     # both bigram probes, both unigram probes, and the stats frame
     # (VERDICT r7 #7 — previously three independent explode+groupBy
     # jobs, six model scans in the recorded plan)
-    rolled = lm_gram_rollup(model, 3, text_col).persist()
+    rolled = cacheutil.track(lm_gram_rollup(model, 3, text_col).persist())
     unigrams = lm_gram_table(rolled, 1, 3).select(
         F.col("w1").alias("w"), F.col("cn").alias("c")
     )

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from fxa_activity_metrics_spark.functions.core import hex_to_long
 from fxa_activity_metrics_spark.operators.dedup import tokens
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def _term_eq(term: str):
     """Unary HOF lambda comparing an element to a bound literal —
@@ -450,6 +452,7 @@ def tfidf_top_terms(
         # branch (no subtree sharing across join branches)
         .persist()
     )
+    tf = cacheutil.track(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (

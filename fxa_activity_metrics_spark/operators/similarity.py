@@ -28,6 +28,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark import cacheutil
+
 
 def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -868,7 +870,7 @@ def ivf_query_index(
         # candidate join both consume q — without this the queries
         # lineage would execute twice (and a non-deterministic source
         # could probe different cells than it joins)
-        .localCheckpoint()
+        .transform(cacheutil.local_checkpoint)
     )
     # ANN probe sets are small by contract (same as ivf_topk's
     # driver-collected centroids): collect the probed cell ids so the

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fxa_activity_metrics_spark import cacheutil
+
 _SECONDS_PER_DAY = 86400
 
 
@@ -521,6 +523,7 @@ def rolling_actives(
         # re-distincts the event stream twice
         .persist()
     )
+    da = cacheutil.track(da)
     dau = da.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
         da.select(

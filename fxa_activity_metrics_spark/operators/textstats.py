@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark.operators.dedup import tokens
 
+from fxa_activity_metrics_spark import cacheutil
+
 # tiny function-word profiles for the n-gram/stopword language
 # heuristic; deliberately small and deterministic
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -623,7 +625,7 @@ def bpe_train(
     state = words.select(
         F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"),
         F.col("cnt"),
-    ).localCheckpoint()
+    ).transform(cacheutil.local_checkpoint)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = state.select(
@@ -660,7 +662,7 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        state = state.select(apply.alias("syms"), "cnt").localCheckpoint()
+        state = state.select(apply.alias("syms"), "cnt").transform(cacheutil.local_checkpoint)
     return merges
 
 
@@ -698,6 +700,7 @@ def novelty_score(
         # the second join branch
         .persist()
     )
+    grams = cacheutil.track(grams)
     dfreq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         grams.join(dfreq, "gh")

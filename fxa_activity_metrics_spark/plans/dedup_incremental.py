@@ -36,6 +36,8 @@ from fxa_activity_metrics_spark.operators.dedup import (
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
 
+from fxa_activity_metrics_spark import cacheutil
+
 SIGNATURE_TABLE = "dedup_signatures"
 
 
@@ -116,7 +118,7 @@ def backfill(
             num_hashes=kwargs.get("num_hashes", 8),
             band_size=band_size,
             table=kwargs.get("table", SIGNATURE_TABLE),
-        ).localCheckpoint(eager=True)
+        ).transform(cacheutil.local_checkpoint)
         out = cands if out is None else out.unionByName(cands)
     assert out is not None, "docs_by_day must be non-empty"
     return out.distinct()

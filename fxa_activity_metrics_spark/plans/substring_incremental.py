@@ -49,6 +49,8 @@ from fxa_activity_metrics_spark.operators.dedup import (
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
 
+from fxa_activity_metrics_spark import cacheutil
+
 GRAM_TABLE = "substring_gram_counts"
 
 # all pre-horizon history folds into this partition key; any date
@@ -120,6 +122,6 @@ def rollup_gram_counts(
         .withColumn("day", F.lit(BASE_DAY))
     )
     # materialize before rewriting the partitions it reads from
-    folded = folded.localCheckpoint(eager=True)
+    folded = folded.transform(cacheutil.local_checkpoint)
     lake.delete_where(table, (F.col("day") < F.lit(older_than)) | (F.col("day") == F.lit(BASE_DAY)))
     lake.write_days(table, folded, sort_cols=["gh"])

@@ -1,0 +1,63 @@
+"""StorageLevel-residue sweep (VERDICT r8 item 8 / ADVICE r8 item 1).
+
+Operators that persist intermediates route them through
+``cacheutil.track``; a caller finishes a query and calls
+``cacheutil.release_all()``.  This sweep runs every persist-using
+registry entry at sf0.001, materializes the result, releases, and
+asserts the JVM's persistent-RDD set is back to what it was before
+the query — i.e. zero accumulated cache residue per query.
+"""
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from fxa_activity_metrics_spark import cacheutil
+from tests.conftest import SF001
+
+# every registry entry whose operator path persists an intermediate
+PERSIST_USERS = [
+    "locf_fill",            # asof.py obs frame
+    "lm_score_backoff",     # lmfilter rollup
+    "lm_score_trigram",
+    "lm_buckets",
+    "lm_filter",
+    "tfidf_terms",          # search tf frame
+    "rolling_actives",      # summaries da frame
+    "boilerplate_removal",  # dedup segs frame
+    "novelty_score",        # textstats grams frame
+    "pagerank_neardup",     # graph per-round frames
+    "kcore_neardup",
+]
+
+
+def _persistent_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+@pytest.mark.parametrize("name", PERSIST_USERS)
+def test_no_residue_after_release(spark, name):
+    qs = entry.queries()
+    before = _persistent_ids(spark)
+    qs[name](spark, SF001).count()
+    released = cacheutil.release_all(blocking=True)
+    after = _persistent_ids(spark)
+    leftover = after - before
+    assert not leftover, (
+        f"{name}: {len(leftover)} persisted RDDs survive release_all "
+        f"(released {released})"
+    )
+
+
+def test_iterative_rounds_released_inline(spark):
+    """PageRank/k-core unpersist superseded rounds inside the loop —
+    peak tracked-frame count stays at base frames + final round, not
+    O(n_iters)."""
+    qs = entry.queries()
+    before = _persistent_ids(spark)
+    qs["pagerank_neardup"](spark, SF001).count()
+    mid = _persistent_ids(spark) - before
+    # e, nodes, ed, final pr — and nothing per-round beyond the final
+    assert len(mid) <= 6, f"per-round frames leaked: {len(mid)}"
+    cacheutil.release_all(blocking=True)
+    assert not (_persistent_ids(spark) - before)
