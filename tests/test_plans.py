@@ -301,3 +301,68 @@ def test_bloom_decontam_gate_is_scan_side_expression(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_daily_spikes_range_window_on_aggregate(spark):
+    """The trailing gate is a calendar-bounded RANGE frame over the
+    per-day AGGREGATE (day-scale rows), never over raw events — the
+    single-partition window is safe because its input is one row per
+    day. Scan prunes to the timestamp column only."""
+    df = E.queries()["daily_spikes"](spark, SF)
+    plan = _formatted(df, spark)
+    assert "specifiedwindowframe(RangeFrame, -7, -1)" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz>" in plan, "column pruning lost"
+    # window input is the post-aggregate: the Window sits above the
+    # final HashAggregate, and no join exists anywhere
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_locf_fill_single_entity_exchange_no_cartesian(spark):
+    """The uid x observed-days grid builds from ONE broadcast nested
+    loop (day list is calendar-scale, explicitly broadcast); the
+    observation join is a broadcast hash join; the carry-forward
+    window is entity-partitioned (never a bare global window)."""
+    df = E.queries()["locf_fill"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "windowspecdefinition(uid#" in plan, "LOCF window must partition by uid"
+
+
+def test_pricing_rollup_single_expand_single_exchange(spark):
+    """The ROLLUP lattice is ONE Expand + one hash-aggregate pass —
+    never one aggregation job per grouping set."""
+    df = E.queries()["pricing_rollup"](spark, SF)
+    plan = _formatted(df, spark)
+    assert plan.count("(2) Expand") + plan.count("Expand (") >= 1
+    assert plan.count("+- Expand") == 1, "exactly one Expand node"
+    # one shuffle: the grouping-set-keyed aggregate exchange
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan, "map-side partial aggregation lost"
+
+
+def test_event_type_pivot_no_distinct_values_prepass(spark):
+    """Fixed-list pivot: the value list is compiled into pivotfirst
+    literals, so CONSTRUCTING the frame runs zero Spark jobs (a
+    values-less pivot runs an eager distinct job per call — the
+    anti-pattern this pins out)."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    # isolate the pivot step: each parquet read runs one schema job
+    # that is not the pivot's doing, so build the base frame first
+    base = E._t(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    all_before = len(sc.statusTracker().getJobIdsForGroup())
+    base.groupBy("day").pivot(
+        "event_type", ["click", "error", "purchase", "signup", "view"]
+    ).count()
+    all_after = len(sc.statusTracker().getJobIdsForGroup())
+    assert all_after == all_before, "fixed-list pivot ran an eager job"
+    df = E.queries()["event_type_pivot"](spark, SF)
+    plan = _plan(df)
+    assert "pivotfirst(event_type" in plan
+    assert "click, error, purchase, signup, view" in plan, "fixed value list"
+    assert "Join" not in plan
