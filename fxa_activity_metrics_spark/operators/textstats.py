@@ -587,6 +587,7 @@ def bpe_train(
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_train_docs: int | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed BPE merge LEARNING — the tokenizer-training side
     of the BPE story whose encoder is ``token_count_bpe_real``:
@@ -607,9 +608,38 @@ def bpe_train(
 
     Returns the merge list, directly consumable by
     ``token_count_bpe_real(docs, merges=...)``.
+
+    COST CONTRACT: each merge round is one full aggregate over the
+    distinct-word frame plus a 1-row driver collect — inherent to BPE
+    (round r's pair counts depend on round r-1's merge). At 100 TB
+    with a real vocabulary (30k merges) that is 30k shuffles of the
+    word frame; the standard practice (and this function's scale
+    path) is to train on a bounded sample. ``max_train_docs`` caps
+    the training corpus with a DETERMINISTIC md5 cohort over the doc
+    id (the P6 sampling trap's 7-hex-char arithmetic — stable across
+    runs, partitionings, and engines, unlike ``DataFrame.sample``):
+    docs whose cohort-of-10000 falls under ceil(max/total·10000)
+    train the merges, every doc still encodes with them.  One count
+    job resolves the fraction — negligible against the merge rounds.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
+    if max_train_docs is not None:
+        total = docs.count()
+        if total > max_train_docs:
+            n_buckets = 10000
+            keep = -(-max_train_docs * n_buckets // total)  # ceil
+            docs = docs.filter(
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(n_buckets),
+                )
+                < keep
+            )
     words = (
         docs.select(
             F.explode(

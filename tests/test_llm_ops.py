@@ -772,3 +772,47 @@ def test_novelty_counts_shared_grams(spark):
     assert got[1]["novelty_micro"] == 500_000
     assert got[2]["n_grams"] == 2 and got[2]["n_shared"] == 1
     assert got[3]["n_grams"] == 0 and got[3]["novelty_micro"] is None
+
+
+def test_bpe_train_capped_sample_is_deterministic(spark):
+    """max_train_docs gates the training corpus through the P6 md5
+    cohort — the capped run must reproduce, exactly, a pure-Python
+    train over the SAME deterministically-selected doc subset
+    (VERDICT r8 item 7), at sf0.01 scale; and a cap >= corpus size is
+    the identity."""
+    import hashlib
+
+    from fxa_activity_metrics_spark.operators.textstats import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    total = docs.count()
+    cap = total // 4
+    keep = -(-cap * 10000 // total)  # ceil — mirror the operator
+
+    rows = docs.select("doc_id", "text").collect()
+    sampled = [
+        r.text
+        for r in rows
+        if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:7], 16) % 10000
+        < keep
+    ]
+    assert 0 < len(sampled) < total
+
+    got = bpe_train(docs, n_merges=5, max_train_docs=cap)
+    want = _py_bpe_train(sampled, 5)
+    assert got == want
+
+    # run twice: same merges (deterministic, not sample()-dependent)
+    assert bpe_train(docs, n_merges=5, max_train_docs=cap) == got
+
+
+def test_bpe_train_cap_noop_when_corpus_small(spark):
+    from fxa_activity_metrics_spark.operators.textstats import bpe_train
+
+    texts = ["the theme of the thesis", "low lower lowest"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    assert bpe_train(docs, n_merges=4, max_train_docs=100) == bpe_train(
+        docs, n_merges=4
+    )
