@@ -1962,6 +1962,18 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-ordering duplicated-substring detection (Lee et al.
+    2021 §4.1, the partitioned suffix-array form): positional gram
+    digests range-sorted into distributed suffix-array blocks, runs
+    of equal neighbors >= 2 are duplicated-suffix positions, fused to
+    maximal spans. Exactly the anchor path's span set (equivalence
+    pinned in tests/test_substring_exact.py) through ONE exchange and
+    zero joins, plus max_gram_occ — the span's hottest corpus-wide
+    gram count, free from the run lengths."""
+    return dedup.duplicated_spans_sorted(_docs(spark, sf_dir), k=8, min_count=2)
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring REMOVAL: every doc re-emitted with its
     duplicated spans cut out (clean_text) plus removal accounting —
@@ -2409,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1. NEVER driver-checked (appended past the 50-entry
         # window in round 8; the staleness contract's top priority —
         # every entry below needs its first CORRECTNESS row) --------
+        "dedup_spans_exact": q_dedup_spans_exact,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
         "volume_shipping": q_volume_shipping,
@@ -3243,6 +3256,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
                    max(pos) + 7 - min(pos) + 1 AS span_tokens,
                    count(*) AS n_grams
+            FROM isl GROUP BY doc_id, island
+        """,
+        "dedup_spans_exact": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i AS pos,
+                     md5(list_aggregate(list_slice(t, i, i + 7), 'string_agg', ' ')) AS gh
+              FROM tk, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+            ), runs AS (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS run
+              FROM occ
+            ), hits AS (
+              SELECT doc_id, pos, run FROM runs WHERE run >= 2
+            ), lagged AS (
+              SELECT doc_id, pos, run,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos, run,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                   max(pos) + 7 - min(pos) + 1 AS span_tokens,
+                   count(*) AS n_grams, max(run) AS max_gram_occ
             FROM isl GROUP BY doc_id, island
         """,
         "substring_dedup": """

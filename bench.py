@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "winnow_fingerprint_rk",
     "dedup_clusters",
     "dedup_spans",
+    "dedup_spans_exact",
     "substring_dedup",
     "ngram_decontam",
     "pii_scrub",

@@ -624,6 +624,100 @@ def duplicated_spans(
     return spans_from_hits(hits, k)
 
 
+def duplicated_spans_sorted(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring detection by DISTRIBUTED SUFFIX
+    ORDERING — the Lee et al. 2021 §4.1 suffix-array algorithm in its
+    partitioned form, vs duplicated_spans()'s hash-aggregate form.
+
+    A suffix array finds repeats by sorting suffixes and scanning
+    ADJACENT entries for shared prefixes; at a fixed match length k
+    that classification is exactly "sort every positional k-gram and
+    detect runs of equal neighbors" (the DSA/DC3-style reduction:
+    rank suffixes by their length-k prefix — ranking beyond k is
+    irrelevant once matches shorter than k don't count). So: one
+    RANGE exchange on the gram digest (equal digests land in one
+    partition, in sorted order — a distributed suffix-array block),
+    run lengths read off a count window WITHOUT a second exchange
+    (range partitioning satisfies the window's clustering), rows in
+    runs >= min_count are duplicated-suffix positions, and the same
+    gaps-and-islands pass fuses them into maximal per-doc spans.
+
+    Same exact span set as duplicated_spans() — both compute the
+    union of duplicated k-gram coverage, which IS the union of all
+    duplicated substrings of >= k tokens (any such substring is a
+    chain of duplicated k-grams; any duplicated k-gram is itself
+    one). The plans differ where scale hurts: this path has NO join
+    (the hash path shuffles the occurrence set twice — aggregate,
+    then join back) and carries each occurrence through exactly one
+    exchange. The suffix ordering also yields run length in-row for
+    free: ``max_gram_occ`` per span (how hot the hottest repeated
+    gram in the span is, corpus-wide) — the anchor path would need a
+    second aggregate to answer that.
+
+    Trade-off pinned in tests/test_plans.py: range exchange moves the
+    FULL occurrence set (no map-side combine), so hot boilerplate
+    grams skew their range partition; AQE's skew handling cannot
+    split a window partition, so at 100 TB prefer the hash path when
+    the corpus has pathological boilerplate, this path when combine
+    buys little (mostly-unique grams — the common case at high k).
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_grams,
+    max_gram_occ), 1-based inclusive token positions. Exact DuckDB
+    oracle.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    occ = _positional_gram_hashes(docs, k, id_col, text_col)
+    ordered = occ.repartitionByRange(nparts, "gh")
+    runs = ordered.withColumn(
+        "run", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    hits = runs.filter(F.col("run") >= min_count).select(
+        "doc_id", "pos", "run"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = hits.select(
+        "doc_id",
+        "pos",
+        "run",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("_brk"),
+    )
+    isl = lagged.select(
+        "doc_id", "pos", "run", F.sum("_brk").over(w).alias("island")
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.max("run").alias("max_gram_occ"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_grams",
+            "max_gram_occ",
+        )
+    )
+
+
 def spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
     """Fuse duplicated-gram start positions (doc_id, pos) into maximal
     spans: gaps-and-islands over pos per doc (break when the gap
