@@ -32,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
+from fxa_activity_metrics_spark import cacheutil  # noqa: E402
 
 from bench import BENCH_QUERIES, QUADRATIC_BASELINES  # noqa: E402
 
@@ -67,6 +68,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             per.append(time.perf_counter() - t0)
+            cacheutil.release_all()
         timings[name] = round(min(per), 3)
         print(f"{name}: {timings[name]}", file=sys.stderr)
 
@@ -84,6 +86,7 @@ def main() -> None:
             emb, threshold=0.3, centroids=cents
         ).write.format("noop").mode("overwrite").save()
         per.append(time.perf_counter() - t0)
+        cacheutil.release_all()
     timings["semantic_dedup_scaled"] = round(min(per), 3)
     print(f"semantic_dedup_scaled: {timings['semantic_dedup_scaled']}",
           file=sys.stderr)
