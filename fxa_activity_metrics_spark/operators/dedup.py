@@ -955,7 +955,13 @@ def neardup_editdist(
     coarse (reorderings score high Jaccard but high edit distance).
 
     The O(|a|·|b|) dynamic program runs ONLY on LSH survivors —
-    never all pairs — and entirely JVM-side (built-in levenshtein on
+    never all pairs — and entirely JVM-side. Cost is therefore
+    PROPORTIONAL TO THE CANDIDATE-PAIR COUNT: on replica-scaled
+    synthetic corpora where every doc has `factor` near-identical
+    clones the pair set grows with factor² and this verify with it
+    (bench.PAIR_VERIFY_DATA_BORNE — skipped at sf >= 1); on organic
+    corpora near-dup group sizes stay bounded as the corpus grows
+    and the DP cost tracks data size (built-in levenshtein on
     both engines, exact integer, so the gate is an exact-hash
     oracle). The integer cross-multiplied threshold avoids a float
     ratio. Text reaches the pair rows via two equi-joins of the

@@ -62,6 +62,8 @@ def test_sf1_record_has_no_scaling_violations():
     with open(p) as f:
         rec = json.load(f)
     assert rec["budget_violations"] == []
-    from bench import QUADRATIC_BASELINES
+    from bench import PAIR_VERIFY_DATA_BORNE, QUADRATIC_BASELINES
 
-    assert rec["skipped"] == sorted(QUADRATIC_BASELINES)
+    assert rec["skipped"] == sorted(
+        QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE
+    )

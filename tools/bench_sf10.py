@@ -34,9 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
 from fxa_activity_metrics_spark import cacheutil  # noqa: E402
 
-from bench import BENCH_QUERIES, QUADRATIC_BASELINES  # noqa: E402
+from bench import (  # noqa: E402
+    BENCH_QUERIES,
+    PAIR_VERIFY_DATA_BORNE,
+    QUADRATIC_BASELINES,
+)
 
-EXCLUDED = QUADRATIC_BASELINES | {
+EXCLUDED = QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE | {
     "ann_bruteforce",
     "ann_bruteforce_gemm",
     "multi_device_users_window",
