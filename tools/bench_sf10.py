@@ -40,7 +40,18 @@ from bench import (  # noqa: E402
     QUADRATIC_BASELINES,
 )
 
-EXCLUDED = QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE | {
+# Replica-clique outputs: make_scaled_sf gives every doc/blob
+# `factor` near-identical clones, so identical-pHash Hamming buckets
+# and the LSH pair graph contain factor-sized cliques. phash_pairs'
+# pair OUTPUT grows as factor^2 (sf1 6.1s -> measured ~30+ min at
+# sf10) and triangle_counts' wedge set as factor^3 (C(100,3) =
+# 161700 wedges per clique vs C(10,3) = 120 at sf1) — both
+# data-generator artifacts, not plan defects: on organic corpora
+# near-dup group sizes do not grow with corpus scale. Both ARE
+# measured (and gate-green) at sf1 where the clique factor is 10.
+REPLICA_CLIQUE_OUTPUT = {"phash_pairs", "triangle_counts"}
+
+EXCLUDED = QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE | REPLICA_CLIQUE_OUTPUT | {
     "ann_bruteforce",
     "ann_bruteforce_gemm",
     "multi_device_users_window",
