@@ -1294,6 +1294,19 @@ def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs_gemm(emb, threshold=0.4)
 
 
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via DISTRIBUTED block GEMM: vectors
+    hash-assigned to blocks, the B(B+1)/2 block-pair grid broadcast,
+    one shuffle (N×B rows) into a groupBy-applyInPandas BLAS kernel.
+    Same rows and oracle as the fold/GEMM baselines, but with no
+    corpus broadcast and no driver matrix pull — the exact-all-pairs
+    formulation whose ceiling is cluster FLOPs, not any single
+    machine's RAM. Still O(N²·dim) compute by definition (exact
+    all-pairs); the sub-quadratic path remains embedding_neardup_lsh."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_neardup_pairs_blocked(emb, threshold=0.4, n_blocks=4)
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broad-θ near-dup via hyperplane LSH with a PINNED plane count:
     deterministic — _NEARDUP_LSH_SQL reproduces the Hamming-≤1
@@ -2422,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window in round 8; the staleness contract's top priority —
         # every entry below needs its first CORRECTNESS row) --------
         "dedup_spans_exact": q_dedup_spans_exact,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
         "volume_shipping": q_volume_shipping,
@@ -2790,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         # rounds to 6dp on output, exactly like the fold form — one
         # oracle hash-verifies both
         "embedding_neardup_gemm": _NEARDUP_SQL,
+        "embedding_neardup_blocked": _NEARDUP_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "embedding_neardup_lsh_auto": _NEARDUP_LSH_AUTO_SQL,
         "injection_filter": """

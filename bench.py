@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "embedding_neardup",
     "embedding_neardup_gemm",
+    "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_auto",
     "injection_filter",
@@ -160,6 +161,10 @@ BENCH_QUERIES = [
 QUADRATIC_BASELINES = {
     "embedding_neardup",
     "embedding_neardup_gemm",
+    # blocked GEMM removes the driver/broadcast memory walls (scale-OUT
+    # exact path) but the compute is still O(N²·dim) by definition —
+    # excluded from ≥sf1 runs with the other exact all-pairs forms.
+    "embedding_neardup_blocked",
     "embedding_neardup_lsh",
 }
 

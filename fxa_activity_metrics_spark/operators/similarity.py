@@ -382,6 +382,107 @@ def embedding_neardup_pairs_gemm(
     )
 
 
+def embedding_neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs via DISTRIBUTED
+    block GEMM — same rows and oracle as ``embedding_neardup_pairs``,
+    with neither of the other exact paths' memory walls:
+
+    - the fold baseline broadcasts the corpus (executor-memory bound),
+    - ``embedding_neardup_pairs_gemm`` pulls the corpus matrix to the
+      driver to create that broadcast (driver-memory bound);
+    - THIS path never materializes the corpus anywhere. Each vector is
+      hash-assigned to one of ``n_blocks`` blocks; the B(B+1)/2
+      block-pair grid is a tiny literal broadcast; every vector is
+      replicated to exactly B groups (its row meets each other block
+      once), and one groupBy-applyInPandas scores each block pair with
+      a float64 GEMM over ~2N/B-row matrices.
+
+    Cost accounting at scale: shuffle volume is N×B rows (tunable),
+    per-task memory is ~(2N/B)×dim×8 bytes (choose B so a block pair
+    fits an executor core's budget), and compute remains O(N²·dim)
+    FLOPs — irreducible for an EXACT all-pairs op. What this buys is
+    scale-OUT: the quadratic work is spread over B(B+1)/2 independent
+    BLAS tasks with no single-machine corpus copy, so the ceiling is
+    cluster FLOPs, not driver or executor RAM. The sub-quadratic
+    100 TB path remains ``embedding_neardup_lsh``.
+
+    Correctness notes: a pair (i, j) lands in exactly one grid group —
+    (blk_i, blk_j) ordered — so no dedup pass is needed; diagonal
+    groups (a == a) receive one copy of the block and take the strict
+    upper triangle by id; off-diagonal groups emit (min, max) so the
+    output contract (id_a < id_b) holds regardless of hash order.
+    Cosines are emitted raw by the kernel and rounded once JVM-side
+    (``F.round`` 6dp, HALF_UP), identical to the fold/GEMM paths.
+    """
+    import numpy as np
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    spark = corpus.sparkSession
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ga int, gb int",
+    )
+    left = base.join(F.broadcast(grid), base["blk"] == grid["ga"]).select(
+        "ga", "gb", "id", "vec", F.lit("L").alias("side")
+    )
+    right = base.join(
+        F.broadcast(grid.filter(F.col("ga") < F.col("gb"))),
+        base["blk"] == grid["gb"],
+    ).select("ga", "gb", "id", "vec", F.lit("R").alias("side"))
+
+    def kernel(pdf):
+        import pandas as pd
+
+        lmask = pdf["side"].to_numpy() == "L"
+        lids = pdf["id"].to_numpy(dtype=np.int64)[lmask]
+        lmat = np.array(pdf["vec"][lmask].tolist(), dtype=np.float64)
+        if not len(lids):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        lnrm = np.sqrt((lmat * lmat).sum(axis=1))
+        if pdf["ga"].iat[0] == pdf["gb"].iat[0]:
+            sims = (lmat @ lmat.T) / (lnrm[:, None] * lnrm[None, :])
+            hit = (sims >= threshold) & (lids[:, None] < lids[None, :])
+            ai, bj = np.nonzero(hit)
+            return pd.DataFrame(
+                {"id_a": lids[ai], "id_b": lids[bj], "cosine": sims[ai, bj]}
+            )
+        rids = pdf["id"].to_numpy(dtype=np.int64)[~lmask]
+        if not len(rids):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        rmat = np.array(pdf["vec"][~lmask].tolist(), dtype=np.float64)
+        rnrm = np.sqrt((rmat * rmat).sum(axis=1))
+        sims = (lmat @ rmat.T) / (lnrm[:, None] * rnrm[None, :])
+        ai, bj = np.nonzero(sims >= threshold)
+        ia, ib = lids[ai], rids[bj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sims[ai, bj],
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("ga", "gb")
+        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 def _auto_planes(
     n_rows: int, n_planes: int, target_bucket_rows: int, max_planes: int = 16
 ) -> int:

@@ -148,6 +148,46 @@ def test_decontam_gemm_path_equals_fold_path(spark):
     assert fold == gemm and len(fold) > 0
 
 
+def test_blocked_gemm_equals_broadcast_gemm(spark):
+    """The distributed block-GEMM exact path must emit the EXACT rows
+    of the broadcast GEMM baseline (same shared oracle) at sf0.1 —
+    2000 vectors across 8 blocks exercises diagonal and off-diagonal
+    grid groups, hash-empty blocks, and the (min, max) id ordering."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+        embedding_neardup_pairs_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    blocked = sorted(
+        map(tuple, embedding_neardup_pairs_blocked(
+            emb, threshold=0.4, n_blocks=8
+        ).collect())
+    )
+    gemm = sorted(
+        map(tuple, embedding_neardup_pairs_gemm(emb, threshold=0.4).collect())
+    )
+    assert blocked == gemm and len(blocked) > 0
+
+
+def test_blocked_gemm_plan_shape(spark):
+    """Scale pins for the blocked exact path: the grid joins are
+    broadcast-hash (never a nested loop over the corpus), the ONLY
+    wide exchange is the one block-pair groupBy feeding the Arrow
+    kernel, and the scan is pruned to (id, vec)."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    df = embedding_neardup_pairs_blocked(emb, threshold=0.9, n_blocks=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontam_probe_budget_guard(spark):
     import pytest
 
