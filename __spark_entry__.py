@@ -1797,6 +1797,18 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_actives(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD derivation: each user's event_type timeline
+    collapsed into validity intervals (valid_from, valid_to,
+    is_current) — gaps-and-islands with NO groupBy and NO join; the
+    lag-filter-lead pair shares one Exchange + one Sort on the
+    dimension key, so the whole op is a single shuffle. Ties break on
+    event_id (unique), making the interval set deterministic."""
+    from fxa_activity_metrics_spark.operators.summaries import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
 def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of MinHash-LSH candidates: keep
     pairs with levenshtein <= 30% of the longer text. The O(|a|·|b|)
@@ -2436,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every entry below needs its first CORRECTNESS row) --------
         "dedup_spans_exact": q_dedup_spans_exact,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
+        "scd2_history": q_scd2_history,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
         "volume_shipping": q_volume_shipping,
@@ -2805,6 +2818,24 @@ def oracle_sql() -> dict[str, str]:
         # oracle hash-verifies both
         "embedding_neardup_gemm": _NEARDUP_SQL,
         "embedding_neardup_blocked": _NEARDUP_SQL,
+        "scd2_history": """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM o WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM s
+""",
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "embedding_neardup_lsh_auto": _NEARDUP_LSH_AUTO_SQL,
         "injection_filter": """

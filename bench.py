@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "novelty_score",
     "rolling_actives",
     "daily_spikes",
+    "scd2_history",
     "locf_fill",
     "pricing_rollup",
     "event_type_pivot",

@@ -590,3 +590,84 @@ def daily_spikes(
             > F.lit(factor_pct) * F.coalesce(F.sum("n_events").over(w), F.lit(0))
         ).alias("spike"),
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension derivation: collapse each
+    key's attribute timeline into validity intervals
+    (key, attr, valid_from, valid_to, is_current) — the dimension-
+    table read over the reference's event lake (the uid→flow/device
+    enrich joins of import_flow_events.py:322-369 consume exactly
+    this shape when the attribute drifts over time).
+
+    Gaps-and-islands WITHOUT a groupBy: a row opens an interval iff
+    its attribute differs from the key's previous event (lag over
+    one key-partitioned window); valid_to is simply the NEXT
+    opener's timestamp (lead over the same partitioning). Both
+    windows share one Exchange + one Sort — the whole operator is a
+    single shuffle on the dimension key, no join, no aggregate, so
+    at 100 TB it scales as one pass over the fact stream. Ties on
+    ``ts_col`` are ordered by ``tiebreak_col`` (unique), making the
+    interval set deterministic and engine-replayable.
+
+    Output: one row per (key, attribute run); ``valid_to`` NULL on
+    the key's current interval, ``is_current`` = that predicate.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    opens = (
+        events.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    return opens.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_apply_increment(
+    history: DataFrame,
+    day_events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold one day-drop of events into a stored SCD2 history —
+    incremental == batch, bit-exactly, provided drops arrive in day
+    order (the lake's ingestion contract, sources/lake.py:50-90).
+
+    Soundness: ``scd2_history`` output rows ARE the change points of
+    the timeline (one event per interval open, attribute carried), so
+    re-running the collapse over (stored change points ∪ new events)
+    reproduces the collapse over the full event history — consecutive
+    duplicate attributes from the new day fold into the key's current
+    interval exactly as the batch plan would. Keys untouched by the
+    drop never re-enter the window: their stored rows pass through a
+    broadcast-able anti-join (delta keys are one day's dimension
+    churn — small by definition), so the incremental cost is
+    O(changed keys' history + day size), not O(full history).
+    """
+    delta_keys = day_events.select(F.col(key_col)).distinct()
+    touched = history.join(F.broadcast(delta_keys), key_col, "semi")
+    untouched = history.join(F.broadcast(delta_keys), key_col, "anti")
+    replay = touched.select(
+        key_col,
+        attr_col,
+        F.col("valid_from").alias(ts_col),
+        # change points replay strictly before any same-ts new event:
+        # stored history predates the drop by the day-order contract
+        F.lit(-1).cast("long").alias(tiebreak_col),
+    ).unionByName(day_events.select(key_col, attr_col, ts_col, tiebreak_col))
+    return untouched.unionByName(
+        scd2_history(replay, key_col, attr_col, ts_col, tiebreak_col)
+    )

@@ -205,3 +205,94 @@ def test_funnel_window_boundary_inclusive(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (type-2 dimension derivation + incremental maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    from datetime import datetime as dt
+
+    from fxa_activity_metrics_spark.operators.summaries import scd2_history
+
+    ev = _scd2_events(spark, [
+        (1, dt(2024, 1, 1), 7, "a"),
+        (2, dt(2024, 1, 2), 7, "a"),   # same attr: folds into run 1
+        (3, dt(2024, 1, 3), 7, "b"),
+        (4, dt(2024, 1, 4), 7, "a"),   # a again: NEW interval, not merged
+        (5, dt(2024, 1, 1), 8, "x"),
+    ])
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(ev).collect()
+    }
+    assert got == {
+        (7, "a", dt(2024, 1, 1), dt(2024, 1, 3), False),
+        (7, "b", dt(2024, 1, 3), dt(2024, 1, 4), False),
+        (7, "a", dt(2024, 1, 4), None, True),
+        (8, "x", dt(2024, 1, 1), None, True),
+    }
+
+
+def test_scd2_tie_breaks_on_event_id(spark):
+    """Two events at the SAME timestamp: the higher event_id wins the
+    ordering, so the interval sequence is deterministic."""
+    from datetime import datetime as dt
+
+    from fxa_activity_metrics_spark.operators.summaries import scd2_history
+
+    ev = _scd2_events(spark, [
+        (2, dt(2024, 1, 1), 7, "b"),
+        (1, dt(2024, 1, 1), 7, "a"),
+    ])
+    rows = sorted(scd2_history(ev).collect(), key=lambda r: r.valid_from is None)
+    assert [(r.event_type, r.is_current) for r in rows] == [("a", False), ("b", True)]
+
+
+def test_scd2_incremental_equals_batch(spark):
+    """Folding day-drops through scd2_apply_increment reproduces the
+    batch derivation bit-exactly after every prefix — including a drop
+    that only EXTENDS current intervals (no attribute change) and one
+    that touches a strict subset of keys."""
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.summaries import (
+        scd2_apply_increment,
+        scd2_history,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    days = [r[0] for r in ev.select(F.to_date("ts").alias("d")).distinct()
+            .orderBy("d").collect()][:4]
+    hist = None
+    seen = None
+    for d in days:
+        drop = ev.filter(F.to_date("ts") == F.lit(d))
+        seen = drop if seen is None else seen.unionByName(drop)
+        hist = (scd2_history(drop) if hist is None
+                else scd2_apply_increment(hist, drop))
+        batch = {tuple(r) for r in scd2_history(seen).collect()}
+        inc = {tuple(r) for r in hist.collect()}
+        assert inc == batch, f"incremental != batch after day {d}"
+
+
+def test_scd2_plan_single_exchange(spark):
+    """The gaps-and-islands derivation must be ONE shuffle: lag,
+    filter, and lead share the key-partitioned sort — no groupBy, no
+    join, no second exchange."""
+    from fxa_activity_metrics_spark.operators.summaries import scd2_history
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = scd2_history(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
