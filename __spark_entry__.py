@@ -2833,7 +2833,8 @@ def oracle_sql() -> dict[str, str]:
              PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
            (lead(valid_from) OVER (
              PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
-             AS is_current
+             AS is_current,
+           event_id AS open_event_id
     FROM s
 """,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,

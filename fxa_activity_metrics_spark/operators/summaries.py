@@ -617,7 +617,12 @@ def scd2_history(
     interval set deterministic and engine-replayable.
 
     Output: one row per (key, attribute run); ``valid_to`` NULL on
-    the key's current interval, ``is_current`` = that predicate.
+    the key's current interval, ``is_current`` = that predicate,
+    ``open_event_id`` = the opener's tiebreak id — kept in the table
+    so INCREMENTAL maintenance can replay stored change points in
+    the exact batch order even when several openers share one
+    timestamp (without it, same-ts openers would reorder
+    nondeterministically across increments).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     opens = (
@@ -631,6 +636,7 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
+        F.col(tiebreak_col).alias("open_event_id"),
     )
 
 
@@ -664,9 +670,10 @@ def scd2_apply_increment(
         key_col,
         attr_col,
         F.col("valid_from").alias(ts_col),
-        # change points replay strictly before any same-ts new event:
-        # stored history predates the drop by the day-order contract
-        F.lit(-1).cast("long").alias(tiebreak_col),
+        # the stored opener id replays change points in the exact
+        # batch order — several openers CAN share a timestamp, so a
+        # constant sentinel here would reorder them nondeterministically
+        F.col("open_event_id").alias(tiebreak_col),
     ).unionByName(day_events.select(key_col, attr_col, ts_col, tiebreak_col))
     return untouched.unionByName(
         scd2_history(replay, key_col, attr_col, ts_col, tiebreak_col)

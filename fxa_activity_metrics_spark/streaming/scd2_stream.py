@@ -53,6 +53,7 @@ SCD2_SCHEMA = T.StructType(
         T.StructField("valid_from", T.TimestampType()),
         T.StructField("valid_to", T.TimestampType()),
         T.StructField("is_current", T.BooleanType()),
+        T.StructField("open_event_id", T.LongType()),
     ]
 )
 

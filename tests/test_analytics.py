@@ -230,15 +230,12 @@ def test_scd2_collapses_runs_and_marks_current(spark):
         (4, dt(2024, 1, 4), 7, "a"),   # a again: NEW interval, not merged
         (5, dt(2024, 1, 1), 8, "x"),
     ])
-    got = {
-        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
-        for r in scd2_history(ev).collect()
-    }
+    got = {tuple(r) for r in scd2_history(ev).collect()}
     assert got == {
-        (7, "a", dt(2024, 1, 1), dt(2024, 1, 3), False),
-        (7, "b", dt(2024, 1, 3), dt(2024, 1, 4), False),
-        (7, "a", dt(2024, 1, 4), None, True),
-        (8, "x", dt(2024, 1, 1), None, True),
+        (7, "a", dt(2024, 1, 1), dt(2024, 1, 3), False, 1),
+        (7, "b", dt(2024, 1, 3), dt(2024, 1, 4), False, 3),
+        (7, "a", dt(2024, 1, 4), None, True, 4),
+        (8, "x", dt(2024, 1, 1), None, True, 5),
     }
 
 
@@ -284,6 +281,30 @@ def test_scd2_incremental_equals_batch(spark):
         batch = {tuple(r) for r in scd2_history(seen).collect()}
         inc = {tuple(r) for r in hist.collect()}
         assert inc == batch, f"incremental != batch after day {d}"
+
+
+def test_scd2_incremental_preserves_same_ts_opener_order(spark):
+    """Two openers sharing one timestamp: the stored open_event_id
+    must replay them in batch order across an increment — a constant
+    sentinel tiebreak would reorder them nondeterministically."""
+    from datetime import datetime as dt
+
+    from fxa_activity_metrics_spark.operators.summaries import (
+        scd2_apply_increment,
+        scd2_history,
+    )
+
+    day1 = _scd2_events(spark, [
+        (1, dt(2024, 1, 1), 7, "a"),
+        (2, dt(2024, 1, 1), 7, "b"),   # same ts: zero-length "a" run
+    ])
+    day2 = _scd2_events(spark, [(3, dt(2024, 1, 2), 7, "b")])
+    inc = {tuple(r) for r in
+           scd2_apply_increment(scd2_history(day1), day2).collect()}
+    batch = {tuple(r) for r in
+             scd2_history(day1.unionByName(day2)).collect()}
+    assert inc == batch
+    assert (7, "a", dt(2024, 1, 1), dt(2024, 1, 1), False, 1) in inc
 
 
 def test_scd2_plan_single_exchange(spark):

@@ -78,6 +78,8 @@ HEADLINE = {
     "locf_fill": "entity x observed-day grid (broadcast day list) + running last(ignorenulls) per entity",
     "pricing_rollup": "ROLLUP lattice in ONE Expand + hash aggregate pass",
     "event_type_pivot": "fixed-list pivot: one aggregation, no distinct-values pre-pass",
+    "embedding_neardup_blocked": "block GEMM: broadcast block-pair grid, ONE groupBy exchange into the BLAS kernel — no corpus broadcast, no driver pull",
+    "scd2_history": "gaps-and-islands: lag-filter-lead share ONE key exchange + sort, no groupBy, no join",
 }
 
 
