@@ -2434,13 +2434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_staleness_contract.py):
 
     1. the 28 round-8 session-2/3 entries that have NEVER had a driver
-       CORRECTNESS row come FIRST (plus any entries new this round);
-    2. then 22 of the 48 r7-green entries (at the two-round limit) to
+       CORRECTNESS row come FIRST, plus the 3 entries new this round
+       (dedup_spans_exact, embedding_neardup_blocked, scd2_history);
+    2. then 19 of the 48 r7-green entries (at the two-round limit) to
        spread the rotation;
-    3. past position 50: the remaining 26 r7-green entries (rotate in
-       round 10) and the 47+3 r8-checked entries (due round 10) —
-       still verified every round by tests/test_oracle_parity.py over
-       ALL entries.
+    3. past position 50: the remaining 29 r7-green entries (rotate in
+       round 10 — still within the two-round limit then per the
+       staleness arithmetic) and the 47+3 r8-checked entries (due
+       round 10/11) — all verified every round by
+       tests/test_oracle_parity.py over ALL entries.
     """
     return {
         # -- 1. NEVER driver-checked (appended past the 50-entry
