@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "kcore_neardup",
     "tfidf_terms",
     "ann_jl",
+    "ann_pq",
     "neardup_editdist",
     "source_overlap",
     "novelty_score",

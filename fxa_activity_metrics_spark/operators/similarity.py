@@ -483,6 +483,188 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def l2sq(a: F.Column, b) -> F.Column:
+    """Squared L2 distance via the same sequential zip_with/aggregate
+    fold as ``dot`` — bit-reproducible against the DuckDB oracle's
+    list_sum over the identical per-element terms."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: str = "fxa-pq",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space splits into ``m`` equal subspaces; subspace ``s``'s
+    ``n_codes`` codewords are the SUB-vectors of the corpus rows with
+    the md5-smallest ``seed:s:id`` salts — the IVF determinism recipe
+    (``ivf_centroids``) applied per subspace, so every engine (and the
+    DuckDB oracle) re-derives the identical codebooks with no stored
+    model. Build cost: m driver-side (n_codes × d/m)-float pulls.
+    Returns codebooks[s][j] = codeword j of subspace s."""
+    sub_len = None
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        rows = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .withColumn(
+                "h",
+                F.md5(F.concat(F.lit(f"{seed}:{s}:"), F.col("cid").cast("string"))),
+            )
+            .orderBy("h", "cid")
+            .limit(n_codes)
+            .collect()
+        )
+        if sub_len is None:
+            sub_len = len(rows[0]["cv"]) // m
+        books.append(
+            [list(r["cv"][s * sub_len : (s + 1) * sub_len]) for r in rows]
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per subspace, the index of the L2-nearest codeword
+    (ties → smallest index, via struct-ordered array_min) — m small
+    integers per vector instead of d floats, the 64×-compression lever
+    of a 100 TB ADC scan. Pure JVM expressions over codebook literals:
+    zero shuffle, zero UDF. Output: (id, codes array<int>)."""
+    m = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    vec = _as_double(F.col(vec_col))
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sl = F.slice(vec, s * sub_len + 1, sub_len)
+        scored = F.array(
+            *[
+                F.struct(
+                    l2sq(sl, F.lit(list(cw))).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cw in enumerate(cb)
+            ]
+        )
+        codes.append(F.array_min(scored)["j"])
+    return corpus.select(
+        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    shortlist_factor: int = 4,
+    seed: str = "fxa-pq",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ ADC top-k with exact rerank — the memory-compression
+    counterpart of the other ANN paths (same output schema as
+    ``ivf_topk``): the corpus is scanned as m-byte codes, each query's
+    asymmetric distance is m table lookups summed in INTEGER
+    micro-units (order-free, engine-exact — the float-sum of lookup
+    parts would diverge by ulps between engines and flip near-tie
+    shortlist cuts), the ``shortlist_factor × k`` ADC survivors are
+    reranked by EXACT cosine in the original space (bucket-then-verify
+    — output cosines are exact, approximation only affects WHICH
+    candidates are considered).
+
+    Plan shape: codes posexplode (N×m narrow rows) ⟗ broadcast LUT
+    (Q×m×n_codes rows) — shuffle-free — then ONE exchange on
+    (query, id) for the partial-agg distance sum and the per-query
+    windows. At scale the ADC scan reads m bytes/vector instead of
+    d floats (the PQ point); composing with IVF cell probes
+    (``ivf_topk``'s assignment) gates the scan to probed cells — the
+    full IVFPQ stack. Queries are assumed a bounded serving batch
+    (broadcast both ways), like the other top-k entries.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
+    sub_len = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        "id", F.posexplode("codes").alias("s", "code")
+    )
+    # LUT: per (query, subspace, code) the micro-quantized partial
+    # distance, built from the SAME codebook literals the encoder used
+    qvec = _as_double(F.col(vec_col))
+    lut_entries = []
+    for s, cb in enumerate(codebooks):
+        sl = F.slice(qvec, s * sub_len + 1, sub_len)
+        for j, cw in enumerate(cb):
+            lut_entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(j).alias("code"),
+                    F.round(l2sq(sl, F.lit(list(cw))) * 1e6)
+                    .cast("long")
+                    .alias("part_micro"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*lut_entries)).alias("e"),
+    ).select("query_id", "e.s", "e.code", "e.part_micro")
+    adist = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("part_micro").alias("adist_micro"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("id").asc()
+    )
+    short = (
+        adist.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= shortlist_factor * k)
+        .select("query_id", "id")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return (
+        short.join(base, "id")
+        .join(F.broadcast(qbase), "query_id")
+        .withColumn(
+            "cos", dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
 def _auto_planes(
     n_rows: int, n_planes: int, target_bucket_rows: int, max_planes: int = 16
 ) -> int:

@@ -24,7 +24,7 @@ def exact_topk(spark):
     return _neighbor_sets(E.queries()["ann_bruteforce"](spark, SF))
 
 
-@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf", "ann_jl"])
+@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf", "ann_jl", "ann_pq"])
 def test_ann_recall(spark, exact_topk, name):
     approx = _neighbor_sets(E.queries()[name](spark, SF))
     hits = total = 0
@@ -186,6 +186,41 @@ def test_blocked_gemm_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_plan_broadcast_lut_no_cartesian(spark):
+    """PQ ADC scale pins: the LUT and query sides join by broadcast
+    (the corpus code stream never shuffles for them), no cartesian
+    anywhere, and the distance sum is an integer SUM (micro-units —
+    float lookup sums would diverge by ulps between engines)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ann_pq"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encode_is_deterministic_and_compact(spark):
+    """Codes are stable across partitionings (md5 codebooks + argmin
+    over literals) and bounded by n_codes."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=16, n_codes=16)
+    assert len(cbs) == 16 and len(cbs[0]) == 16 and len(cbs[0][0]) == 4
+    a = {r["id"]: list(r["codes"]) for r in pq_encode(emb, cbs).collect()}
+    b = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(emb.repartition(7), cbs).collect()
+    }
+    assert a == b
+    assert all(0 <= c < 16 for codes in a.values() for c in codes)
+    assert all(len(codes) == 16 for codes in a.values())
 
 
 def test_decontam_probe_budget_guard(spark):
