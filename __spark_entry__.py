@@ -1307,6 +1307,28 @@ def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs_blocked(emb, threshold=0.4, n_blocks=4)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ stack: IVF cell probe bounds WHICH vectors are
+    scanned (n_probe=4 of 16 cells, matching ann_ivf), PQ codes bound
+    WHAT is read per candidate (m=16 codes = 16 bytes), exact-cosine
+    rerank bounds what approximation can cost. Probe gate and LUT
+    are both broadcast joins; ONE (query, id) exchange. Recall
+    composes multiplicatively: cell recall (~0.46 at 4/16 probes,
+    IVF_RECALL.json) × ADC shortlist recall (~0.87 of the in-cell
+    answer set) — measured 0.40 at sf0.01."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        m=16,
+        n_codes=16,
+        shortlist_factor=8,
+    )
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): md5-derived
     per-subspace codebooks (the IVF determinism recipe), JVM argmin
@@ -2473,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "scd2_history": q_scd2_history,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
         "volume_shipping": q_volume_shipping,
@@ -2820,6 +2843,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_pq": _ANN_PQ_SQL,
+        "ann_ivfpq": _ANN_IVFPQ_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "semantic_dedup_trained": _SEMANTIC_DEDUP_TRAINED_SQL,
         # heavy_hitters: NO ORACLE BY DESIGN (one-pass stream summary;
@@ -4937,6 +4961,110 @@ _ANN_PQ_SQL = """
       SELECT l.query_id, enc.id, SUM(l.part_micro) AS adist_micro
       FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
       WHERE enc.id <> l.query_id
+      GROUP BY l.query_id, enc.id
+    ),
+    short AS (
+      SELECT query_id, id FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist_micro ASC, id ASC) AS r
+        FROM adist a) WHERE r <= 40
+    ),
+    scored AS (
+      SELECT s.query_id, s.id AS neighbor_id,
+             list_sum(list_transform(range(1, 1 + len(c.e)),
+               i -> c.e[i] * q.e[i])) / (c.nrm * q.nrm) AS cos_raw
+      FROM short s
+      JOIN v c ON c.id = s.id
+      JOIN v q ON q.id = s.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+"""
+
+
+# IVFPQ oracle: the _ANN_IVF_SQL cents/assign replay (cell probe)
+# composed with the _ANN_PQ_SQL codebook/encode/LUT replay (ADC) and
+# the shared exact-cosine rerank — similarity.ivfpq_topk's mirror at
+# n_cells=16/n_probe=4/m=16/n_codes=16/shortlist 40/k=5.
+_ANN_IVFPQ_SQL = """
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(range(1, 1 + len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT (row_number() OVER (
+                ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id) - 1)
+               AS cell,
+             e AS cv, nrm AS cnrm
+      FROM v
+      ORDER BY md5('fxa-ivf:' || CAST(id AS VARCHAR)), id
+      LIMIT 16
+    ),
+    assign AS (
+      SELECT v.id, v.e, v.nrm, c.cell,
+             list_sum(list_transform(range(1, 1 + len(v.e)),
+               i -> v.e[i] * c.cv[i])) / (v.nrm * c.cnrm) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    ccell AS (
+      SELECT id, cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY id
+                 ORDER BY ccos DESC, cell DESC) AS r
+        FROM assign a) WHERE r = 1
+    ),
+    qcells AS (
+      SELECT id AS query_id, cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY id
+                 ORDER BY ccos DESC, cell DESC) AS r
+        FROM assign a WHERE id < 20) WHERE r <= 4
+    ),
+    subs AS (SELECT CAST(s AS INT) AS s FROM range(16) t(s)),
+    cb AS (
+      SELECT s, j, cw FROM (
+        SELECT subs.s,
+               (row_number() OVER (PARTITION BY subs.s
+                  ORDER BY md5('fxa-pq:' || CAST(subs.s AS VARCHAR)
+                               || ':' || CAST(v.id AS VARCHAR)), v.id) - 1)
+                 AS j,
+               list_slice(v.e, subs.s * 4 + 1, subs.s * 4 + 4) AS cw
+        FROM v CROSS JOIN subs)
+      WHERE j < 16
+    ),
+    enc AS (
+      SELECT id, s, j AS code FROM (
+        SELECT v.id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY v.id, cb.s ORDER BY
+                 list_sum(list_transform(range(1, 5),
+                   i -> (list_slice(v.e, cb.s * 4 + 1, cb.s * 4 + 4)[i]
+                          - cb.cw[i])
+                        * (list_slice(v.e, cb.s * 4 + 1, cb.s * 4 + 4)[i]
+                          - cb.cw[i]))) ASC, cb.j ASC) AS r
+        FROM v CROSS JOIN cb) WHERE r = 1
+    ),
+    lut AS (
+      SELECT q.id AS query_id, cb.s, cb.j AS code,
+             CAST(round(list_sum(list_transform(range(1, 5),
+               i -> (list_slice(q.e, cb.s * 4 + 1, cb.s * 4 + 4)[i]
+                      - cb.cw[i])
+                    * (list_slice(q.e, cb.s * 4 + 1, cb.s * 4 + 4)[i]
+                      - cb.cw[i]))) * 1e6) AS BIGINT) AS part_micro
+      FROM v q CROSS JOIN cb WHERE q.id < 20
+    ),
+    adist AS (
+      SELECT l.query_id, enc.id, SUM(l.part_micro) AS adist_micro
+      FROM enc
+      JOIN ccell c ON c.id = enc.id
+      JOIN qcells qc ON qc.cell = c.cell
+      JOIN lut l ON l.query_id = qc.query_id
+                AND l.s = enc.s AND l.code = enc.code
+      WHERE enc.id <> qc.query_id
       GROUP BY l.query_id, enc.id
     ),
     short AS (

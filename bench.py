@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "ann_jl",
     "ann_pq",
+    "ann_ivfpq",
     "neardup_editdist",
     "source_overlap",
     "novelty_score",

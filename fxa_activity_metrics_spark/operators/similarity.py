@@ -665,6 +665,129 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    shortlist_factor: int = 4,
+    seed: str = "fxa-ivf",
+    pq_seed: str = "fxa-pq",
+) -> DataFrame:
+    """The full IVFPQ serving stack (Jégou et al. 2011 §IV): the IVF
+    cell probe bounds WHICH vectors are scanned, PQ codes bound WHAT
+    is read per vector, and the exact-cosine rerank bounds what the
+    approximation can cost — composition of ``ivf_topk``'s
+    deterministic cell assignment with ``pq_topk``'s integer-micro
+    ADC, same output schema as both.
+
+    Plan shape: corpus→cell assignment and PQ encoding are one scan
+    of JVM expressions; the probe gate (query_id × probed cell) and
+    the LUT are BOTH broadcast joins, so the code stream never
+    shuffles until the single (query, id) distance aggregation. At
+    100 TB with the persisted-index layout (``ivf_build_index``'s
+    cell partitioning) the probe gate becomes partition PRUNING and
+    the ADC scan reads m bytes per candidate — the standard
+    billion-vector serving shape. Recall composes multiplicatively:
+    cell recall (n_probe/n_cells curve, IVF_RECALL.json) × ADC
+    shortlist recall (pq_topk's sweep) — pinned as a floor in
+    tests/test_similarity_recall.py.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    nearest = _cell_exprs(cents)
+    codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, pq_seed)
+    sub_len = len(codebooks[0][0])
+    codes = (
+        pq_encode(corpus, codebooks, id_col, vec_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .withColumn("nrm", norm(F.col("v")))
+            .select(
+                "id",
+                F.coalesce(
+                    nearest(F.col("v"), F.col("nrm"), 1)[0], F.lit(0)
+                ).alias("cell"),
+            ),
+            "id",
+        )
+        .select("id", "cell", F.posexplode("codes").alias("s", "code"))
+    )
+    qvec = _as_double(F.col(vec_col))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
+        .withColumn("qnrm", norm(F.col("qv")))
+        .select(
+            "query_id",
+            F.explode(nearest(F.col("qv"), F.col("qnrm"), n_probe)).alias("cell"),
+        )
+    )
+    lut_entries = []
+    for s, cb in enumerate(codebooks):
+        sl = F.slice(qvec, s * sub_len + 1, sub_len)
+        for j, cw in enumerate(cb):
+            lut_entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(j).alias("code"),
+                    F.round(l2sq(sl, F.lit(list(cw))) * 1e6)
+                    .cast("long")
+                    .alias("part_micro"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*lut_entries)).alias("e"),
+    ).select("query_id", "e.s", "e.code", "e.part_micro")
+    adist = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("part_micro").alias("adist_micro"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("id").asc()
+    )
+    short = (
+        adist.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= shortlist_factor * k)
+        .select("query_id", "id")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvb"),
+    ).withColumn("qbn", norm(F.col("qvb")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return (
+        short.join(base, "id")
+        .join(F.broadcast(qbase), "query_id")
+        .withColumn(
+            "cos", dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn"))
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
 def _auto_planes(
     n_rows: int, n_planes: int, target_bucket_rows: int, max_planes: int = 16
 ) -> int:

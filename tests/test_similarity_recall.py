@@ -188,6 +188,28 @@ def test_blocked_gemm_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_recall_floor_and_plan(spark, exact_topk):
+    """IVFPQ recall composes multiplicatively — cell recall at 4/16
+    probes (~0.46) × ADC shortlist recall (~0.87) — so the floor is
+    0.25, well under the measured 0.40 but far above a broken cell
+    or code assignment. Probe gate and LUT must both broadcast; one
+    cartesian anywhere is a fail."""
+    approx = _neighbor_sets(E.queries()["ann_ivfpq"](spark, SF))
+    hits = total = 0
+    for qid, want in exact_topk.items():
+        got = approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.25, f"ivfpq recall {hits / total:.2f} < 0.25"
+    plan = (
+        E.queries()["ann_ivfpq"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pq_plan_broadcast_lut_no_cartesian(spark):
     """PQ ADC scale pins: the LUT and query sides join by broadcast
     (the corpus code stream never shuffles for them), no cartesian

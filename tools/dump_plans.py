@@ -81,6 +81,7 @@ HEADLINE = {
     "embedding_neardup_blocked": "block GEMM: broadcast block-pair grid, ONE groupBy exchange into the BLAS kernel — no corpus broadcast, no driver pull",
     "scd2_history": "gaps-and-islands: lag-filter-lead share ONE key exchange + sort, no groupBy, no join",
     "ann_pq": "PQ ADC: codes posexplode x broadcast LUT (shuffle-free), ONE (query,id) exchange, exact-cosine rerank of the shortlist",
+    "ann_ivfpq": "IVFPQ: broadcast cell-probe gate + broadcast LUT over the code stream, ONE (query,id) exchange, exact rerank",
 }
 
 
