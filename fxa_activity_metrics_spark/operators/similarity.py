@@ -665,6 +665,64 @@ def pq_topk(
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    seed: str = "fxa-pq",
+) -> list[list[list[float]]]:
+    """DETERMINISTIC per-subspace L2 Lloyd's training for PQ — the
+    quality upgrade over hash-sampled codebooks, with the
+    ``kmeans_centroids`` reproducibility contract: assignment is the
+    encoder's own argmin (ties to the smaller index), and the
+    per-(subspace, code, dim) mean accumulates FIXED-POINT integer
+    micro-units (round(x·1e6) as BIGINT summed), so trained codebooks
+    are bit-identical under any partitioning or retry. PQ quantizes
+    by L2, so training minimizes L2 too (cosine Lloyd's — the IVF
+    trainer — would optimize the wrong metric here).
+
+    ALL subspaces train in ONE aggregate job per iteration: encode
+    (one scan of JVM argmin expressions), posexplode (s, code), dim
+    explode of the subspace slice, groupBy(s, code, dim) — driver
+    traffic is m × n_codes × sub_len aggregate rows per iteration.
+    Empty codes keep their previous codeword (deterministic, no
+    respawn). n_iter=0 degrades to ``pq_codebooks``."""
+    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
+    sub_len = len(books[0][0])
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    for _ in range(n_iter):
+        enc = pq_encode(corpus, books, id_col, vec_col)
+        rows = (
+            base.join(enc, "id")
+            .select("e", F.posexplode("codes").alias("s", "code"))
+            .select(
+                "s",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("e"), F.col("s") * sub_len + 1, sub_len)
+                ).alias("dim", "x"),
+            )
+        )
+        agg = (
+            rows.groupBy("s", "code", "dim")
+            .agg(
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_books = [[list(cw) for cw in book] for book in books]
+        for r in agg:
+            new_books[r["s"]][r["code"]][r["dim"]] = (r["sm"] / 1e6) / r["n"]
+        books = new_books
+    return books
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
