@@ -508,28 +508,53 @@ def pq_codebooks(
     the md5-smallest ``seed:s:id`` salts — the IVF determinism recipe
     (``ivf_centroids``) applied per subspace, so every engine (and the
     DuckDB oracle) re-derives the identical codebooks with no stored
-    model. Build cost: m driver-side (n_codes × d/m)-float pulls.
+    model.
+
+    Build cost: ONE job — ids explode onto the m salts (N×m NARROW
+    rows, no vectors shipped), a per-subspace rank window picks the
+    n_codes winners, and one broadcast join-back fetches the m×n_codes
+    winning vectors (the m-sequential-collect draft cost ~4.4s of the
+    registry query's 19s at sf0.1 in per-job overhead alone).
     Returns codebooks[s][j] = codeword j of subspace s."""
-    sub_len = None
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        rows = (
-            corpus.select(
-                F.col(id_col).alias("cid"),
-                _as_double(F.col(vec_col)).alias("cv"),
-            )
-            .withColumn(
-                "h",
-                F.md5(F.concat(F.lit(f"{seed}:{s}:"), F.col("cid").cast("string"))),
-            )
-            .orderBy("h", "cid")
-            .limit(n_codes)
-            .collect()
+    ranked = (
+        corpus.select(F.col(id_col).alias("cid"))
+        .select(
+            "cid",
+            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s"),
         )
-        if sub_len is None:
-            sub_len = len(rows[0]["cv"]) // m
-        books.append(
-            [list(r["cv"][s * sub_len : (s + 1) * sub_len]) for r in rows]
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("cid").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("s").orderBy("h", "cid")),
+        )
+        .filter(F.col("r") <= n_codes)
+        .select("s", "r", "cid")
+    )
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        .join(F.broadcast(ranked), "cid")
+        .select("s", "r", "cv")
+        .collect()
+    )
+    sub_len = len(rows[0]["cv"]) // m
+    books: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in rows:
+        books[r["s"]][r["r"] - 1] = list(
+            r["cv"][r["s"] * sub_len : (r["s"] + 1) * sub_len]
         )
     return books
 
@@ -541,28 +566,89 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ encoding: per subspace, the index of the L2-nearest codeword
-    (ties → smallest index, via struct-ordered array_min) — m small
-    integers per vector instead of d floats, the 64×-compression lever
-    of a 100 TB ADC scan. Pure JVM expressions over codebook literals:
-    zero shuffle, zero UDF. Output: (id, codes array<int>)."""
+    (ties → smallest index) — m small integers per vector instead of
+    d floats, the 64×-compression lever of a 100 TB ADC scan.
+
+    This is an Arrow mapInPandas kernel, not a JVM expression tree:
+    PQ encoding is dense linear algebra (the repo rule that put the
+    GEMM near-dup kernels in numpy), and the expression formulations
+    measured FAR worse — the unrolled m×n_codes fold tree spent its
+    time in Catalyst analysis (~19s/query at sf0.1), the transform-HOF
+    variant in interpreted nested-lambda eval (~24s); the kernel runs
+    the same arithmetic vectorized in ~2s. Bit-compat is preserved by
+    construction: per-term LEFT-TO-RIGHT accumulation
+    (((t₀)+t₁)+t₂)+t₃ matches the JVM fold with 0.0 init and DuckDB's
+    list_sum term order, and np.argmin's first-minimum rule IS the
+    ties→smallest-index contract. Partition-preserving, zero shuffle.
+    Output: (id, codes array<int>)."""
+    import numpy as np
+
     m = len(codebooks)
     sub_len = len(codebooks[0][0])
-    vec = _as_double(F.col(vec_col))
-    codes = []
-    for s, cb in enumerate(codebooks):
-        sl = F.slice(vec, s * sub_len + 1, sub_len)
-        scored = F.array(
-            *[
-                F.struct(
-                    l2sq(sl, F.lit(list(cw))).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j, cw in enumerate(cb)
-            ]
-        )
-        codes.append(F.array_min(scored)["j"])
-    return corpus.select(
-        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+    books = np.array(codebooks, dtype=np.float64)
+    sel = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub_len : (s + 1) * sub_len]
+                c = books[s]
+                t = xs[:, None, 0] - c[None, :, 0]
+                d = t * t
+                for i in range(1, sub_len):
+                    t = xs[:, None, i] - c[None, :, i]
+                    d = d + t * t
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(np.int64), "codes": list(codes)}
+            )
+
+    return sel.mapInPandas(kernel, "id long, codes array<int>")
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, s, code, part_micro) ADC lookup table. The query
+    side is a bounded serving batch (the ANN entries' standing
+    assumption), so the LUT is computed driver-side from one Arrow
+    pull — same left-to-right term accumulation as the encode kernel,
+    and HALF_UP micro rounding via floor(x·1e6 + 0.5) (np.round is
+    banker's — it would disagree with F.round/DuckDB on exact .5
+    ties; distances are ≥ 0 so floor(+0.5) is exactly HALF_UP)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    books = np.array(codebooks, dtype=np.float64)
+    qids, qmat = _pull_matrix(queries, id_col, vec_col)
+    rows = []
+    for qi, qv in zip(qids, qmat):
+        for s in range(m):
+            qs = qv[s * sub_len : (s + 1) * sub_len]
+            c = books[s]
+            t = qs[0] - c[:, 0]
+            d = t * t
+            for i in range(1, sub_len):
+                t = qs[i] - c[:, i]
+                d = d + t * t
+            micro = np.floor(d * 1e6 + 0.5).astype(np.int64)
+            rows.extend(
+                (int(qi), s, j, int(micro[j])) for j in range(len(c))
+            )
+    return queries.sparkSession.createDataFrame(
+        rows, "query_id long, s int, code int, part_micro long"
     )
 
 
@@ -606,24 +692,7 @@ def pq_topk(
     )
     # LUT: per (query, subspace, code) the micro-quantized partial
     # distance, built from the SAME codebook literals the encoder used
-    qvec = _as_double(F.col(vec_col))
-    lut_entries = []
-    for s, cb in enumerate(codebooks):
-        sl = F.slice(qvec, s * sub_len + 1, sub_len)
-        for j, cw in enumerate(cb):
-            lut_entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(j).alias("code"),
-                    F.round(l2sq(sl, F.lit(list(cw))) * 1e6)
-                    .cast("long")
-                    .alias("part_micro"),
-                )
-            )
-    lut = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.array(*lut_entries)).alias("e"),
-    ).select("query_id", "e.s", "e.code", "e.part_micro")
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
     adist = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("id") != F.col("query_id"))
@@ -787,23 +856,7 @@ def ivfpq_topk(
             F.explode(nearest(F.col("qv"), F.col("qnrm"), n_probe)).alias("cell"),
         )
     )
-    lut_entries = []
-    for s, cb in enumerate(codebooks):
-        sl = F.slice(qvec, s * sub_len + 1, sub_len)
-        for j, cw in enumerate(cb):
-            lut_entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(j).alias("code"),
-                    F.round(l2sq(sl, F.lit(list(cw))) * 1e6)
-                    .cast("long")
-                    .alias("part_micro"),
-                )
-            )
-    lut = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.array(*lut_entries)).alias("e"),
-    ).select("query_id", "e.s", "e.code", "e.part_micro")
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
     adist = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
