@@ -67,3 +67,47 @@ def test_sf1_record_has_no_scaling_violations():
     assert rec["skipped"] == sorted(
         QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE
     )
+
+
+def test_bench_queries_all_registered():
+    """Every bench suite name must resolve in the registry — a
+    renamed or dropped queries() entry may not leave a dangling
+    bench row."""
+    import re
+
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}\n", src, __import__("re").S)
+    registered = set(re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1)))
+    from bench import BENCH_QUERIES
+
+    missing = [q for q in BENCH_QUERIES if q not in registered]
+    assert not missing, missing
+
+
+def test_committed_sf01_record_matches_current_suite():
+    """BENCH_LOCAL.json must be regenerated whenever the bench suite
+    changes — rounds 5-8 each closed with a modified-but-uncommitted
+    or stale record; this makes the drift red in CI instead."""
+    from bench import BENCH_QUERIES
+
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
+        rec = json.load(f)
+    assert set(rec["queries"]) == set(BENCH_QUERIES), (
+        sorted(set(BENCH_QUERIES) ^ set(rec["queries"]))
+    )
+
+
+def test_committed_scale_records_cover_current_suite():
+    """Each >=sf1 record must account for every current bench query,
+    either measured or in its recorded exclusion/skip list."""
+    from bench import BENCH_QUERIES
+
+    with open(os.path.join(REPO, "BENCH_SF1_LOCAL.json")) as f:
+        sf1 = json.load(f)
+    covered1 = set(sf1["queries"]) | set(sf1["skipped"])
+    assert set(BENCH_QUERIES) <= covered1, sorted(set(BENCH_QUERIES) - covered1)
+
+    with open(os.path.join(REPO, "BENCH_SF10_LOCAL.json")) as f:
+        sf10 = json.load(f)
+    covered10 = set(sf10["queries"]) | set(sf10["excluded"])
+    assert set(BENCH_QUERIES) <= covered10, sorted(set(BENCH_QUERIES) - covered10)
