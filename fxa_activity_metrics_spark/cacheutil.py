@@ -11,21 +11,87 @@ consumed — bounding cache residue to one query's working set instead
 of accumulating across a 100+-query session (VERDICT r8 item 8 /
 ADVICE r8 item 1).
 
+Scopes (ADVICE r9 item 1): ``release_all`` drains the process-global
+registry, and a released local checkpoint is permanently dead
+(lineage severed) — so a foreachBatch sink running on a
+stream-execution thread must NOT call it, or it kills the caches of
+any concurrently running query/stream mid-flight.  Such callers wrap
+their work in ``with cacheutil.scope():`` instead: track/
+local_checkpoint calls made on that thread register into the scope,
+and scope exit releases exactly those frames.  The active scope is
+thread-local, so two streams' micro-batches cannot see (or release)
+each other's frames; ``release_all`` only ever touches the global
+registry.
+
 Iterative operators (PageRank, k-core) additionally unpersist each
 superseded round inline — only base frames and the final round stay
 tracked.
 """
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
-_TRACKED_CKPT: list[tuple[object, frozenset]] = []
+
+class _Scope:
+    __slots__ = ("frames", "ckpts")
+
+    def __init__(self) -> None:
+        self.frames: list[DataFrame] = []
+        self.ckpts: list[tuple[object, frozenset]] = []
+
+
+_GLOBAL = _Scope()
+_local = threading.local()
+# localCheckpoint attribution works by diffing the JVM-wide
+# persistent-RDD registry around the eager checkpoint; two threads
+# checkpointing concurrently would attribute each other's new blocks.
+# The lock serializes eager checkpoints (micro-batch scale — cheap)
+# in exchange for exact ownership.
+_CKPT_LOCK = threading.Lock()
+
+
+def _active() -> _Scope:
+    stack = getattr(_local, "stack", None)
+    return stack[-1] if stack else _GLOBAL
+
+
+class scope:
+    """Context manager: frames tracked on this thread inside the
+    block are released (and their checkpoint blocks dropped) on
+    exit.  Nestable; other threads are unaffected."""
+
+    def __enter__(self) -> "_Scope":
+        stack = getattr(_local, "stack", None)
+        if stack is None:
+            stack = _local.stack = []
+        self._scope = _Scope()
+        stack.append(self._scope)
+        return self._scope
+
+    def __exit__(self, *exc) -> None:
+        _local.stack.pop()
+        _release(self._scope, blocking=False)
+
+
+def scoped(fn):
+    """Decorator form of :class:`scope` for foreachBatch sinks: every
+    frame the sink tracks/checkpoints is released when the batch
+    returns (its lake writes have materialized by then)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with scope():
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register a persisted frame for deferred release; returns it."""
-    _TRACKED.append(df)
+    _active().frames.append(df)
     return df
 
 
@@ -36,7 +102,8 @@ def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     ``DataFrame.unpersist`` never sees them and they linger until the
     JVM ContextCleaner notices the RDD is garbage.  This wrapper
     diffs the persistent-RDD registry around the (eager) checkpoint
-    and records the new block ids; :func:`release_all` drops them
+    and records the new block ids; the owning scope (or
+    :func:`release_all` for the global registry) drops them
     explicitly.  After release the checkpointed frame is DEAD — local
     checkpoints sever lineage, so there is nothing to recompute from.
     Eager-only: a lazy checkpoint registers no blocks to diff (those
@@ -45,30 +112,27 @@ def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if not eager:
         return df.localCheckpoint(eager=False)
     sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet())
-    out = df.localCheckpoint(eager=True)
-    new = set(sc._jsc.getPersistentRDDs().keySet()) - before
+    with _CKPT_LOCK:
+        before = set(sc._jsc.getPersistentRDDs().keySet())
+        out = df.localCheckpoint(eager=True)
+        new = set(sc._jsc.getPersistentRDDs().keySet()) - before
     if new:
-        _TRACKED_CKPT.append((sc, frozenset(new)))
+        _active().ckpts.append((sc, frozenset(new)))
     return out
 
 
-def release_all(blocking: bool = False) -> int:
-    """Unpersist every tracked frame; returns how many were released.
-
-    Safe to call at any time — frames already unpersisted (or whose
-    session is gone) are skipped silently.
-    """
+def _release(s: _Scope, blocking: bool = False) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while s.frames:
+        df = s.frames.pop()
         try:
             df.unpersist(blocking=blocking)
             n += 1
         except Exception:
+            # session already stopped / frame already unpersisted
             pass
-    while _TRACKED_CKPT:
-        sc, ids = _TRACKED_CKPT.pop()
+    while s.ckpts:
+        sc, ids = s.ckpts.pop()
         try:
             jmap = sc._jsc.getPersistentRDDs()
             for i in ids:
@@ -78,3 +142,15 @@ def release_all(blocking: bool = False) -> int:
         except Exception:
             pass
     return n
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every frame tracked in the GLOBAL registry; returns
+    how many were released.  Never touches scoped frames — a caller
+    inside ``with cacheutil.scope():`` owns its own lifecycle, and a
+    foreachBatch thread must use a scope, not this.
+
+    Safe to call at any time — frames already unpersisted (or whose
+    session is gone) are skipped silently.
+    """
+    return _release(_GLOBAL, blocking=blocking)

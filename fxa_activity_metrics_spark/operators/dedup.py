@@ -947,6 +947,7 @@ def neardup_editdist(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance verification of MinHash-LSH candidates: keep a
     candidate pair iff levenshtein(a, b) · 100 <= max_pct ·
@@ -970,11 +971,16 @@ def neardup_editdist(
 
     Output: (id_a, id_b, edit_dist, len_a, len_b), passing pairs
     only, id_a < id_b inherited from the candidate convention.
+
+    ``pairs``: a prebuilt candidate table ((id_a, id_b), id_a < id_b
+    — e.g. graph.pairs_from_lake) skips the LSH rebuild; None builds
+    fresh with the num_hashes/band_size/shingle_n knobs.
     """
-    pairs = minhash_lsh_candidates(
-        docs, num_hashes=num_hashes, band_size=band_size,
-        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
-    )
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            docs, num_hashes=num_hashes, band_size=band_size,
+            shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+        )
     texts = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
     joined = (
         pairs.join(texts, pairs["id_a"] == texts["_tid"])
@@ -1005,6 +1011,7 @@ def source_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-source duplication matrix: for every (unordered) source
     pair, how many near-dup candidate pairs straddle it — the
@@ -1019,11 +1026,14 @@ def source_overlap(
     AQE-broadcast); the matrix aggregation is at most n_sources²
     rows. Output: (source_a, source_b, n_pairs) with source_a <=
     source_b (least/greatest normalization).
+
+    ``pairs``: prebuilt candidate table (see neardup_editdist).
     """
-    pairs = minhash_lsh_candidates(
-        docs, num_hashes=num_hashes, band_size=band_size,
-        shingle_n=shingle_n, id_col=id_col, text_col=text_col,
-    )
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            docs, num_hashes=num_hashes, band_size=band_size,
+            shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+        )
     srcs = docs.select(F.col(id_col).alias("_sid"), F.col(source_col).alias("_src"))
     joined = (
         pairs.join(srcs, pairs["id_a"] == srcs["_sid"])

@@ -198,3 +198,54 @@ def kcore(
     return cacheutil.track(e).groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted edge table — build once, query many
+# ---------------------------------------------------------------------------
+
+PAIRS_TABLE = "neardup_pairs"
+
+
+def build_neardup_pairs(
+    lake,
+    docs: DataFrame,
+    *,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    table: str = PAIRS_TABLE,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize the MinHash-LSH candidate pair table to the lake —
+    the shared input of the whole near-dup graph family (pagerank /
+    kcore / triangle_counts / edit-distance verify / source overlap).
+
+    Rebuilding the candidate set inside every query was the dominant
+    cost of the graph queries at bench scale (~2.5s of kcore's 4.2s
+    at sf0.1): shingle → minhash → band-explode → bucket join is one
+    full corpus scan plus a shuffle on (band_idx, band_key). At
+    100 TB that is exactly the kind of intermediate you persist once
+    and reuse — the same build-once/query-many story as the BM25 and
+    IVF indexes (search.build_text_index, similarity.ivf_build_index),
+    and the batch twin of the incrementally-maintained
+    streaming/graph_stream.py edge table.
+
+    Bucketed on ``id_a`` so downstream equi-joins on the low id
+    (triangle wedge join, document enrich) read pre-hashed files.
+    """
+    from fxa_activity_metrics_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_candidates(
+        docs,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    lake.write_bucketed(table, pairs, ["id_a"], n_buckets)
+
+
+def pairs_from_lake(lake, table: str = PAIRS_TABLE) -> DataFrame:
+    """Catalog read of the persisted pair table (bucket spec kept, so
+    joins on id_a stay exchange-free)."""
+    return lake.read_bucketed(table)

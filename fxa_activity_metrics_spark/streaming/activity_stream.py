@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from fxa_activity_metrics_spark.functions.core import day_of, sample_cohort, ts_from_epoch
 from fxa_activity_metrics_spark.schemas import ACTIVITY, Dataset, SAMPLE_RATES
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 
 _FILE_DAY_RE = r"([0-9]{4}-[0-9]{2}-[0-9]{2})\.csv$"
 
@@ -73,8 +74,9 @@ def run_dataset_import_stream(
     events = read_dataset_stream(spark, source_dir, dataset)
     perm_cols = [f.name for f in dataset.lake_schema.fields if f.name != "day"]
 
+    @cacheutil.scoped
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         # reference straggler filter: keep rows whose UTC day == the
         # day encoded in the source filename (import_events.py:118)
         day_rows = batch_df.filter(F.col("day") == F.col("_file_day"))

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from fxa_activity_metrics_spark.operators.dedup import text_segments, tokens
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 from fxa_activity_metrics_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     _docs_with_file_day,
@@ -74,11 +75,12 @@ def run_segment_counts_stream(
     started query (availableNow trigger)."""
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write_counts(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         lake.write_days(table, day_segment_counts(batch_df, width), sort_cols=["seg_hash"])
 
     return (

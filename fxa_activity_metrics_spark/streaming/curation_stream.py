@@ -37,6 +37,7 @@ from fxa_activity_metrics_spark.operators.textstats import (
     text_stats,
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 from fxa_activity_metrics_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     _docs_with_file_day,
@@ -69,11 +70,12 @@ def run_curation_stream(
     re-imports converge. Returns the started query."""
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write_curated(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         survivors = (
             text_stats(
                 batch_df,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -107,10 +108,11 @@ def merge_keepers_sink(lake: Lake, table: str = "dedup_keepers"):
     """foreachBatch upsert by content_hash — replace changed hashes,
     keep the rest (idempotent per epoch)."""
 
+    @cacheutil.scoped
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         # sever micro-batch lineage before joining against the sink
         # table (see flows_stream.merge_sessions_sink)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         if lake.exists(table):
             existing = lake.read(table)
             kept = existing.join(
@@ -149,6 +151,7 @@ def run_signature_import_stream(
     # signing happens INSIDE the batch writer via the shared batch
     # operator, so stream and batch produce byte-identical signature
     # rows and the sink is the batch day sink (idempotent per day)
+    @cacheutil.scoped
     def write_signed(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -200,6 +203,7 @@ def run_incremental_dedup_stream(
 
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return

@@ -41,6 +41,7 @@ from fxa_activity_metrics_spark.schemas import (
     FLOW_METADATA_SCHEMA,
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 
 
 def read_flow_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -136,12 +137,13 @@ def merge_sessions_sink(lake: Lake, table: str = "flow_metadata_stream"):
     therefore costs O(touched partitions) per micro-batch, never a
     full-table rewrite."""
 
+    @cacheutil.scoped
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         # localCheckpoint severs the micro-batch lineage: joining a
         # streaming-derived frame against a batch read of the sink
         # table otherwise trips attribute resolution (and would
         # recompute the micro-batch per downstream action)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         if batch_df.isEmpty():
             return
         lake.merge_replace(
@@ -271,8 +273,9 @@ def run_session_stats_stream(
     events = read_flow_stream(spark, source_dir)
     stats = stateful_session_stats(events, timeout_ms=timeout_ms, watermark=watermark)
 
+    @cacheutil.scoped
     def append(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         if batch_df.isEmpty():
             return
         lake.merge_replace(
@@ -319,8 +322,9 @@ def run_daily_counts_stream(
     events = read_flow_stream(spark, source_dir)
     counts = daily_event_counts_stream(events)
 
+    @cacheutil.scoped
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         if batch_df.isEmpty():
             return
         days = [r["day"] for r in batch_df.select("day").distinct().collect()]

@@ -240,46 +240,51 @@ def run_neardup_graph_stream(
     docs = _docs_with_file_day(spark, source_dir, schema)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _require_file_days(batch_df)
-        batch_df = batch_df.localCheckpoint(eager=True)
-        sigs = minhash_signature(
-            batch_df, "doc_id", "text", num_hashes, shingle_n
-        ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")
-        lake.write_days(sig_table, sigs, sort_cols=["id"])
+        # foreachBatch runs on a stream-execution thread: a scope
+        # releases exactly this batch's frames on exit, never a
+        # concurrent query's (release_all here would kill those
+        # mid-flight — ADVICE r9 item 1).
+        with cacheutil.scope():
+            if batch_df.isEmpty():
+                return
+            _require_file_days(batch_df)
+            batch_df = batch_df.transform(cacheutil.local_checkpoint)
+            sigs = minhash_signature(
+                batch_df, "doc_id", "text", num_hashes, shingle_n
+            ).join(batch_df.select(F.col("doc_id").alias("id"), "day"), "id")
+            lake.write_days(sig_table, sigs, sort_cols=["id"])
 
-        days = sorted(
-            r["day"] for r in batch_df.select("day").distinct().collect()
-        )
-        batch_pairs = None
-        for day in days:
-            cands = incremental_candidates(
-                lake,
-                day,
-                num_hashes=num_hashes,
-                band_size=band_size,
-                table=sig_table,
-            ).transform(cacheutil.local_checkpoint)
-            lake.write_days(
-                edge_table,
-                cands.withColumn("day", F.lit(day)),
-                sort_cols=["id_a", "id_b"],
+            days = sorted(
+                r["day"] for r in batch_df.select("day").distinct().collect()
             )
-            batch_pairs = (
-                cands if batch_pairs is None else batch_pairs.unionByName(cands)
-            )
-        if batch_pairs is not None:
-            _maintain_graph_tables(
-                lake,
-                batch_pairs,
-                days[-1],
-                n_iters,
-                comp_table,
-                pr_table,
-                edge_table,
-            )
-        cacheutil.release_all()
+            batch_pairs = None
+            for day in days:
+                cands = incremental_candidates(
+                    lake,
+                    day,
+                    num_hashes=num_hashes,
+                    band_size=band_size,
+                    table=sig_table,
+                ).transform(cacheutil.local_checkpoint)
+                lake.write_days(
+                    edge_table,
+                    cands.withColumn("day", F.lit(day)),
+                    sort_cols=["id_a", "id_b"],
+                )
+                batch_pairs = (
+                    cands if batch_pairs is None
+                    else batch_pairs.unionByName(cands)
+                )
+            if batch_pairs is not None:
+                _maintain_graph_tables(
+                    lake,
+                    batch_pairs,
+                    days[-1],
+                    n_iters,
+                    comp_table,
+                    pr_table,
+                    edge_table,
+                )
 
     return (
         docs.writeStream.outputMode("append")

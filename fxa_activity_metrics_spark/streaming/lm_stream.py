@@ -36,6 +36,7 @@ from fxa_activity_metrics_spark.operators.lmfilter import (
     tokens,
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 from fxa_activity_metrics_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     _docs_with_file_day,
@@ -95,12 +96,13 @@ def run_lm_counts_stream(
     file) converges to the same tables. Returns the started query."""
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write_counts(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
         # sever lineage once: both count jobs re-read the micro-batch
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         uni, bg = day_counts(batch_df)
         lake.write_days(uni_table, uni, sort_cols=["w1"])
         lake.write_days(bg_table, bg, sort_cols=["w1", "w2"])
@@ -165,7 +167,7 @@ def rollup_counts(
             .agg(F.sum(cnt).alias(cnt))
             .withColumn("day", F.lit(str(base_day)).cast("date"))
             .select(*keys, cnt, "day")
-            .localCheckpoint(eager=True)
+            .transform(cacheutil.local_checkpoint)
         )
         lake.write_days(table, rolled, sort_cols=keys)
         for d in old:

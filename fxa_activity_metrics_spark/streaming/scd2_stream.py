@@ -77,15 +77,17 @@ def run_scd2_stream(
     )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.localCheckpoint(eager=True)
-        stored = lake.read(table, SCD2_SCHEMA)
-        out = scd2_apply_increment(stored, batch_df).transform(
-            cacheutil.local_checkpoint
-        )
-        lake.overwrite(table, out)
-        cacheutil.release_all()
+        # Scoped release: this runs on a stream-execution thread, so
+        # only THIS batch's frames may be released (ADVICE r9 item 1).
+        with cacheutil.scope():
+            if batch_df.isEmpty():
+                return
+            batch_df = batch_df.transform(cacheutil.local_checkpoint)
+            stored = lake.read(table, SCD2_SCHEMA)
+            out = scd2_apply_increment(stored, batch_df).transform(
+                cacheutil.local_checkpoint
+            )
+            lake.overwrite(table, out)
 
     return (
         events.writeStream.outputMode("append")

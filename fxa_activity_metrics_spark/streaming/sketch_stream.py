@@ -48,6 +48,7 @@ from fxa_activity_metrics_spark.operators.rollup import (
     _mg_fold,
 )
 from fxa_activity_metrics_spark.sources.lake import Lake
+from fxa_activity_metrics_spark import cacheutil
 from fxa_activity_metrics_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     _docs_with_file_day,
@@ -147,11 +148,12 @@ def run_token_sketch_stream(
     idempotent day sink. Returns the started query."""
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write_sketches(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         cms, mg = day_token_sketches(batch_df)
         lake.write_days(cms_table, cms, sort_cols=["j", "bucket"])
         lake.write_days(mg_table, mg, sort_cols=["item"])
@@ -241,11 +243,12 @@ def run_vocab_kmv_stream(
     converge."""
     docs = _docs_with_file_day(spark, source_dir, schema)
 
+    @cacheutil.scoped
     def write_kmv(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _require_file_days(batch_df)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cacheutil.local_checkpoint)
         lake.write_days(kmv_table, day_vocab_kmv(batch_df, k=k), sort_cols=[])
 
     return (
