@@ -2071,13 +2071,15 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage and only candidates reach the exact digest join. n_bloom ⊇
     n_exact per doc — the gap IS the measured false-positive cost.
 
-    NOT a local win: at sf0.1 the bitset-build collect + 3 md5
-    probes per corpus gram cost MORE than the exact join they avoid
-    (~2.4s vs ngram_decontam's ~0.6s steady). The prefilter pays off
-    when the corpus-side gram set dwarfs the probe set — the 100 TB
-    regime where the exact join's corpus-side shuffle is the
-    bottleneck and the scan-stage gate prunes it; below that
-    crossover, use ngram_decontam directly."""
+    Cost parity with the exact twin: all 3 bloom positions slice ONE
+    md5 per gram (the same digest the confirm join uses), so the
+    corpus scan hashes exactly as much as ngram_decontam; the bloom
+    overhead is two tiny bitset-build jobs plus integer conv/shift
+    expressions. Crossover (documented in bloom_decontaminate): below
+    ~1M distinct probe grams the exact join alone is marginally
+    cheaper; the bitset's reason to exist is the 100 TB regime where
+    probe digests would broadcast hundreds of MB but the bitset stays
+    16 KB regardless of probe size."""
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
@@ -4041,25 +4043,27 @@ def oracle_sql() -> dict[str, str]:
             ), u AS (
               SELECT doc_id, unnest(gs) AS gram FROM g
             ), pg AS (
-              SELECT DISTINCT gram FROM u WHERE doc_id % 20 = 0
+              SELECT DISTINCT md5(gram) AS pgh
+              FROM u WHERE doc_id % 20 = 0
             ), bloom AS (
               SELECT DISTINCT
-                     ('0x' || substring(md5(gram || '|' || j), 1, 15))::BIGINT
+                     ('0x' || substring(pgh, 1 + 10 * j, 10))::BIGINT
                        % 131072 AS pos
               FROM pg CROSS JOIN (VALUES (0), (1), (2)) s(j)
             ), cand AS (
-              SELECT doc_id, gram, md5(gram) AS gh
-              FROM u
-              WHERE doc_id % 20 != 0
-                AND ('0x' || substring(md5(gram || '|0'), 1, 15))::BIGINT
+              SELECT doc_id, gh FROM (
+                SELECT doc_id, md5(gram) AS gh
+                FROM u WHERE doc_id % 20 != 0
+              )
+              WHERE ('0x' || substring(gh, 1, 10))::BIGINT
                       % 131072 IN (SELECT pos FROM bloom)
-                AND ('0x' || substring(md5(gram || '|1'), 1, 15))::BIGINT
+                AND ('0x' || substring(gh, 11, 10))::BIGINT
                       % 131072 IN (SELECT pos FROM bloom)
-                AND ('0x' || substring(md5(gram || '|2'), 1, 15))::BIGINT
+                AND ('0x' || substring(gh, 21, 10))::BIGINT
                       % 131072 IN (SELECT pos FROM bloom)
             )
             SELECT doc_id, count(*) AS n_bloom,
-                   CAST(sum(CASE WHEN gh IN (SELECT md5(gram) FROM pg)
+                   CAST(sum(CASE WHEN gh IN (SELECT pgh FROM pg)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
             FROM cand GROUP BY doc_id
         """,

@@ -218,10 +218,13 @@ def source_mixture(
     # materialize the per-source stats ONCE (rows = #sources, tiny):
     # both the totals agg and the rate join reuse it, so the corpus
     # is scanned twice total (stats + tagging), not three times.
-    # eager=False keeps plan CONSTRUCTION lazy (no corpus scan just
-    # for building/explaining the frame) — the checkpoint
-    # materializes on first action and is reused after
-    stats = stats.localCheckpoint(eager=False)
+    # A tracked lazy persist (not a lazy localCheckpoint): same
+    # laziness — plan construction triggers no corpus scan — but the
+    # blocks are releasable by the caller; a lazy checkpoint's blocks
+    # sit outside the CacheManager until the JVM ContextCleaner
+    # notices (the one residue source the registry-wide
+    # test_cache_residue sweep caught).
+    stats = cacheutil.track(stats.persist())
     totals = stats.agg(
         F.sum("w").alias("w_total"), F.sum("c").alias("n_total")
     )

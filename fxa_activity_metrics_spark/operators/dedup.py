@@ -454,15 +454,17 @@ def ngram_decontaminate(
     )
 
 
-def _bloom_pos(g: F.Column, j: int, m_bits: int) -> F.Column:
-    """Bloom hash j of a gram: the first 15 hex chars of
-    md5(gram "|" j) as an integer, mod the filter width. 15 hex chars
-    = 60 bits — fits a BIGINT exactly in Spark and DuckDB, so both
-    engines compute the identical position (the 7-hex cohort trick,
-    widened)."""
+def _bloom_pos(gh: F.Column, j: int, m_bits: int) -> F.Column:
+    """Bloom hash j of a gram DIGEST: hex chars [1+10j, 10+10j] of the
+    gram's single md5 as an integer, mod the filter width. 10 hex
+    chars = 40 bits — fits a BIGINT exactly in Spark and DuckDB, so
+    both engines compute the identical position (the 7-hex cohort
+    trick, widened). All k positions slice ONE digest (k ≤ 3 with 32
+    hex chars): the probe previously paid k md5 evaluations per corpus
+    gram — 3× the exact twin's hashing cost, which made the prefilter
+    SLOWER than the exact join it gates at bench scale."""
     return (
-        F.conv(F.substring(F.md5(F.concat(g, F.lit(f"|{j}"))), 1, 15), 16, 10)
-        .cast("bigint")
+        F.conv(F.substring(gh, 1 + 10 * j, 10), 16, 10).cast("bigint")
         % m_bits
     )
 
@@ -495,30 +497,55 @@ def bloom_decontaminate(
     probe gram's bits are set, so bloom_hits ⊇ exact_hits per doc
     (pinned in tests).
 
-    The bitset build is itself distributed: probe grams explode to k
-    bit positions, distinct positions fold to ≤ m_bits/64 words via
-    bit_or — metadata-scale rows collected once, shipped as ONE
-    array<bigint> literal.
+    The bitset build is itself distributed: probe gram digests explode
+    to k bit positions and fold to ≤ m_bits/64 words via bit_or in ONE
+    exchange (OR is idempotent, so no distinct pass) — metadata-scale
+    rows collected once, shipped as ONE array<bigint> literal.
+
+    Cost parity with the exact twin: the whole pipeline — bitset
+    positions, membership gate, and confirm join — slices a SINGLE
+    md5 per gram, so the corpus scan hashes exactly as much as
+    ngram_decontaminate's; the bloom gate adds only integer
+    conv/shift expressions. Crossover: below ~1M distinct probe grams
+    the digest broadcast is itself small and the exact join alone is
+    marginally cheaper (the bitset build costs two extra tiny jobs);
+    the bitset's reason to exist is the 100 TB regime where digests
+    would broadcast hundreds of MB but the bitset stays m_bits/8
+    bytes regardless of probe size.
 
     Output: (doc_id, n_bloom, n_exact) per corpus doc with ≥1
     candidate gram — n_bloom counts distinct grams passing the bloom
     gate, n_exact the exactly-contaminated subset."""
+    if k_hashes > 3:
+        raise ValueError(
+            "bloom_decontaminate: k_hashes <= 3 (positions are 10-hex "
+            "slices of one 32-hex md5 digest)"
+        )
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(text_col, n)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    # consumed twice (bitset fold + exact-confirm broadcast): persist
+    # so the probe corpus is shingled/hashed once (caller releases —
+    # cacheutil module docstring)
+    pgrams = cacheutil.track(
+        probe.select(F.explode(shingles(probe_text_col, n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+        .persist()
     )
-    pgrams = probe.select(
-        F.explode(shingles(probe_text_col, n)).alias("g")
-    ).distinct()
 
-    # --- build: k positions per probe gram -> distinct -> 64-bit words
-    pos = pgrams.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("g"), j, m_bits) for j in range(k_hashes)])
-        ).alias("pos")
-    ).distinct()
+    # --- build: k positions per probe digest -> 64-bit words (bit_or
+    # is idempotent: duplicate positions need no distinct exchange)
     word_rows = (
-        pos.select(
+        pgrams.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("gh"), j, m_bits) for j in range(k_hashes)]
+                )
+            ).alias("pos")
+        )
+        .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             (F.col("pos") % 64).cast("int").alias("b"),
         )
@@ -540,18 +567,16 @@ def bloom_decontaminate(
     # --- probe: pure-expression membership gate inside the scan stage
     hit = F.lit(True)
     for j in range(k_hashes):
-        pj = _bloom_pos(F.col("g"), j, m_bits)
+        pj = _bloom_pos(F.col("gh"), j, m_bits)
         word = F.element_at(bitset, (pj / 64).cast("int") + 1)
         hit = hit & (
             F.call_function("shiftrightunsigned", word, (pj % 64).cast("int"))
             % 2
             == 1
         )
-    exact = pgrams.select(F.md5("g").alias("gh"), F.lit(1).alias("_pm"))
+    exact = pgrams.select("gh", F.lit(1).alias("_pm"))
     return (
-        grams.withColumn("bloom_hit", hit)
-        .filter(F.col("bloom_hit"))
-        .withColumn("gh", F.md5("g"))
+        grams.filter(hit)
         .join(F.broadcast(exact), "gh", "left")
         .groupBy("doc_id")
         .agg(

@@ -390,8 +390,14 @@ def embedding_neardup_pairs_blocked(
     n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs via DISTRIBUTED
-    block GEMM — same rows and oracle as ``embedding_neardup_pairs``,
-    with neither of the other exact paths' memory walls:
+    block GEMM — shares ``embedding_neardup_pairs``'s oracle, with
+    neither of the other exact paths' memory walls.  (Same ulp caveat
+    as the GEMM path: the threshold is applied to raw BLAS cosines,
+    whose float summation order differs from the fold path's
+    sequential zip_with/aggregate — a pair sitting exactly on the
+    threshold or a 6dp rounding boundary could in principle flip
+    between paths by ulps; equality is empirically hash-checked, not
+    structurally guaranteed.)  The memory walls:
 
     - the fold baseline broadcasts the corpus (executor-memory bound),
     - ``embedding_neardup_pairs_gemm`` pulls the corpus matrix to the
@@ -548,6 +554,16 @@ def pq_codebooks(
         .select("s", "r", "cv")
         .collect()
     )
+    # Loud guards: an empty corpus would IndexError at rows[0], and a
+    # corpus smaller than n_codes would leave None codewords that only
+    # fail later inside np.array() with an unrelated-looking error.
+    if not rows:
+        raise ValueError("pq_codebooks: corpus is empty")
+    if len(rows) < m * n_codes:
+        raise ValueError(
+            f"pq_codebooks: corpus has {len(rows) // m} rows, "
+            f"need >= n_codes ({n_codes}) per subspace"
+        )
     sub_len = len(rows[0]["cv"]) // m
     books: list[list[list[float]]] = [
         [None] * n_codes for _ in range(m)  # type: ignore[list-item]
@@ -686,7 +702,6 @@ def pq_topk(
     """
     if codebooks is None:
         codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
-    sub_len = len(codebooks[0][0])
     codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
         "id", F.posexplode("codes").alias("s", "code")
     )
@@ -754,7 +769,8 @@ def pq_train_codebooks(
     trainer — would optimize the wrong metric here).
 
     ALL subspaces train in ONE aggregate job per iteration: encode
-    (one scan of JVM argmin expressions), posexplode (s, code), dim
+    (the Arrow ``pq_encode`` kernel assigns codes), posexplode
+    (s, code), dim
     explode of the subspace slice, groupBy(s, code, dim) — driver
     traffic is m × n_codes × sub_len aggregate rows per iteration.
     Empty codes keep their previous codeword (deterministic, no
@@ -828,7 +844,6 @@ def ivfpq_topk(
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
     nearest = _cell_exprs(cents)
     codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, pq_seed)
-    sub_len = len(codebooks[0][0])
     codes = (
         pq_encode(corpus, codebooks, id_col, vec_col)
         .join(

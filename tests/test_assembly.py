@@ -184,10 +184,16 @@ def test_mixture_corpus_never_shuffles(spark):
     docs = _mkdocs(spark, [(i, "x", f"s{i % 3}") for i in range(30)])
     plan = _plan(assembly.source_mixture(docs))
     assert plan.count("BroadcastHashJoin") >= 1
-    # the per-source agg's exchange lives inside the stats
-    # localCheckpoint lineage; THIS plan must have no hash exchange
-    # at all — the corpus side only broadcast-joins
-    assert "Exchange hashpartitioning" not in plan
+    # the corpus side must only broadcast-join — never a sort-merge
+    # join (which would shuffle the corpus). The only allowed hash
+    # exchange is the tiny per-source stats agg (keyed on `source`),
+    # now visible inside the persisted stats InMemoryRelation (it was
+    # hidden behind the former localCheckpoint's lineage cut; the
+    # exchange node can print twice — both stats consumers reuse it).
+    assert "SortMergeJoin" not in plan
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert m.group(1) == "source", plan
 
 
 # ---------------------------------------------------------------------------

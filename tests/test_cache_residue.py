@@ -1,11 +1,13 @@
-"""StorageLevel-residue sweep (VERDICT r8 item 8 / ADVICE r8 item 1).
+"""StorageLevel-residue sweep (VERDICT r8 item 8 / r9 item 9).
 
 Operators that persist intermediates route them through
 ``cacheutil.track``; a caller finishes a query and calls
-``cacheutil.release_all()``.  This sweep runs every persist-using
-registry entry at sf0.001, materializes the result, releases, and
-asserts the JVM's persistent-RDD set is back to what it was before
-the query — i.e. zero accumulated cache residue per query.
+``cacheutil.release_all()``.  This sweep runs EVERY registry entry at
+sf0.001 (not a hand-list — round 9 additions like PQ/IVFPQ codebook
+frames, SCD2 state, and block-GEMM sides must stay enumerated as the
+registry grows), materializes the result, releases, and asserts the
+JVM's persistent-RDD set is back to what it was before the query —
+i.e. zero accumulated cache residue per query.
 """
 from __future__ import annotations
 
@@ -15,20 +17,7 @@ import __spark_entry__ as entry
 from fxa_activity_metrics_spark import cacheutil
 from tests.conftest import SF001
 
-# every registry entry whose operator path persists an intermediate
-PERSIST_USERS = [
-    "locf_fill",            # asof.py obs frame
-    "lm_score_backoff",     # lmfilter rollup
-    "lm_score_trigram",
-    "lm_buckets",
-    "lm_filter",
-    "tfidf_terms",          # search tf frame
-    "rolling_actives",      # summaries da frame
-    "boilerplate_removal",  # dedup segs frame
-    "novelty_score",        # textstats grams frame
-    "pagerank_neardup",     # graph per-round frames
-    "kcore_neardup",
-]
+PERSIST_USERS = sorted(entry.queries())
 
 
 def _persistent_ids(spark) -> set[int]:

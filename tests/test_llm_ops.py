@@ -663,6 +663,45 @@ def test_boilerplate_min_docs_threshold(spark):
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
 
 
+def test_boilerplate_empty_and_whitespace_docs(spark):
+    # Zero-length / whitespace-only docs produce NO segment rows; both
+    # the operator and the DuckDB oracle (anchored on `documents` with
+    # coalesce) must keep them as (doc_id, 0, 0, '') — the VERDICT r9
+    # item-6 parity pin, exercised against the registry oracle too
+    # (tools/oracle_type_parity + a direct replay here).
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "a b c d e f g h tail one"),
+        (2, "a b c d e f g h tail two"),
+        (3, ""),
+        (4, "   "),
+    ]
+    got = _boiler(spark, rows, width=8, min_docs=2)
+    for d in (3, 4):
+        assert got[d]["n_segments"] == 0
+        assert got[d]["n_removed"] == 0
+        assert got[d]["clean_text"] == ""
+
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM pdf")
+    oracle = sorted(
+        con.execute(E.oracle_sql()["boilerplate_removal"]).fetchall()
+    )
+    con.close()
+    spark_rows = sorted(
+        (r["doc_id"], r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in got.values()
+    )
+    assert oracle == spark_rows
+
+
 # ---- deterministic weighted reservoir sampling (A-ES) --------------
 
 
