@@ -2344,15 +2344,21 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability against counts trained on the corpus itself.
     Integer micro-nat quantization (the BM25 idf trick, applied
     per-position) makes the per-doc SUM order-independent and the
-    oracle bit-exact."""
-    return lmfilter.lm_score(_docs(spark, sf_dir))
+    oracle bit-exact. Scores against the shared persisted count model
+    (_lm_model — exact integers, bit-interchangeable with in-session
+    training)."""
+    uni, bg, _, _ = _lm_model(spark, sf_dir)
+    return lmfilter.lm_score(_docs(spark, sf_dir), counts=(uni, bg))
 
 
 def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LM gate composed: keep docs whose avg bigram log-prob
     clears -3.4 (≈ the sf0.01 median — the CCNet head/middle cut as a
-    fixed threshold)."""
-    return lmfilter.lm_filter(_docs(spark, sf_dir), min_avg_logprob=-3.4)
+    fixed threshold). Shared persisted count model (_lm_model)."""
+    uni, bg, _, _ = _lm_model(spark, sf_dir)
+    return lmfilter.lm_filter(
+        _docs(spark, sf_dir), min_avg_logprob=-3.4, counts=(uni, bg)
+    )
 
 
 def q_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2362,11 +2368,11 @@ def q_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nats. Scores the FULL corpus against a model trained on the
     2/3 slice (doc_id % 3 != 0) so held-out docs genuinely exercise
     the backoff branches under the oracle, not just the trigram hit
-    path."""
+    path. Probes the shared persisted 2/3-slice gram rollup
+    (_lm_model)."""
     docs = _docs(spark, sf_dir)
-    return lmfilter.lm_score_backoff(
-        docs, model_corpus=docs.filter(F.col("doc_id") % 3 != 0)
-    )
+    _, _, _, rollup_bk = _lm_model(spark, sf_dir)
+    return lmfilter.lm_score_backoff(docs, rollup=rollup_bk)
 
 
 def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,8 +2380,11 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal slices. Rank-based (distributed global_rank — range
     exchange + per-partition offsets, no single-task window), so no
     float quantile exists to disagree on: bucket = (rank-1)·3 div n
-    + 1, exact integers."""
-    return lmfilter.lm_buckets(_docs(spark, sf_dir), n_buckets=3)
+    + 1, exact integers. Shared persisted count model (_lm_model)."""
+    uni, bg, _, _ = _lm_model(spark, sf_dir)
+    return lmfilter.lm_buckets(
+        _docs(spark, sf_dir), n_buckets=3, counts=(uni, bg)
+    )
 
 
 def q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2383,8 +2392,10 @@ def q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GENERIC scorer (lm_score_ngram) — same explode → two count
     groupBys → gram-key equi-joins → integer micro-nat sum plan shape
     as the bigram path, one more join-key column. P(w3|w1w2) =
-    (c123+1)/(c12+V); docs under 3 tokens are absent."""
-    return lmfilter.lm_score_ngram(_docs(spark, sf_dir), 3)
+    (c123+1)/(c12+V); docs under 3 tokens are absent. Probes the
+    shared persisted full-corpus gram rollup (_lm_model)."""
+    _, _, rollup3, _ = _lm_model(spark, sf_dir)
+    return lmfilter.lm_score_ngram(_docs(spark, sf_dir), 3, rollup=rollup3)
 
 
 def q_blob_stats_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2469,6 +2480,41 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _INDEX_BUILT.add(key)
     return graph.pairs_from_lake(lake)
+
+
+def _lm_model(spark: SparkSession, sf_dir: str):
+    """Persisted LM count model, built ONCE per (session, sf_dir) —
+    the graph family's shared-pair-table story applied to the LM
+    family: lm_score / lm_filter / lm_buckets / lm_score_trigram /
+    lm_score_backoff each retrained their count model from the corpus
+    per query (~1.5-2.5s of each LM query at sf0.1). Counts are exact
+    integers, so the lake tables are bit-interchangeable with
+    in-session training (the lm_score_with_counts contract, pinned by
+    tests/test_streaming_lm.py for the streaming-maintained model).
+
+    Returns (unigrams, bigrams, rollup3_full, rollup3_backoff):
+    bigram counts over the full corpus, the order-3 gram rollup over
+    the full corpus (lm_score_trigram), and the order-3 rollup over
+    the 2/3 slice (lm_score_backoff's held-out regime)."""
+    lake = _scratch_lake(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "lm_model")
+    if key not in _INDEX_BUILT:
+        docs = _docs(spark, sf_dir)
+        uni, bg = lmfilter.lm_counts(docs)
+        lake.overwrite("lm_unigrams", uni)
+        lake.overwrite("lm_bigrams", bg)
+        lake.overwrite("lm_rollup3", lmfilter.lm_gram_rollup(docs, 3))
+        lake.overwrite(
+            "lm_rollup3_backoff",
+            lmfilter.lm_gram_rollup(docs.filter(F.col("doc_id") % 3 != 0), 3),
+        )
+        _INDEX_BUILT.add(key)
+    return (
+        lake.read("lm_unigrams"),
+        lake.read("lm_bigrams"),
+        lake.read("lm_rollup3"),
+        lake.read("lm_rollup3_backoff"),
+    )
 
 
 def q_query_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,7 @@ def lm_score(
     model_corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document add-one bigram log-probability against a count
     model trained on ``model_corpus`` (defaults to ``corpus`` itself —
@@ -115,10 +116,19 @@ def lm_score(
     vocabulary size, and avg_logprob = round(logprob_micro / 1e6 /
     n_bigrams, 6). Higher = more in-domain; filter on it with
     ``lm_filter``.
+
+    ``counts``: a prebuilt (unigrams, bigrams) model — e.g. lake
+    tables maintained by streaming/lm_stream.py or built once per
+    session — skips the model training scan entirely (exact counts,
+    so persisted and in-session models are interchangeable).
     """
-    unigrams, bigrams = lm_counts(
-        model_corpus if model_corpus is not None else corpus, id_col, text_col
-    )
+    if counts is not None:
+        unigrams, bigrams = counts
+    else:
+        unigrams, bigrams = lm_counts(
+            model_corpus if model_corpus is not None else corpus,
+            id_col, text_col,
+        )
     return lm_score_with_counts(corpus, unigrams, bigrams, id_col, text_col)
 
 
@@ -290,6 +300,7 @@ def lm_score_ngram(
     model_corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rollup: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document add-one order-n log-probability — the GENERIC
     scorer behind the bigram ``lm_score`` (n=2 is pinned bit-identical
@@ -314,8 +325,13 @@ def lm_score_ngram(
     ctx_cols = gram_cols[:-1]
     # one model scan for every gram order (VERDICT r7 #7): the rollup
     # is the persisted model side, probed by the n-gram join, the
-    # context join, and the vocab aggregate
-    rolled = cacheutil.track(lm_gram_rollup(model, n, text_col).persist())
+    # context join, and the vocab aggregate. A prebuilt ``rollup``
+    # (an lm_gram_rollup(n) lake table) skips model training.
+    rolled = (
+        rollup
+        if rollup is not None
+        else cacheutil.track(lm_gram_rollup(model, n, text_col).persist())
+    )
     unigrams = lm_gram_table(rolled, 1, n).withColumnRenamed("cn", "c1")
     vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
     grams_n = lm_gram_table(rolled, n, n)
@@ -354,6 +370,7 @@ def lm_score_backoff(
     alpha: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rollup: DataFrame | None = None,
 ) -> DataFrame:
     """Stupid Backoff trigram scoring (Brants et al. 2007, "Large
     Language Models in Machine Translation") — the backoff scheme
@@ -397,7 +414,11 @@ def lm_score_backoff(
     # both bigram probes, both unigram probes, and the stats frame
     # (VERDICT r7 #7 — previously three independent explode+groupBy
     # jobs, six model scans in the recorded plan)
-    rolled = cacheutil.track(lm_gram_rollup(model, 3, text_col).persist())
+    rolled = (
+        rollup
+        if rollup is not None
+        else cacheutil.track(lm_gram_rollup(model, 3, text_col).persist())
+    )
     unigrams = lm_gram_table(rolled, 1, 3).select(
         F.col("w1").alias("w"), F.col("cn").alias("c")
     )
@@ -478,6 +499,7 @@ def lm_buckets(
     n_buckets: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """CCNet's actual selection step (Wenzek et al. 2020 §4.2): rank
     documents by LM score and cut the ranking into ``n_buckets``
@@ -498,7 +520,7 @@ def lm_buckets(
     """
     from fxa_activity_metrics_spark.operators.assembly import global_rank
 
-    scored = lm_score(corpus, model_corpus, id_col, text_col)
+    scored = lm_score(corpus, model_corpus, id_col, text_col, counts=counts)
     ranked = global_rank(
         scored,
         [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
@@ -521,6 +543,7 @@ def lm_filter(
     model_corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Keep documents whose average bigram log-probability clears the
     gate (the CCNet head/middle cut as a fixed threshold — percentile
@@ -537,7 +560,7 @@ def lm_filter(
     avg_logprob)."""
     threshold_micro = int(round(min_avg_logprob * 1e6))
     return (
-        lm_score(corpus, model_corpus, id_col, text_col)
+        lm_score(corpus, model_corpus, id_col, text_col, counts=counts)
         .filter(
             F.col("logprob_micro")
             >= F.lit(threshold_micro) * F.col("n_bigrams")
