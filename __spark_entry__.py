@@ -2482,6 +2482,45 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 most-cosine-similar corpus vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns from. Exact
+    scorer at test scale (the label filter composes with any bucketed
+    ANN front-end at 100 TB); ranks on the 6dp-rounded cosine like
+    every exact top-k entry, so the oracle is exact-hash."""
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per duplicate cluster: connected
+    components over the Jaccard-verified near-dup pairs (shared
+    persisted pair table), keeper = argmax(n_chars, tie -> smallest
+    id) — the curation step after clustering, where min-id keeping
+    would bias the corpus toward the first-ingested shard."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3,
+        candidates=_neardup_pairs(spark, sf_dir),
+    )
+    return dedup.cluster_keepers(pairs, docs)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates between per-event-type distinct-
+    user sketches: union, Jaccard, and intersection estimated from
+    k=64 sketches alone (Beyer et al. 2007 §5) — the mergeable-sketch
+    family extended from union-only (daily_uniques_kmv) to set
+    algebra. md5 bottom-k is fully deterministic, so sketches AND
+    estimates replay bit-for-bit in the oracle."""
+    from fxa_activity_metrics_spark.operators.rollup import kmv_set_overlap
+
+    return kmv_set_overlap(_t(spark, sf_dir, "events"), k=64)
+
+
 def _lm_model(spark: SparkSession, sf_dir: str):
     """Persisted LM count model, built ONCE per (session, sf_dir) —
     the graph family's shared-pair-table story applied to the LM
@@ -2584,6 +2623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_spikes": q_daily_spikes,
         "pricing_rollup": q_pricing_rollup,
         "event_type_pivot": q_event_type_pivot,
+        # ---- new this round (first driver check) ----
+        "hard_negatives": q_hard_negatives,
+        "cluster_keepers": q_cluster_keepers,
+        "kmv_overlap": q_kmv_overlap,
         # ---- newest driver row: r7 ----
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "order_revenue": q_order_revenue,
@@ -4136,6 +4179,107 @@ def oracle_sql() -> dict[str, str]:
             WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
         """,
     }
+    # Hard negatives: the exact-top-k replay with the label-exclusion
+    # predicate (neg_label carried through for the output contract).
+    out["hard_negatives"] = """
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe, label AS ql
+          FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS nid, embedding AS ce, label AS cl
+          FROM embeddings
+        ), scored AS (
+          SELECT qid, nid, cl,
+                 round(
+                   list_sum(list_transform(range(1, 1 + len(qe)),
+                     i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, 1 + len(qe)),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, 1 + len(ce)),
+                        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+                   6) AS cos
+          FROM q, c WHERE qid <> nid AND ql <> cl
+        ), ranked AS (
+          SELECT qid AS query_id, nid AS neighbor_id, cl AS neg_label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid ASC) AS rank,
+                 cos AS cosine
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, neg_label,
+               CAST(rank AS INT) AS rank, cosine
+        FROM ranked WHERE rank <= 5
+    """
+    # Cluster keepers: the verified dedup_clusters closure, re-keyed
+    # to the best member (n_chars desc, id asc) per component.
+    out["cluster_keepers"] = (
+        "SELECT cluster_id, keeper_id, n_members, keeper_weight FROM ("
+        " SELECT clu.cluster_id AS cluster_id,"
+        "        d.doc_id AS keeper_id,"
+        "        count(*) OVER (PARTITION BY clu.cluster_id) AS n_members,"
+        "        CAST(d.n_chars AS BIGINT) AS keeper_weight,"
+        "        row_number() OVER (PARTITION BY clu.cluster_id"
+        "          ORDER BY d.n_chars DESC, d.doc_id ASC) AS _r"
+        " FROM (" + out["dedup_clusters"] + ") clu"
+        " JOIN documents d ON clu.doc_id = d.doc_id"
+        ") WHERE _r = 1"
+    )
+    # KMV set algebra: bottom-k per event type, union slice, shared-
+    # member Jaccard — the same 15-hex frac idiom as daily_uniques_kmv.
+    out["kmv_overlap"] = """
+        WITH hashed AS (
+          SELECT DISTINCT event_type AS tk,
+                 md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ), ranked AS (
+          SELECT tk, h,
+                 row_number() OVER (PARTITION BY tk ORDER BY h) AS r
+          FROM hashed
+        ), sk AS (
+          SELECT tk, list_sort(list(h)) AS hs, max(r) AS n_kept
+          FROM ranked WHERE r <= 64 GROUP BY tk
+        ), p AS (
+          SELECT a.tk AS type_a, b.tk AS type_b,
+                 a.hs AS hs_a, b.hs AS hs_b,
+                 a.n_kept AS n_a, b.n_kept AS n_b,
+                 list_sort(list_distinct(a.hs || b.hs))[1:64] AS u
+          FROM sk a JOIN sk b ON a.tk < b.tk
+        ), m AS (
+          SELECT type_a, type_b, n_a, n_b, hs_a, hs_b, u,
+                 len(u) AS n_union_kept,
+                 len(list_filter(u, x -> list_contains(hs_a, x)
+                                     AND list_contains(hs_b, x))) AS n_common
+          FROM p
+        )
+        SELECT type_a, type_b,
+               CAST(n_union_kept AS INT) AS n_union_kept,
+               CAST(n_common AS INT) AS n_common,
+               CAST(CAST(n_common AS BIGINT) * 1000000 // n_union_kept
+                    AS BIGINT) AS jaccard_micro,
+               CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(hs_a[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_a,
+               CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(hs_b[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_b,
+               CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(u[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_union,
+               round(CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+                     * CASE WHEN n_union_kept < 64
+                            THEN CAST(n_union_kept AS DOUBLE)
+                            ELSE round(63.0 /
+                              (CAST(('0x' || substring(u[64], 1, 15))::BIGINT
+                                    AS DOUBLE) / 1152921504606846976.0), 4)
+                       END, 4) AS est_intersection
+        FROM m
+    """
     # Stratified sampling: quality bands from the verified quality
     # oracle + the engine's 7-hex md5 cohort rule.
     out["stratified_sample"] = f"""

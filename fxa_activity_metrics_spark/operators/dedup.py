@@ -22,7 +22,7 @@ so every operator here has an exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fxa_activity_metrics_spark import cacheutil
@@ -1073,4 +1073,58 @@ def source_overlap(
         )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def cluster_keepers(
+    pairs: DataFrame,
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Quality-aware keeper selection per duplicate cluster — the
+    step after duplicate_clusters in a real curation pipeline: a
+    cluster's canonical document should be its BEST member (longest /
+    highest-quality), not its smallest id. min-id keeping silently
+    biases a training corpus toward whichever shard was ingested
+    first.
+
+    keeper = argmax(weight, tie → smallest id) within each connected
+    component of the verified pair graph. Composes the star-
+    contraction components (duplicate_clusters) with one node-scale
+    join against the (id, weight) projection and one per-cluster
+    window — the window partitions on cluster_id, whose cardinality
+    and skew are the CLUSTER structure, already bounded by the
+    contraction (a giant cluster is one partition of member rows,
+    node-scale, not pair-scale).
+
+    Output: (cluster_id, keeper_id, n_members, keeper_weight), one
+    row per cluster (singletons are not clusters — same convention
+    as duplicate_clusters).
+    """
+    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    weights = docs.select(
+        F.col(id_col).alias("_wid"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    members = clusters.join(
+        weights, clusters["doc_id"] == weights["_wid"]
+    ).select("doc_id", "cluster_id", "_w")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_w").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("_r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("_w").alias("keeper_weight"),
+        )
     )

@@ -503,3 +503,95 @@ def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
         )
         .select(F.lit("ALL").cast("string").alias("day_key"), "hs", "n_kept")
     )
+
+
+def kmv_set_overlap(
+    events: DataFrame,
+    k: int = 64,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    n_salts: int = 32,
+) -> DataFrame:
+    """KMV SET-OPERATION estimates between per-type distinct-id
+    sketches — the mergeable-sketch story extended from union-only
+    (kmv_merge) to intersection/Jaccard (Beyer et al. 2007 §5): for
+    each unordered pair of event types, estimate how many distinct
+    users the two types share, from k-sized sketches alone.
+
+    The estimator: U = bottom-k of (hs_a ∪ hs_b) is itself a valid
+    KMV sketch of A ∪ B, so (k-1)/u_k over U estimates the union; the
+    fraction of U's members present in BOTH input sketches is an
+    unbiased Jaccard estimate; intersection ≈ J · |A ∪ B|. Everything
+    is md5-deterministic — sketches, union slice, and both estimates
+    replay bit-for-bit in the DuckDB oracle (the HLL-vs-KMV trade
+    documented at kmv_daily_sketches).
+
+    Scale: ONE distinct-hash shuffle over (type, id) builds all
+    sketches (the salted bottom-k of kmv_sketches_by_key); the
+    pairwise stage touches only |types|²·k array cells — sketch-scale,
+    not data-scale. Sub-k unions estimate exactly (the sketch IS the
+    value set), same convention as kmv_estimate.
+
+    Output: (type_a, type_b, n_union_kept, n_common, jaccard_micro,
+    est_a, est_b, est_union, est_intersection) with type_a < type_b;
+    jaccard_micro = n_common·1e6 div n_union_kept (exact BIGINT).
+    """
+    keyed = events.select(
+        F.col(type_col).alias("tk"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    sk = kmv_sketches_by_key(keyed, k=k, key_col="tk", n_salts=n_salts)
+    a = sk.select(
+        F.col("tk").alias("type_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_kept").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("tk").alias("type_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_kept").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u_slice = F.slice(
+        F.array_sort(F.array_union("hs_a", "hs_b")), 1, k
+    )
+    est = lambda n_col, hs_col: (  # noqa: E731 — local estimator expr
+        F.when(F.col(n_col) < k, F.col(n_col).cast("double")).otherwise(
+            F.round(F.lit(float(k - 1)) / _kmv_frac(F.element_at(hs_col, k)), 4)
+        )
+    )
+    out = (
+        pairs.withColumn("u", u_slice)
+        .withColumn("n_union_kept", F.size("u"))
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.array_intersect("u", "hs_a"), "hs_b")),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr("CAST(n_common AS BIGINT) * 1000000 div n_union_kept"),
+        )
+        .withColumn("est_a", est("n_a", "hs_a"))
+        .withColumn("est_b", est("n_b", "hs_b"))
+        .withColumn(
+            "est_union",
+            F.when(
+                F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+            ).otherwise(
+                F.round(F.lit(float(k - 1)) / _kmv_frac(F.element_at("u", k)), 4)
+            ),
+        )
+        .withColumn(
+            "est_intersection",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_union_kept").cast("double")
+                * F.col("est_union"),
+                4,
+            ),
+        )
+    )
+    return out.select(
+        "type_a", "type_b", "n_union_kept", "n_common", "jaccard_micro",
+        "est_a", "est_b", "est_union", "est_intersection",
+    )

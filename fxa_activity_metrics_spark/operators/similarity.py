@@ -1878,3 +1878,65 @@ def jl_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCSE data-prep step): per query vector, the k most-cosine-
+    similar corpus vectors whose LABEL DIFFERS from the query's —
+    the near-misses a contrastive loss learns the most from (random
+    negatives are trivially separable; in-class neighbors are
+    positives, not negatives).
+
+    Same exact-cosine machinery and determinism contract as
+    brute_force_topk (rank on the 6dp-rounded cosine desc, ties by
+    neighbor_id asc), with the label-exclusion predicate pushed into
+    the broadcast join condition — rows never materialize for
+    same-label pairs. At scale, swap the brute-force scorer for any
+    bucketed front-end (IVF/LSH/PQ) and keep the label filter in the
+    candidate join; the mining semantics are the filter + top-k, not
+    the scorer.
+
+    Output: (query_id, neighbor_id, neg_label, rank, cosine).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("q_label") != F.col("neg_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "neg_label", "rank",
+            F.col("cos").alias("cosine"),
+        )
+    )

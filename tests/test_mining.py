@@ -1,0 +1,131 @@
+"""Round-10 training-data operators: hard-negative mining, quality
+keeper selection, KMV set algebra. Registry oracle parity is covered
+by test_oracle_parity; these pin the operator SEMANTICS on small
+hand-built fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fxa_activity_metrics_spark.operators import dedup, similarity
+from fxa_activity_metrics_spark.operators.rollup import kmv_set_overlap
+
+
+def _emb_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # closest, but same label — excluded
+        (2, [0.9, 0.2], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    emb = _emb_rows(spark, rows)
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # vec 1 (label 0) must not appear; order by cosine among labels != 0
+    assert [n for n, _ in got] == [2, 3, 4]
+    assert all(r.neg_label != 0 for r in out)
+
+
+def test_hard_negatives_matches_bruteforce_when_labels_disjoint(spark):
+    # all-distinct labels => the label filter only removes self-pairs,
+    # i.e. hard_negatives == brute_force_topk on the shared columns
+    rows = [
+        (i, [float((i * 7) % 5) + 0.1, float((i * 3) % 4) + 0.2], i)
+        for i in range(12)
+    ]
+    emb = _emb_rows(spark, rows)
+    q = emb.filter(F.col("vec_id") < 3)
+    hn = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.hard_negatives(emb, q, k=4).collect()
+    }
+    bf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=4).collect()
+    }
+    assert hn == bf
+
+
+def _docs_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_cluster_keepers_picks_heaviest_member(spark):
+    # two clusters: {1,2,3} and {10,11}; weights favor 2 and 11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = _docs_rows(
+        spark,
+        [(1, "a", 5), (2, "b", 9), (3, "c", 7), (10, "d", 4), (11, "e", 8)],
+    )
+    out = {r.cluster_id: r for r in dedup.cluster_keepers(pairs, docs).collect()}
+    assert out[1].keeper_id == 2 and out[1].n_members == 3
+    assert out[1].keeper_weight == 9
+    assert out[10].keeper_id == 11 and out[10].n_members == 2
+
+
+def test_cluster_keepers_weight_tie_breaks_to_smaller_id(spark):
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    docs = _docs_rows(spark, [(5, "x", 3), (6, "y", 3)])
+    out = dedup.cluster_keepers(pairs, docs).collect()
+    assert len(out) == 1 and out[0].keeper_id == 5
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    # two types with known overlap, all sets far below k=64: every
+    # estimate must be EXACT (the sketch is the value set)
+    rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(5, 20)]
+    ev = spark.createDataFrame(
+        [(uid, t, "2024-01-01 00:00:00") for uid, t in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = kmv_set_overlap(ev, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.est_a == 10.0 and r.est_b == 15.0
+    assert r.n_union_kept == 20 and r.est_union == 20.0
+    assert r.n_common == 5
+    assert r.jaccard_micro == 5 * 1_000_000 // 20
+    assert r.est_intersection == 5.0
+
+
+def test_kmv_overlap_estimator_matches_python_twin_above_k(spark):
+    # 300 vs 300 ids with 100 shared, k=16: replay the bottom-k
+    # estimator in pure python and require bit-equality
+    k = 16
+    a_ids = list(range(300))
+    b_ids = list(range(200, 500))
+    ev = spark.createDataFrame(
+        [(u, "a", "2024-01-01 00:00:00") for u in a_ids]
+        + [(u, "b", "2024-01-01 00:00:00") for u in b_ids],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = kmv_set_overlap(ev, k=k).collect()[0]
+
+    def h(u):
+        return hashlib.md5(str(u).encode()).hexdigest()
+
+    hs_a = sorted(h(u) for u in set(a_ids))[:k]
+    hs_b = sorted(h(u) for u in set(b_ids))[:k]
+    u = sorted(set(hs_a) | set(hs_b))[:k]
+    n_common = sum(1 for x in u if x in set(hs_a) and x in set(hs_b))
+    frac = int(u[k - 1][:15], 16) / float(1 << 60)
+    est_union = round((k - 1) / frac, 4)
+    assert out.n_union_kept == k
+    assert out.n_common == n_common
+    assert out.jaccard_micro == n_common * 1_000_000 // k
+    assert out.est_union == est_union
+    assert out.est_intersection == round(n_common / k * est_union, 4)
