@@ -148,6 +148,10 @@ BENCH_QUERIES = [
     "locf_fill",
     "pricing_rollup",
     "event_type_pivot",
+    # round 10: contrastive mining, quality keepers, sketch set algebra
+    "hard_negatives",
+    "cluster_keepers",
+    "kmv_overlap",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -54,6 +54,10 @@ REPLICA_CLIQUE_OUTPUT = {"phash_pairs", "triangle_counts"}
 EXCLUDED = QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE | REPLICA_CLIQUE_OUTPUT | {
     "ann_bruteforce",
     "ann_bruteforce_gemm",
+    # exact-scan mining demo — the label filter composes with any
+    # bucketed ANN front-end at scale; the scorer is the ann_bruteforce
+    # baseline already excluded above
+    "hard_negatives",
     "multi_device_users_window",
     "multi_device_users_grouped",
     "multi_device_users_salted",

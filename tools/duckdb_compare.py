@@ -50,6 +50,24 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     skip_path = "--skip-pathological" in sys.argv
     per_query_timeout = float(os.environ.get("DUCKDB_COMPARE_TIMEOUT", "0")) or None
+    # At sf >= 1 the labeled O(N²) baselines and the pair-output-bound
+    # verify are skipped on the SPARK side (bench.py QUADRATIC_BASELINES
+    # / PAIR_VERIFY_DATA_BORNE) — replaying their oracles here would
+    # burn hours timing entries that have no Spark counterpart in the
+    # matched set. Skip them symmetrically (recorded), unless
+    # --include-quadratic asks for the full replay.
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf_tag)
+    except ValueError:
+        sf_val = 0.0
+    from bench import PAIR_VERIFY_DATA_BORNE, QUADRATIC_BASELINES
+
+    skip_quadratic = (
+        sorted(QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE)
+        if sf_val >= 1 and "--include-quadratic" not in sys.argv
+        else []
+    )
     oracles = E.oracle_sql()
     timings: dict[str, float] = {}
     timeouts: list[str] = []
@@ -60,6 +78,8 @@ def main() -> None:
         if skip_path and name in PATHOLOGICAL:
             # at sf >= 1 the all-pairs phash replay alone is O(hours);
             # the matched set is the comparative surface anyway
+            continue
+        if name in skip_quadratic:
             continue
         t0 = time.perf_counter()
         if per_query_timeout:
@@ -104,6 +124,7 @@ def main() -> None:
                 "(sequential recursive CTEs / duplicate-heavy all-pairs) "
                 "that no idiomatic DuckDB rewrite improves — see docstring",
                 "timeouts": timeouts,
+                "skipped_quadratic": skip_quadratic,
                 "per_query_timeout_sec": per_query_timeout,
                 "sf": sf_dir,
                 "n_queries": len(timings),

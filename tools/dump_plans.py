@@ -17,7 +17,7 @@ HEADLINE = {
     "pricing_summary": "TPC-H-shape aggregate: pushdown + partial agg + codegen",
     "nation_revenue": "star join: every dim broadcast, fact never shuffles twice",
     "multi_device_users_join": "J1 7-day range self-join as equi-join + theta residual",
-    "minhash_lsh": "band-bucketed candidate generation: one shuffle of key rows",
+    "minhash_lsh": "served from the persisted pair table (bucketed scan); fresh build = band-bucketed generation, one shuffle of key rows",
     "embedding_neardup_lsh": "multi-table bucket join: shuffle on (table,bucket) only",
     "bm25_search": "1-row broadcast stats + per-row tf + TakeOrderedAndProject",
     "chunk_documents": "per-row generate+explode: zero shuffle",
@@ -30,7 +30,7 @@ HEADLINE = {
     "ivf_query_index": "persisted cells: probed cells partition-pruned",
     "blob_stats_compressed": "compress + decompress-in-kernel: two Arrow passes, zero shuffle",
     "lm_score": "bigram-count joins + integer micro-nat sum: JVM-only, order-free",
-    "lm_score_backoff": "ONE persisted model rollup probed by five gram-key joins: all-JVM Stupid Backoff",
+    "lm_score_backoff": "persisted lake gram rollup probed by five gram-key joins: all-JVM Stupid Backoff",
     "lm_buckets": "distributed rank: range exchange + _pid-partitioned window, no bare global window",
     "phash_png": "PNG inflate+unfilter in one Arrow pass: zero shuffle",
     "dedup_clusters": "star contraction phase 1: fold groupBy + supernode edge rewrite",
