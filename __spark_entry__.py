@@ -2482,6 +2482,38 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def _pq_lake(spark: SparkSession, sf_dir: str):
+    """Persisted PQ index (m=16/n_codes=16 — the ann_pq parameters),
+    built ONCE per (session, sf_dir): codebook derivation + the
+    corpus encode scan are paid at build time, queries scan the
+    stored 16-byte code stream. Ranking is bitwise the in-session
+    pq_topk (codes are a deterministic function of codebooks+corpus),
+    so pq_query_index shares ann_pq's oracle."""
+    lake = _scratch_lake(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    if key not in _INDEX_BUILT:
+        similarity.pq_build_index(
+            lake, _emb(spark, sf_dir), m=16, n_codes=16
+        )
+        _INDEX_BUILT.add(key)
+    return lake
+
+
+def q_pq_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the PERSISTED PQ index (stored code stream +
+    manifest codebooks — never re-derived, never re-encoded at query
+    time) — identical ranking to ann_pq, same oracle. The PQ
+    counterpart of ivf_query_index/query_text_index: build-once/
+    query-many at storage level."""
+    emb = _emb(spark, sf_dir)
+    return similarity.pq_query_index(
+        _pq_lake(spark, sf_dir),
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        shortlist_factor=8,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query
     vector, the 5 most-cosine-similar corpus vectors with a DIFFERENT
@@ -2622,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "cluster_keepers": q_cluster_keepers,
         "kmv_overlap": q_kmv_overlap,
+        "pq_query_index": q_pq_query_index,
         # ---- newest driver row: r7 ----
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "order_revenue": q_order_revenue,
@@ -2964,6 +2997,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_pq": _ANN_PQ_SQL,
+        # persisted-index twin: bitwise the in-session PQ ranking
+        "pq_query_index": _ANN_PQ_SQL,
         "ann_ivfpq": _ANN_IVFPQ_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "semantic_dedup_trained": _SEMANTIC_DEDUP_TRAINED_SQL,

@@ -1940,3 +1940,137 @@ def hard_negatives(
             F.col("cos").alias("cosine"),
         )
     )
+
+
+def pq_build_index(
+    lake,
+    corpus: DataFrame,
+    name: str = "pq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: str = "fxa-pq",
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist the PQ index to the lake — the IVF manifest-swap
+    pattern (``ivf_build_index``) applied to product quantization:
+
+    - ``{name}_codes_v{N}``: the exploded code stream (id, s, code) —
+      the m-bytes-per-vector scan surface, staged under a fresh
+      version;
+    - ``{name}_vectors_v{N}``: (id, vec, nrm) — the exact-rerank side
+      with norms precomputed at build time;
+    - ``{name}_codebooks``: (s, j, codeword, codes_table,
+      vectors_table) — m × n_codes rows written LAST via
+      Lake.overwrite's temp-and-swap, the index MANIFEST and atomic
+      commit point (a failure before it leaves the previous index
+      fully consistent; no path mixes one build's codebooks with
+      another's codes).
+
+    Build cost: the codebook job + ONE encode scan of the corpus,
+    paid once offline — queries then never re-derive codebooks or
+    re-encode (the dominant cost of the in-session ``pq_topk`` at
+    serving time). Pass ``codebooks`` (e.g. from
+    ``pq_train_codebooks``) to persist a trained index.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
+    spark = corpus.sparkSession
+    prior = lake.tables(f"{name}_codes_v")
+    version = 1 + max(
+        (int(t.rsplit("_v", 1)[1]) for t in prior if t.rsplit("_v", 1)[1].isdigit()),
+        default=0,
+    )
+    codes_tbl = f"{name}_codes_v{version}"
+    vecs_tbl = f"{name}_vectors_v{version}"
+    lake.overwrite(
+        codes_tbl,
+        pq_encode(corpus, codebooks, id_col, vec_col).select(
+            "id", F.posexplode("codes").alias("s", "code")
+        ),
+    )
+    lake.overwrite(
+        vecs_tbl,
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        ).withColumn("nrm", norm(F.col("vec"))),
+    )
+    manifest = spark.createDataFrame(
+        [
+            (s, j, list(cw), codes_tbl, vecs_tbl)
+            for s, book in enumerate(codebooks)
+            for j, cw in enumerate(book)
+        ],
+        "s int, j int, codeword array<double>, codes_table string, "
+        "vectors_table string",
+    )
+    lake.overwrite(f"{name}_codebooks", manifest)
+
+
+def pq_query_index(
+    lake,
+    queries: DataFrame,
+    name: str = "pq",
+    k: int = 5,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted PQ index: codebooks come back from the
+    manifest (m × n_codes rows, driver-side), the ADC LUT is built
+    from them exactly as ``pq_topk`` builds it, and the stored code
+    stream is scanned — never re-encoded. Identical ranking to
+    ``pq_topk`` with the same codebooks (codes are a deterministic
+    function of codebooks + corpus, so the persisted stream IS the
+    in-session stream; pinned in tests/test_ivf_index.py's PQ twin).
+    """
+    mrows = lake.read(f"{name}_codebooks").collect()
+    m = 1 + max(r["s"] for r in mrows)
+    n_codes = 1 + max(r["j"] for r in mrows)
+    codebooks: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in mrows:
+        codebooks[r["s"]][r["j"]] = list(r["codeword"])
+    codes_tbl = mrows[0]["codes_table"]
+    vecs_tbl = mrows[0]["vectors_table"]
+    codes = lake.read(codes_tbl)
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    adist = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("part_micro").alias("adist_micro"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("id").asc()
+    )
+    short = (
+        adist.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= shortlist_factor * k)
+        .select("query_id", "id")
+    )
+    base = lake.read(vecs_tbl)
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return (
+        short.join(base, "id")
+        .join(F.broadcast(qbase), "query_id")
+        .withColumn(
+            "cos", dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

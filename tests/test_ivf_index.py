@@ -254,3 +254,64 @@ def test_build_with_train_iters_query_parity(spark, tmp_path):
         emb, queries, k=3, n_cells=8, n_probe=2, centroids=cents
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (pq_build_index / pq_query_index)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_env(spark, tmp_path_factory):
+    from fxa_activity_metrics_spark.operators.similarity import pq_build_index
+
+    lake = Lake(spark, str(tmp_path_factory.mktemp("pq_lake")))
+    emb = read_table(spark, SF, "embeddings")
+    pq_build_index(lake, emb, m=16, n_codes=16)
+    return lake, emb
+
+
+def test_pq_index_layout(pq_env):
+    lake, _ = pq_env
+    manifest = lake.read("pq_codebooks").collect()
+    assert len(manifest) == 16 * 16
+    codes_tbl = manifest[0]["codes_table"]
+    n_vec = lake.read(manifest[0]["vectors_table"]).count()
+    # one (id, s, code) row per (vector, subspace)
+    assert lake.read(codes_tbl).count() == n_vec * 16
+
+
+def test_pq_persisted_query_equals_fresh(pq_env, spark):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        pq_query_index,
+        pq_topk,
+    )
+
+    lake, emb = pq_env
+    q = emb.filter(F.col("vec_id") < 20)
+    via_index = pq_query_index(lake, q, k=5, shortlist_factor=8).collect()
+    fresh = pq_topk(
+        emb, q, k=5, m=16, n_codes=16, shortlist_factor=8
+    ).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, fresh))
+
+
+def test_pq_rebuild_swaps_manifest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        pq_build_index,
+        pq_query_index,
+    )
+
+    lake = Lake(spark, str(tmp_path / "pq_lake2"))
+    emb = read_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    pq_build_index(lake, emb, m=4, n_codes=16)
+    first = lake.read("pq_codebooks").collect()[0]["codes_table"]
+    pq_build_index(lake, emb, m=4, n_codes=16)
+    second = lake.read("pq_codebooks").collect()[0]["codes_table"]
+    assert first != second  # fresh version staged, manifest re-pointed
+    out = pq_query_index(lake, emb.filter(F.col("vec_id") < 5), k=3)
+    assert out.count() > 0
