@@ -2482,6 +2482,22 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def q_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning-user estimates from per-day KMV
+    sketches alone (consecutive-day set overlap: est_intersection =
+    estimated returning ids) — the maintained-sketch read pattern:
+    at 100 TB the raw stream is long gone, but the k-row day sketches
+    answer retention overlap exactly as replayed here. md5 bottom-k
+    is deterministic, so the whole chain is exact-hash oracled."""
+    from fxa_activity_metrics_spark.operators.rollup import (
+        kmv_daily_sketches,
+        kmv_day_overlap,
+    )
+
+    sk = kmv_daily_sketches(_t(spark, sf_dir, "events"), k=64)
+    return kmv_day_overlap(sk, k=64)
+
+
 def _pq_lake(spark: SparkSession, sf_dir: str):
     """Persisted PQ index (m=16/n_codes=16 — the ann_pq parameters),
     built ONCE per (session, sf_dir): codebook derivation + the
@@ -2655,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keepers": q_cluster_keepers,
         "kmv_overlap": q_kmv_overlap,
         "pq_query_index": q_pq_query_index,
+        "kmv_day_overlap": q_kmv_day_overlap,
         # ---- newest driver row: r7 ----
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "order_revenue": q_order_revenue,
@@ -4282,6 +4299,62 @@ def oracle_sql() -> dict[str, str]:
           FROM p
         )
         SELECT type_a, type_b,
+               CAST(n_union_kept AS INT) AS n_union_kept,
+               CAST(n_common AS INT) AS n_common,
+               CAST(CAST(n_common AS BIGINT) * 1000000 // n_union_kept
+                    AS BIGINT) AS jaccard_micro,
+               CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(hs_a[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_a,
+               CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(hs_b[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_b,
+               CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(('0x' || substring(u[64], 1, 15))::BIGINT
+                            AS DOUBLE) / 1152921504606846976.0), 4)
+               END AS est_union,
+               round(CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+                     * CASE WHEN n_union_kept < 64
+                            THEN CAST(n_union_kept AS DOUBLE)
+                            ELSE round(63.0 /
+                              (CAST(('0x' || substring(u[64], 1, 15))::BIGINT
+                                    AS DOUBLE) / 1152921504606846976.0), 4)
+                       END, 4) AS est_intersection
+        FROM m
+    """
+    # Consecutive-day KMV overlap: the per-day bottom-k replay paired
+    # on next_day = day + 1, same estimator block as kmv_overlap.
+    out["kmv_day_overlap"] = """
+        WITH dh AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day,
+                 md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ), ranked AS (
+          SELECT day, h,
+                 row_number() OVER (PARTITION BY day ORDER BY h) AS r
+          FROM dh
+        ), sk AS (
+          SELECT day, list_sort(list(h)) AS hs, max(r) AS n_kept
+          FROM ranked WHERE r <= 64 GROUP BY day
+        ), p AS (
+          SELECT a.day AS day, b.day AS next_day,
+                 a.hs AS hs_a, b.hs AS hs_b,
+                 a.n_kept AS n_a, b.n_kept AS n_b,
+                 list_sort(list_distinct(a.hs || b.hs))[1:64] AS u
+          FROM sk a JOIN sk b ON b.day = a.day + 1
+        ), m AS (
+          SELECT day, next_day, n_a, n_b, hs_a, hs_b, u,
+                 len(u) AS n_union_kept,
+                 len(list_filter(u, x -> list_contains(hs_a, x)
+                                     AND list_contains(hs_b, x))) AS n_common
+          FROM p
+        )
+        SELECT day, next_day,
                CAST(n_union_kept AS INT) AS n_union_kept,
                CAST(n_common AS INT) AS n_common,
                CAST(CAST(n_common AS BIGINT) * 1000000 // n_union_kept

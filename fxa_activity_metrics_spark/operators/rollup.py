@@ -551,17 +551,27 @@ def kmv_set_overlap(
         F.col("hs").alias("hs_b"),
         F.col("n_kept").alias("n_b"),
     )
-    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
-    u_slice = F.slice(
-        F.array_sort(F.array_union("hs_a", "hs_b")), 1, k
+    paired = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return _kmv_pair_estimates(paired, k).select(
+        "type_a", "type_b", "n_union_kept", "n_common", "jaccard_micro",
+        "est_a", "est_b", "est_union", "est_intersection",
     )
+
+
+def _kmv_pair_estimates(paired: DataFrame, k: int) -> DataFrame:
+    """Append the KMV set-operation estimate columns to a frame of
+    sketch PAIRS (hs_a, hs_b, n_a, n_b + any carry-through keys) —
+    the shared core of kmv_set_overlap (type pairs) and
+    kmv_day_overlap (consecutive-day pairs)."""
     est = lambda n_col, hs_col: (  # noqa: E731 — local estimator expr
         F.when(F.col(n_col) < k, F.col(n_col).cast("double")).otherwise(
             F.round(F.lit(float(k - 1)) / _kmv_frac(F.element_at(hs_col, k)), 4)
         )
     )
-    out = (
-        pairs.withColumn("u", u_slice)
+    return (
+        paired.withColumn(
+            "u", F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, k)
+        )
         .withColumn("n_union_kept", F.size("u"))
         .withColumn(
             "n_common",
@@ -591,7 +601,40 @@ def kmv_set_overlap(
             ),
         )
     )
-    return out.select(
-        "type_a", "type_b", "n_union_kept", "n_common", "jaccard_micro",
+
+
+def kmv_day_overlap(
+    sketches: DataFrame,
+    k: int = 64,
+    day_col: str = "day",
+) -> DataFrame:
+    """Day-over-day set overlap from per-day KMV sketches: for every
+    pair of CONSECUTIVE days, the estimated distinct-id overlap — the
+    returning-users (or shared-vocabulary) readout, answered from
+    k-row sketches without touching the raw stream. Input is any
+    per-day sketch frame ((day, hs, n_kept) — kmv_daily_sketches or
+    the streaming-maintained vocab_kmv table); the pairing join is
+    sketch-count-scale.
+
+    Output: (day, next_day, n_union_kept, n_common, jaccard_micro,
+    est_a, est_b, est_union, est_intersection) with est_a = day's
+    uniques, est_b = next day's, est_intersection = the estimated
+    overlap (returning ids).
+    """
+    a = sketches.select(
+        F.col(day_col).alias("day"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_kept").alias("n_a"),
+    )
+    b = sketches.select(
+        F.col(day_col).alias("next_day"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_kept").alias("n_b"),
+    )
+    paired = a.join(
+        F.broadcast(b), F.col("next_day") == F.date_add(F.col("day"), 1)
+    )
+    return _kmv_pair_estimates(paired, k).select(
+        "day", "next_day", "n_union_kept", "n_common", "jaccard_micro",
         "est_a", "est_b", "est_union", "est_intersection",
     )

@@ -275,3 +275,18 @@ def vocab_uniques_from_lake(
 
     sk = lake.read(kmv_table, KMV_DAY_SCHEMA)
     return kmv_estimate(kmv_merge(sk, k=k), k=k, key_col="day_key")
+
+
+def vocab_overlap_from_lake(
+    lake: Lake, k: int = KMV_K, kmv_table: str = "vocab_kmv"
+) -> DataFrame:
+    """Consecutive-day vocabulary overlap from the STREAM-MAINTAINED
+    sketch table: est_intersection estimates how much of one day's
+    distinct vocabulary recurs the next day — answered from k-row
+    sketches, the raw drops long gone. Because the maintained
+    sketches are bit-exact the batch sketches (pinned), the overlap
+    rows equal kmv_day_overlap over a one-shot batch build."""
+    from fxa_activity_metrics_spark.operators.rollup import kmv_day_overlap
+
+    sk = lake.read(kmv_table, KMV_DAY_SCHEMA)
+    return kmv_day_overlap(sk, k=k)

@@ -245,3 +245,38 @@ def test_stream_kmv_replay_converges(spark, src_dir, tmp_path):
     ).awaitTermination(120)
     after = kmv_merge(lake.read("vocab_kmv", KMV_DAY_SCHEMA), k=64).first()["hs"]
     assert after == before
+
+
+def test_stream_vocab_overlap_equals_batch(spark, src_dir, tmp_path):
+    """Consecutive-day overlap read from the STREAM-MAINTAINED sketch
+    table must equal kmv_day_overlap over a one-shot batch build of
+    the same days (the maintained sketches are pinned bit-exact, so
+    the derived set-operation estimates must be too)."""
+    from fxa_activity_metrics_spark.operators.rollup import kmv_day_overlap
+    from fxa_activity_metrics_spark.streaming.sketch_stream import (
+        day_vocab_kmv,
+        run_vocab_kmv_stream,
+        vocab_overlap_from_lake,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_vocab_kmv_stream(
+        spark, src_dir, lake, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    via_stream = sorted(
+        map(tuple, vocab_overlap_from_lake(lake).collect())
+    )
+    rows = [
+        (day, doc_id, text)
+        for day, drops in _DAYS.items()
+        for doc_id, text in drops
+        if day in ("2024-07-01", "2024-07-02")
+    ]
+    batch_docs = spark.createDataFrame(
+        rows, "day string, doc_id long, text string"
+    ).withColumn("day", F.col("day").cast("date"))
+    via_batch = sorted(
+        map(tuple, kmv_day_overlap(day_vocab_kmv(batch_docs)).collect())
+    )
+    assert via_stream == via_batch
+    assert len(via_stream) >= 1  # 07-01 -> 07-02 pair exists
