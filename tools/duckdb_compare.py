@@ -32,9 +32,19 @@ from bench import BENCH_QUERIES  # noqa: E402
 from tests.oracle_utils import TABLES  # noqa: E402
 
 # Queries whose oracle SQL is known-pessimal as a DuckDB workload
-# (see module docstring): sequential recursive-CTE packing, and the
-# all-pairs image-hash join over a duplicate-heavy synthetic corpus.
-PATHOLOGICAL = {"training_manifest", "chunk_pack", "phash_pairs"}
+# (see module docstring): sequential recursive-CTE packing, the
+# all-pairs image-hash join over a duplicate-heavy synthetic corpus,
+# and the grouped Misra-Gries fold (its oracle replays the fold's
+# chunk-by-chunk recurrence as a recursive CTE for bit-exactness — a
+# deliberately sequential parity shape that exceeded a 600s watchdog
+# at sf1; an idiomatic DuckDB top-k would be a plain GROUP BY, but
+# that computes exact counts, not the MG summary being verified).
+PATHOLOGICAL = {
+    "training_manifest",
+    "chunk_pack",
+    "phash_pairs",
+    "heavy_hitters_mg",
+}
 
 
 def main() -> None:
