@@ -2482,6 +2482,38 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def _ivfpq_lake(spark: SparkSession, sf_dir: str):
+    """Persisted IVFPQ index (n_cells=16/m=16/n_codes=16 — the
+    ann_ivfpq parameters), built once per (session, sf_dir): cell
+    assignment and PQ encoding are paid at build time, and the code
+    table is cell-PARTITIONED so probes read only their partitions."""
+    lake = _scratch_lake(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
+    if key not in _INDEX_BUILT:
+        similarity.ivfpq_build_index(
+            lake, _emb(spark, sf_dir), n_cells=16, m=16, n_codes=16
+        )
+        _INDEX_BUILT.add(key)
+    return lake
+
+
+def q_ivfpq_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the PERSISTED IVFPQ index: probed cells are
+    partition-pruned scans of the stored 16-byte code stream,
+    codebooks/centroids come from the manifest, exact rerank reads
+    the stored vector table — identical ranking to ann_ivfpq (same
+    deterministic centroids + codebooks), same oracle. Completes the
+    persisted-index family: BM25, IVF, PQ, IVFPQ."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_query_index(
+        _ivfpq_lake(spark, sf_dir),
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_probe=4,
+        shortlist_factor=8,
+    )
+
+
 def q_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day returning-user estimates from per-day KMV
     sketches alone (consecutive-day set overlap: est_intersection =
@@ -2672,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "pq_query_index": q_pq_query_index,
         "kmv_day_overlap": q_kmv_day_overlap,
+        "ivfpq_query_index": q_ivfpq_query_index,
         # ---- newest driver row: r7 ----
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "order_revenue": q_order_revenue,
@@ -3017,6 +3050,8 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index twin: bitwise the in-session PQ ranking
         "pq_query_index": _ANN_PQ_SQL,
         "ann_ivfpq": _ANN_IVFPQ_SQL,
+        # persisted-index twin: bitwise the in-session IVFPQ ranking
+        "ivfpq_query_index": _ANN_IVFPQ_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "semantic_dedup_trained": _SEMANTIC_DEDUP_TRAINED_SQL,
         # heavy_hitters: NO ORACLE BY DESIGN (one-pass stream summary;

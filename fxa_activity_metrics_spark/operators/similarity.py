@@ -2074,3 +2074,187 @@ def pq_query_index(
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+def ivfpq_build_index(
+    lake,
+    corpus: DataFrame,
+    name: str = "ivfpq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: str = "fxa-ivf",
+    pq_seed: str = "fxa-pq",
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist the full IVFPQ index — the billion-vector serving
+    layout (Jégou et al. 2011 §IV) at storage level:
+
+    - ``{name}_codes_v{N}``: (id, cell, s, code), PARTITIONED BY
+      cell — a query's n_probe probed cells become partition-PRUNED
+      scans of m-byte codes: the index read touches
+      ~n_probe/n_cells of the code bytes, never the vectors;
+    - ``{name}_vectors_v{N}``: (id, vec, nrm) — the exact-rerank
+      side, touched only for the shortlist;
+    - ``{name}_codebooks_v{N}``: the PQ manifest half;
+    - ``{name}_centroids``: (cell, centroid, codes_table,
+      vectors_table, codebooks_table) written LAST via temp-and-swap
+      — the atomic commit point naming every other table of its
+      build (the ivf_build_index manifest contract).
+
+    Cell assignment and PQ encoding are ONE corpus scan each, paid at
+    build time; queries re-derive nothing.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    nearest = _cell_exprs(cents)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, pq_seed)
+    spark = corpus.sparkSession
+    prior = lake.tables(f"{name}_codes_v")
+    version = 1 + max(
+        (int(t.rsplit("_v", 1)[1]) for t in prior if t.rsplit("_v", 1)[1].isdigit()),
+        default=0,
+    )
+    codes_tbl = f"{name}_codes_v{version}"
+    vecs_tbl = f"{name}_vectors_v{version}"
+    books_tbl = f"{name}_codebooks_v{version}"
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .select(
+            "id",
+            F.coalesce(nearest(F.col("v"), F.col("nrm"), 1)[0], F.lit(0)).alias(
+                "cell"
+            ),
+        )
+    )
+    codes = (
+        pq_encode(corpus, codebooks, id_col, vec_col)
+        .join(assigned, "id")
+        .select("id", "cell", F.posexplode("codes").alias("s", "code"))
+    )
+    lake.write_parts(codes_tbl, codes, "cell")
+    lake.overwrite(
+        vecs_tbl,
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        ).withColumn("nrm", norm(F.col("vec"))),
+    )
+    lake.overwrite(
+        books_tbl,
+        spark.createDataFrame(
+            [
+                (s, j, list(cw))
+                for s, book in enumerate(codebooks)
+                for j, cw in enumerate(book)
+            ],
+            "s int, j int, codeword array<double>",
+        ),
+    )
+    lake.overwrite(
+        f"{name}_centroids",
+        spark.createDataFrame(
+            [
+                (i, list(cv), codes_tbl, vecs_tbl, books_tbl)
+                for i, cv in enumerate(cents)
+            ],
+            "cell int, centroid array<double>, codes_table string, "
+            "vectors_table string, codebooks_table string",
+        ),
+    )
+
+
+def ivfpq_query_index(
+    lake,
+    queries: DataFrame,
+    name: str = "ivfpq",
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVFPQ index: probe cells come from the
+    stored centroids, ONLY those cell partitions of the code table
+    are read (isin over the partition column → partition pruning,
+    like ivf_query_index), the ADC LUT is rebuilt from the manifest
+    codebooks, and the shortlist reranks against the stored vectors.
+    Identical ranking to ``ivfpq_topk`` with the same centroids and
+    codebooks (both are deterministic md5 derivations, so persisted
+    == in-session — pinned in tests/test_ivf_index.py).
+    """
+    crows = sorted(
+        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+    )
+    cents = [list(r["centroid"]) for r in crows]
+    codes_tbl = crows[0]["codes_table"]
+    vecs_tbl = crows[0]["vectors_table"]
+    books_tbl = crows[0]["codebooks_table"]
+    brows = lake.read(books_tbl).collect()
+    m = 1 + max(r["s"] for r in brows)
+    n_codes = 1 + max(r["j"] for r in brows)
+    codebooks: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in brows:
+        codebooks[r["s"]][r["j"]] = list(r["codeword"])
+    nearest = _cell_exprs(cents)
+    qvec = _as_double(F.col(vec_col))
+    probes = cacheutil.track(
+        queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
+        .withColumn("qnrm", norm(F.col("qv")))
+        .select(
+            "query_id",
+            F.explode(nearest(F.col("qv"), F.col("qnrm"), n_probe)).alias(
+                "cell"
+            ),
+        )
+        .persist()
+    )
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    codes = lake.read(codes_tbl).filter(F.col("cell").isin(probed_cells))
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    adist = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("part_micro").alias("adist_micro"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("id").asc()
+    )
+    short = (
+        adist.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= shortlist_factor * k)
+        .select("query_id", "id")
+    )
+    base = lake.read(vecs_tbl)
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvb"),
+    ).withColumn("qbn", norm(F.col("qvb")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return (
+        short.join(base, "id")
+        .join(F.broadcast(qbase), "query_id")
+        .withColumn(
+            "cos", dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn"))
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -315,3 +315,58 @@ def test_pq_rebuild_swaps_manifest(spark, tmp_path):
     assert first != second  # fresh version staged, manifest re-pointed
     out = pq_query_index(lake, emb.filter(F.col("vec_id") < 5), k=3)
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFPQ index (ivfpq_build_index / ivfpq_query_index)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_env(spark, tmp_path_factory):
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_build_index,
+    )
+
+    lake = Lake(spark, str(tmp_path_factory.mktemp("ivfpq_lake")))
+    emb = read_table(spark, SF, "embeddings")
+    ivfpq_build_index(lake, emb, n_cells=16, m=16, n_codes=16)
+    return lake, emb
+
+
+def test_ivfpq_persisted_query_equals_fresh(ivfpq_env, spark):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_topk,
+    )
+
+    lake, emb = ivfpq_env
+    q = emb.filter(F.col("vec_id") < 20)
+    via_index = ivfpq_query_index(
+        lake, q, k=5, n_probe=4, shortlist_factor=8
+    ).collect()
+    fresh = ivfpq_topk(
+        emb, q, k=5, n_cells=16, n_probe=4, m=16, n_codes=16,
+        shortlist_factor=8,
+    ).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, fresh))
+
+
+def test_ivfpq_code_scan_is_partition_pruned(ivfpq_env, spark):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_query_index,
+    )
+
+    lake, emb = ivfpq_env
+    df = ivfpq_query_index(
+        lake, emb.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    ), "the probed-cell isin must prune cell partitions of the code table"
