@@ -2138,12 +2138,14 @@ def ivfpq_build_index(
         .select("id", "cell", F.posexplode("codes").alias("s", "code"))
     )
     lake.write_parts(codes_tbl, codes, "cell")
-    lake.overwrite(
-        vecs_tbl,
+    vectors = (
         corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-        ).withColumn("nrm", norm(F.col("vec"))),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+        .join(assigned.select("id", "cell"), "id")
     )
+    lake.write_parts(vecs_tbl, vectors, "cell")
     lake.overwrite(
         books_tbl,
         spark.createDataFrame(
@@ -2258,3 +2260,66 @@ def ivfpq_query_index(
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+def ivfpq_upsert_index(
+    lake,
+    new_vectors: DataFrame,
+    name: str = "ivfpq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVFPQ maintenance: encode ``new_vectors`` against
+    the STORED codebooks and assign them against the STORED centroids,
+    then merge both index tables by key, rewriting ONLY the touched
+    cell partitions (the lake's incremental contract — ivf_upsert's
+    pattern, applied to codes + vectors). A re-upserted id replaces
+    its prior rows, including across cells when its embedding moved
+    (Lake.merge_replace's moved-key handling). Codebooks and
+    centroids are never re-trained here; run ``ivfpq_build_index``
+    for that (quantization error against stale codebooks is the
+    standard IVFPQ drift trade — rebuild cadence is the operator's
+    knob, not this function's).
+    """
+    crows = sorted(
+        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+    )
+    cents = [list(r["centroid"]) for r in crows]
+    codes_tbl = crows[0]["codes_table"]
+    vecs_tbl = crows[0]["vectors_table"]
+    books_tbl = crows[0]["codebooks_table"]
+    brows = lake.read(books_tbl).collect()
+    m = 1 + max(r["s"] for r in brows)
+    n_codes = 1 + max(r["j"] for r in brows)
+    codebooks: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in brows:
+        codebooks[r["s"]][r["j"]] = list(r["codeword"])
+    nearest = _cell_exprs(cents)
+    assigned = (
+        new_vectors.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .select(
+            "id",
+            F.coalesce(nearest(F.col("v"), F.col("nrm"), 1)[0], F.lit(0)).alias(
+                "cell"
+            ),
+        )
+    )
+    codes = (
+        pq_encode(new_vectors, codebooks, id_col, vec_col)
+        .join(assigned, "id")
+        .select("id", "cell", F.posexplode("codes").alias("s", "code"))
+    )
+    lake.merge_replace(codes_tbl, codes, "cell", "id")
+    vectors = (
+        new_vectors.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+        .join(assigned.select("id", "cell"), "id")
+    )
+    lake.merge_replace(vecs_tbl, vectors, "cell", "id")

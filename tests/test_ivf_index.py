@@ -370,3 +370,75 @@ def test_ivfpq_code_scan_is_partition_pruned(ivfpq_env, spark):
         "PartitionFilters" in plan
         and "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     ), "the probed-cell isin must prune cell partitions of the code table"
+
+
+def test_ivfpq_upsert_encodes_and_moves_keys(spark, tmp_path):
+    """Upsert must: (a) encode new ids against the STORED codebooks
+    and assign against STORED centroids; (b) replace a changed id's
+    rows across cells; (c) leave untouched cells' rows identical."""
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        _as_double,
+        _cell_exprs,
+        ivfpq_build_index,
+        ivfpq_query_index,
+        ivfpq_upsert_index,
+        norm,
+        pq_encode,
+    )
+
+    emb = read_table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    lake = Lake(spark, str(tmp_path / "lake"))
+    ivfpq_build_index(lake, emb, n_cells=8, m=4, n_codes=16)
+    crows = sorted(lake.read("ivfpq_centroids").collect(), key=lambda r: r["cell"])
+    codes_tbl = crows[0]["codes_table"]
+    before = {
+        (r["id"], r["s"]): (r["cell"], r["code"])
+        for r in lake.read(codes_tbl).collect()
+    }
+
+    # (a) brand-new id = an existing vector with a fresh id: must
+    # land in the same cell with the same codes
+    src = emb.filter(F.col("vec_id") == 7).first()
+    new = spark.createDataFrame(
+        [(9001, src["embedding"]), ],
+        "vec_id long, embedding array<float>",
+    )
+    ivfpq_upsert_index(lake, new)
+    after = {
+        (r["id"], r["s"]): (r["cell"], r["code"])
+        for r in lake.read(codes_tbl).collect()
+    }
+    for s in range(4):
+        assert after[(9001, s)] == before[(7, s)]
+    # (c) everything that existed before is unchanged
+    for key, val in before.items():
+        assert after[key] == val
+
+    # the upserted twin is immediately servable: querying with 9001's
+    # vector (== id 7's) must surface id 7 as a neighbor
+    out = ivfpq_query_index(
+        lake, new, k=3, n_probe=4, shortlist_factor=8
+    ).collect()
+    assert any(r["neighbor_id"] == 7 for r in out)
+
+    # (b) move id 7 onto a different vector: rows replaced (still
+    # exactly 4 subspace rows), matching id 11's stored encoding
+    other = emb.filter(F.col("vec_id") == 11).first()
+    moved = spark.createDataFrame(
+        [(7, other["embedding"]) ], "vec_id long, embedding array<float>"
+    )
+    ivfpq_upsert_index(lake, moved)
+    final = {
+        (r["id"], r["s"]): (r["cell"], r["code"])
+        for r in lake.read(codes_tbl).collect()
+    }
+    rows7 = [kv for kv in final if kv[0] == 7]
+    assert len(rows7) == 4
+    for (_, s) in rows7:
+        assert final[(7, s)] == final[(11, s)]
+    # queries still serve after the move
+    assert ivfpq_query_index(
+        lake, new, k=3, n_probe=4, shortlist_factor=8
+    ).count() == 3
