@@ -2482,6 +2482,32 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def q_text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed tf·idf document vectors (hashing trick,
+    Weinberger et al. 2009): fixed-64-dim sparse embeddings from raw
+    text — no trained model, no vocabulary table. Signed md5 buckets,
+    integer micro weights, exploded sparse (doc_id, j, w_micro) form
+    (scalar-hashable by the driver). The text→vector bridge that lets
+    the ANN/dedup vector family run on corpora without embeddings."""
+    from fxa_activity_metrics_spark.operators.search import (
+        hashed_tfidf_vectors,
+    )
+
+    return hashed_tfidf_vectors(_docs(spark, sf_dir), dim=64)
+
+
+def q_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the hashed tf·idf vectors — full-text
+    similarity search with no embedding model: sparse dot via ONE
+    bucket-index equi-join (integer-exact), norms/cosine in double
+    with the family's 6dp ranking rule."""
+    from fxa_activity_metrics_spark.operators.search import (
+        hashed_vector_topk,
+    )
+
+    return hashed_vector_topk(_docs(spark, sf_dir), k=5, dim=64, n_queries=20)
+
+
 def _ivfpq_lake(spark: SparkSession, sf_dir: str):
     """Persisted IVFPQ index (n_cells=16/m=16/n_codes=16 — the
     ann_ivfpq parameters), built once per (session, sf_dir): cell
@@ -2705,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_query_index": q_pq_query_index,
         "kmv_day_overlap": q_kmv_day_overlap,
         "ivfpq_query_index": q_ivfpq_query_index,
+        "text_vectors": q_text_vectors,
+        "text_ann": q_text_ann,
         # ---- newest driver row: r7 ----
         "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
         "order_revenue": q_order_revenue,
@@ -4361,6 +4389,70 @@ def oracle_sql() -> dict[str, str]:
                                     AS DOUBLE) / 1152921504606846976.0), 4)
                        END, 4) AS est_intersection
         FROM m
+    """
+    # Feature-hashed tf·idf vectors + sparse-cosine search: shared
+    # vector CTE (signed 12-hex md5 buckets, micro-ln idf — the
+    # tfidf_terms rounding idiom), integer dot exact, cosine 6dp.
+    _TEXT_VEC_CTE = """
+        WITH tf AS (
+          SELECT doc_id, u.term AS term, count(*) AS tf
+          FROM documents,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS u(term)
+          GROUP BY doc_id, u.term
+        ), dfq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), t AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(term), 1, 12))::BIGINT % 64
+                      AS INT) AS j,
+                 (CASE WHEN substring(md5(term), 13, 1)
+                            IN ('0','1','2','3','4','5','6','7')
+                       THEN 1 ELSE -1 END)
+                 * tf
+                 * CAST(round(ln(CAST(n_docs AS DOUBLE)
+                                 / CAST(df AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS t_micro
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ), v AS (
+          SELECT doc_id, j, CAST(sum(t_micro) AS BIGINT) AS w_micro
+          FROM t GROUP BY doc_id, j HAVING sum(t_micro) <> 0
+        )
+    """
+    out["text_vectors"] = _TEXT_VEC_CTE + """
+        SELECT doc_id, j, w_micro FROM v
+    """
+    out["text_ann"] = _TEXT_VEC_CTE + """
+        , nrm AS (
+          SELECT doc_id,
+                 sqrt(CAST(sum(w_micro * w_micro) AS DOUBLE)) AS nrm
+          FROM v GROUP BY doc_id
+        ), q AS (
+          SELECT doc_id AS query_id, j, w_micro AS qw
+          FROM v WHERE doc_id < 20
+        ), d AS (
+          SELECT q.query_id, v.doc_id AS neighbor_id,
+                 sum(v.w_micro * q.qw) AS dot2
+          FROM v JOIN q USING (j)
+          WHERE v.doc_id <> q.query_id
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT d.query_id, d.neighbor_id,
+                 round(CAST(dot2 AS DOUBLE) / (qn.nrm * cn.nrm), 6) AS cos
+          FROM d
+          JOIN nrm qn ON qn.doc_id = d.query_id
+          JOIN nrm cn ON cn.doc_id = d.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank,
+                 cos AS cosine
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+        FROM ranked WHERE rank <= 5
     """
     # Consecutive-day KMV overlap: the per-day bottom-k replay paired
     # on next_day = day + 1, same estimator block as kmv_overlap.

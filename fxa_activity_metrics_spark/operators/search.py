@@ -475,3 +475,125 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "df", "score_micro", "rank")
     )
+
+
+def hashed_tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed tf·idf document vectors (the hashing trick,
+    Weinberger et al. 2009) — the text→vector bridge that gives every
+    document a fixed-``dim`` sparse embedding with NO trained model
+    and NO vocabulary table: bucket j = md5(term) mod dim, sign ± from
+    the next md5 hex digit (the signed sum makes collisions cancel in
+    expectation instead of biasing upward), weight = tf · idf_micro
+    (this module's micro-quantized-ln rule). All-integer accumulation
+    ⇒ the vectors are a pure function of the corpus, replayable
+    bit-for-bit by the oracle.
+
+    Output is the EXPLODED sparse form (doc_id, j, w_micro), non-zero
+    buckets only — the shape the sparse-cosine search consumes
+    directly, and (unlike an array column) scalar-hashable by the
+    driver's canonicalizer. Plan: the tfidf_top_terms tf/df shape
+    (tf persisted, df re-aggregated from it, 1-row N broadcast) plus
+    one (doc_id, j) aggregation. Zero UDFs.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf = cacheutil.track(tf)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    h = F.md5(F.col("term"))
+    bucket = (hex_to_long(F.substring(h, 1, 12)) % dim).cast("int")
+    sign = F.when(
+        F.substring(h, 13, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            bucket.alias("j"),
+            (
+                sign
+                * F.col("tf")
+                * F.round(
+                    F.log(
+                        F.col("n_docs").cast("double") / F.col("df").cast("double")
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("t_micro"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("t_micro").alias("w_micro"))
+        .filter(F.col("w_micro") != 0)
+    )
+
+
+def hashed_vector_topk(
+    docs: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_queries: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cosine top-k over the hashed tf·idf vectors — full-text
+    similarity search with no embedding model: the first
+    ``n_queries`` doc ids (mod rule: doc_id < n_queries) probe the
+    whole corpus. Sparse dot product via ONE equi-join on the bucket
+    index (never a dense d-wide array), integer dot exact as BIGINT,
+    norms and the final cosine in double rounded to 6dp for the
+    cross-engine ranking rule shared with every exact top-k entry.
+
+    Scale shape: vectors are (doc_id, j, w) rows; the query side is
+    a bounded broadcast; the dot-product join shuffles nothing (the
+    corpus side aggregates per (query, doc) with map-side partials
+    after a broadcast join on j). Output: (query_id, neighbor_id,
+    rank, cosine).
+    """
+    vecs = cacheutil.track(
+        hashed_tfidf_vectors(docs, dim, id_col, text_col).persist()
+    )
+    norms = vecs.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w_micro") * F.col("w_micro")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    qv = vecs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "j", F.col("w_micro").alias("qw")
+    )
+    dots = (
+        vecs.join(F.broadcast(qv), "j")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("w_micro") * F.col("qw")).alias("dot_micro2"))
+    )
+    qn = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("qn"))
+    cn = norms.select(F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot_micro2").cast("double") / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+    )

@@ -129,3 +129,63 @@ def test_kmv_overlap_estimator_matches_python_twin_above_k(spark):
     assert out.jaccard_micro == n_common * 1_000_000 // k
     assert out.est_union == est_union
     assert out.est_intersection == round(n_common / k * est_union, 4)
+
+
+# ---------------------------------------------------------------------------
+# hashed tf·idf vectors / sparse-cosine text ANN
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_vectors_match_python_twin(spark):
+    from fxa_activity_metrics_spark.operators.search import (
+        hashed_tfidf_vectors,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha delta"),
+        (3, "epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.j): r.w_micro
+        for r in hashed_tfidf_vectors(docs, dim=16).collect()
+    }
+
+    import math
+
+    n_docs = len(rows)
+    df: dict[str, int] = {}
+    for _, text in rows:
+        for t in set(text.split()):
+            df[t] = df.get(t, 0) + 1
+    want: dict[tuple, int] = {}
+    for doc_id, text in rows:
+        tf: dict[str, int] = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        for t, c in tf.items():
+            h = hashlib.md5(t.encode()).hexdigest()
+            j = int(h[:12], 16) % 16
+            sign = 1 if h[12] in "01234567" else -1
+            idf = round(math.log(n_docs / df[t]) * 1e6)
+            want[(doc_id, j)] = want.get((doc_id, j), 0) + sign * c * idf
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_text_ann_finds_exact_duplicate_first(spark):
+    from fxa_activity_metrics_spark.operators.search import (
+        hashed_vector_topk,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (50, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (51, "completely different words entirely here now"),
+        (52, "another unrelated document about spark engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hashed_vector_topk(docs, k=2, dim=32, n_queries=1).collect()
+    top = [r for r in out if r.query_id == 0 and r.rank == 1][0]
+    assert top.neighbor_id == 50 and top.cosine == 1.0
