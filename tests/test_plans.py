@@ -366,3 +366,48 @@ def test_event_type_pivot_no_distinct_values_prepass(spark):
     assert "pivotfirst(event_type" in plan
     assert "click, error, purchase, signup, view" in plan, "fixed value list"
     assert "Join" not in plan
+
+
+def test_hard_negatives_broadcasts_queries_no_smj(spark):
+    """The label-exclusion predicate lives INSIDE the broadcast join
+    condition: the corpus never shuffles, same-label pairs never
+    materialize, and there is no sort-merge fallback."""
+    df = E.queries()["hard_negatives"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # scale contract: exactly one exchange family — the per-query
+    # top-k window; the scoring join itself is exchange-free
+    assert "CartesianProduct" not in plan
+
+
+def test_text_ann_sparse_dot_is_one_bucket_join(spark):
+    """The sparse dot product joins on the bucket index with the
+    (bounded) query side broadcast — the corpus vector rows never
+    sort-merge, never cartesian."""
+    df = E.queries()["text_ann"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the per-(query, neighbor) dot aggregates with map-side partials
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cluster_keepers_window_is_cluster_partitioned(spark):
+    """The keeper window partitions on cluster_id (node-scale), and
+    the weight join is a broadcast/shuffle equi-join — never a
+    cartesian."""
+    df = E.queries()["cluster_keepers"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "cluster_id" in plan
+
+
+def test_kmv_overlap_pair_stage_is_sketch_scale(spark):
+    """The pairwise estimator joins sketch rows (|types| each side)
+    with the small side broadcast — no shuffle join of sketch
+    frames, no cartesian over raw events."""
+    df = E.queries()["kmv_overlap"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
