@@ -82,6 +82,14 @@ HEADLINE = {
     "scd2_history": "gaps-and-islands: lag-filter-lead share ONE key exchange + sort, no groupBy, no join",
     "ann_pq": "PQ ADC: codes posexplode x broadcast LUT (shuffle-free), ONE (query,id) exchange, exact-cosine rerank of the shortlist",
     "ann_ivfpq": "IVFPQ: broadcast cell-probe gate + broadcast LUT over the code stream, ONE (query,id) exchange, exact rerank",
+    "hard_negatives": "contrastive mining: label exclusion INSIDE the broadcast join condition — corpus never shuffles, same-label pairs never materialize",
+    "cluster_keepers": "star-contraction components + node-scale weight join + per-cluster window (keeper = argmax weight, tie min id)",
+    "kmv_overlap": "sketch set algebra: ONE distinct-hash shuffle builds all sketches; broadcast pairwise stage is |types|²·k array cells",
+    "kmv_day_overlap": "consecutive-day sketch pairing (next_day = day + 1): returning-id estimates from k-row sketches, raw stream never reread",
+    "pq_query_index": "persisted PQ: stored code stream scanned (never re-encoded), manifest codebooks -> broadcast LUT, exact rerank from stored vectors",
+    "ivfpq_query_index": "persisted IVFPQ: probed cells are partition-PRUNED scans of the cell-partitioned code table; manifest LUT; stored-vector rerank",
+    "text_vectors": "hashing trick: tf persisted once, df re-aggregated from it, signed md5 buckets — one (doc,j) aggregation, zero UDFs",
+    "text_ann": "sparse cosine: ONE broadcast bucket equi-join for the integer dot, map-side partials into the (query,neighbor) aggregate",
 }
 
 
