@@ -2080,11 +2080,15 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 per gram (the same digest the confirm join uses), so the
     corpus scan hashes exactly as much as ngram_decontam; the bloom
     overhead is two tiny bitset-build jobs plus integer conv/shift
-    expressions. Crossover (documented in bloom_decontaminate): below
-    ~1M distinct probe grams the exact join alone is marginally
-    cheaper; the bitset's reason to exist is the 100 TB regime where
-    probe digests would broadcast hundreds of MB but the bitset stays
-    16 KB regardless of probe size."""
+    expressions. Crossover gate (measured — BLOOM_CROSSOVER.json):
+    below 2^20 distinct probe grams the exact digest broadcast is
+    itself small and the operator FALLS THROUGH to the exact join
+    (n_bloom == n_exact, no bitset jobs) — which fires at every
+    committed scale factor (~15k probe grams even at sf1); the oracle
+    replays the same deterministic rule via a scalar-count CASE. The
+    bitset path (forced in pytest with fallback_grams=0) exists for
+    the 100 TB regime where probe digests would broadcast hundreds of
+    MB but the bitset stays 16 KB regardless of probe size."""
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
@@ -4256,16 +4260,23 @@ def oracle_sql() -> dict[str, str]:
                        % 131072 AS pos
               FROM pg CROSS JOIN (VALUES (0), (1), (2)) s(j)
             ), cand AS (
+              -- crossover gate (BLOOM_FALLBACK_GRAMS = 2^20): below it
+              -- the prefilter IS the exact digest join (no bitset, no
+              -- false positives); at/above it the 3-position bloom
+              -- gate applies.  Mirrors dedup.bloom_decontaminate.
               SELECT doc_id, gh FROM (
                 SELECT doc_id, md5(gram) AS gh
                 FROM u WHERE doc_id % 20 != 0
               )
-              WHERE ('0x' || substring(gh, 1, 10))::BIGINT
-                      % 131072 IN (SELECT pos FROM bloom)
-                AND ('0x' || substring(gh, 11, 10))::BIGINT
-                      % 131072 IN (SELECT pos FROM bloom)
-                AND ('0x' || substring(gh, 21, 10))::BIGINT
-                      % 131072 IN (SELECT pos FROM bloom)
+              WHERE CASE WHEN (SELECT count(*) FROM pg) < 1048576
+                THEN gh IN (SELECT pgh FROM pg)
+                ELSE ('0x' || substring(gh, 1, 10))::BIGINT
+                        % 131072 IN (SELECT pos FROM bloom)
+                 AND ('0x' || substring(gh, 11, 10))::BIGINT
+                        % 131072 IN (SELECT pos FROM bloom)
+                 AND ('0x' || substring(gh, 21, 10))::BIGINT
+                        % 131072 IN (SELECT pos FROM bloom)
+                END
             )
             SELECT doc_id, count(*) AS n_bloom,
                    CAST(sum(CASE WHEN gh IN (SELECT pgh FROM pg)

@@ -469,6 +469,16 @@ def _bloom_pos(gh: F.Column, j: int, m_bits: int) -> F.Column:
     )
 
 
+#: Distinct-probe-gram count below which the bloom bitset cannot win:
+#: the exact digest broadcast is itself small (32 hex chars/gram —
+#: 1 M grams ≈ 32 MB, well under Spark's broadcast comfort zone) and
+#: the bitset costs two extra jobs (position fold + collect) before
+#: the corpus scan can even start.  Measured locally (see
+#: tools/bloom_crossover.py, BLOOM_CROSSOVER.json): the bloom path
+#: only pulls ahead once the digest broadcast reaches hundreds of MB.
+BLOOM_FALLBACK_GRAMS = 1 << 20
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     probe: DataFrame,
@@ -478,6 +488,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     probe_text_col: str = "text",
+    fallback_grams: int = BLOOM_FALLBACK_GRAMS,
 ) -> DataFrame:
     """Bloom-filter decontamination prefilter: ngram_decontaminate's
     broadcast side, compressed to a bitset.
@@ -506,16 +517,26 @@ def bloom_decontaminate(
     positions, membership gate, and confirm join — slices a SINGLE
     md5 per gram, so the corpus scan hashes exactly as much as
     ngram_decontaminate's; the bloom gate adds only integer
-    conv/shift expressions. Crossover: below ~1M distinct probe grams
-    the digest broadcast is itself small and the exact join alone is
-    marginally cheaper (the bitset build costs two extra tiny jobs);
-    the bitset's reason to exist is the 100 TB regime where digests
-    would broadcast hundreds of MB but the bitset stays m_bits/8
-    bytes regardless of probe size.
+    conv/shift expressions.
+
+    Crossover gate (measured — tools/bloom_crossover.py,
+    BLOOM_CROSSOVER.json): below ``fallback_grams`` distinct probe
+    grams the digest broadcast is itself small and the exact join
+    alone is cheaper (the bitset build costs two extra jobs before the
+    corpus scan can start), so the prefilter FALLS THROUGH to the
+    exact digest gate — the gate becomes the confirm join itself and
+    ``n_bloom == n_exact`` by construction (zero false positives; docs
+    whose only candidates were bloom false positives don't surface).
+    The distinct-gram count reuses the persisted probe-digest set the
+    bitset fold needs anyway.  Pass ``fallback_grams=0`` to force the
+    bloom path (tests pin its superset/FP semantics that way).  The
+    bitset's reason to exist is the 100 TB regime where probe digests
+    would broadcast hundreds of MB but the bitset stays m_bits/8 bytes
+    regardless of probe size.
 
     Output: (doc_id, n_bloom, n_exact) per corpus doc with ≥1
-    candidate gram — n_bloom counts distinct grams passing the bloom
-    gate, n_exact the exactly-contaminated subset."""
+    candidate gram — n_bloom counts distinct grams passing the
+    prefilter gate, n_exact the exactly-contaminated subset."""
     if k_hashes > 3:
         raise ValueError(
             "bloom_decontaminate: k_hashes <= 3 (positions are 10-hex "
@@ -534,6 +555,21 @@ def bloom_decontaminate(
         .distinct()
         .persist()
     )
+
+    exact = pgrams.select("gh", F.lit(1).alias("_pm"))
+    if fallback_grams and pgrams.count() < fallback_grams:
+        # Below the measured crossover the exact digest broadcast IS
+        # the cheapest gate: skip the bitset build entirely and let
+        # the confirm join double as the prefilter (n_bloom == n_exact,
+        # no false positives by construction).
+        return (
+            grams.join(F.broadcast(pgrams), "gh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bloom"),
+                F.count(F.lit(1)).alias("n_exact"),
+            )
+        )
 
     # --- build: k positions per probe digest -> 64-bit words (bit_or
     # is idempotent: duplicate positions need no distinct exchange)
@@ -574,7 +610,6 @@ def bloom_decontaminate(
             % 2
             == 1
         )
-    exact = pgrams.select("gh", F.lit(1).alias("_pm"))
     return (
         grams.filter(hit)
         .join(F.broadcast(exact), "gh", "left")

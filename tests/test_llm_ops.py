@@ -551,7 +551,14 @@ def _bloom_fixture(spark):
         [(100, "alpha beta gamma delta epsilon extra")],
         "doc_id long, text string",
     )
-    return bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12), corpus, probe
+    # fallback_grams=0 forces the bloom bitset path — these tests pin
+    # its superset/false-positive semantics, which the exact-join
+    # fallback (the default at small probe sizes) makes vacuous.
+    return (
+        bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12, fallback_grams=0),
+        corpus,
+        probe,
+    )
 
 
 def test_bloom_no_false_negatives(spark):
@@ -601,13 +608,73 @@ def test_bloom_tiny_filter_produces_false_positives_only(spark):
         [(100, " ".join(f"p{i}" for i in range(40)))],
         "doc_id long, text string",
     )
-    wide = bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12)
-    tiny = bloom_decontaminate(corpus, probe, n=4, m_bits=64)
+    wide = bloom_decontaminate(corpus, probe, n=4, m_bits=1 << 12, fallback_grams=0)
+    tiny = bloom_decontaminate(corpus, probe, n=4, m_bits=64, fallback_grams=0)
     assert wide.agg(F.sum("n_exact")).first()[0] in (None, 0)
     assert tiny.agg(F.sum("n_exact")).first()[0] in (None, 0)
     n_wide = wide.agg(F.sum("n_bloom")).first()[0] or 0
     n_tiny = tiny.agg(F.sum("n_bloom")).first()[0] or 0
     assert n_tiny > n_wide
+
+
+def test_bloom_fallback_below_crossover_equals_exact(spark):
+    """Default mode at a small probe size takes the crossover fallback:
+    the prefilter IS the exact digest join — output rows are exactly
+    the exactly-contaminated docs, n_bloom == n_exact everywhere, and
+    the counts equal ngram_decontaminate's per-doc totals."""
+    from fxa_activity_metrics_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    _, corpus, probe = _bloom_fixture(spark)
+    out = bloom_decontaminate(corpus, probe, n=4).collect()
+    assert out, "fallback mode dropped the contaminated docs"
+    assert all(r["n_bloom"] == r["n_exact"] for r in out)
+    want = {
+        r["doc_id"]: r["n"]
+        for r in ngram_decontaminate(corpus, probe, n=4)
+        .groupBy("doc_id")
+        .agg(F.sum("n_shared").alias("n"))
+        .collect()
+    }
+    assert {r["doc_id"]: r["n_exact"] for r in out} == want
+
+
+def test_bloom_crossover_measurement_brackets_threshold():
+    """BLOOM_CROSSOVER.json (tools/bloom_crossover.py, sf0.1) must
+    bracket the committed threshold: exact wins at some measured size
+    below it, bloom wins at the threshold and above — the constant is
+    measured, not asserted (VERDICT r10 item 5)."""
+    import json
+    from pathlib import Path
+
+    from fxa_activity_metrics_spark.operators import dedup
+
+    path = Path(__file__).resolve().parents[1] / "BLOOM_CROSSOVER.json"
+    data = json.loads(path.read_text())
+    assert data["threshold_constant"] == dedup.BLOOM_FALLBACK_GRAMS
+    below = [r for r in data["results"]
+             if r["probe_grams"] < dedup.BLOOM_FALLBACK_GRAMS]
+    at_or_above = [r for r in data["results"]
+                   if r["probe_grams"] >= dedup.BLOOM_FALLBACK_GRAMS]
+    assert below and at_or_above, "measurement must straddle the threshold"
+    assert any(not r["bloom_wins"] for r in below), (
+        "exact never won below the threshold — lower it")
+    assert all(r["bloom_wins"] for r in at_or_above), (
+        "bloom lost at/above the threshold — raise it")
+
+
+def test_bloom_fallback_threshold_is_documented_constant(spark):
+    """The registry docstrings and the oracle SQL hardcode 2^20 — pin
+    the module constant so a drift is caught here, not by a driver
+    hash-mismatch on the CASE branch."""
+    from fxa_activity_metrics_spark.operators import dedup
+
+    assert dedup.BLOOM_FALLBACK_GRAMS == 1 << 20
+    import __spark_entry__ as E
+
+    assert "1048576" in E.oracle_sql()["bloom_decontam"]
 
 
 # ---- C4-style boilerplate removal (remove_boilerplate) -------------

@@ -9,6 +9,7 @@ cluster."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
@@ -293,11 +294,34 @@ def test_dominant_part_suppliers_no_second_fact_scan(spark):
 
 
 def test_bloom_decontam_gate_is_scan_side_expression(spark):
-    """The bloom gate must be a pure expression (bitset literal +
-    shiftrightunsigned) filtering the corpus BEFORE the only join —
-    the exact-confirm broadcast. No shuffle join anywhere."""
-    plan = _plan(E.queries()["bloom_decontam"](spark, SF))
+    """Forced-bloom mode (fallback_grams=0): the bloom gate must be a
+    pure expression (bitset literal + shiftrightunsigned) filtering
+    the corpus BEFORE the only join — the exact-confirm broadcast. No
+    shuffle join anywhere."""
+    from fxa_activity_metrics_spark.operators import dedup
+    import __spark_entry__ as E2
+
+    docs = E2._docs(spark, SF)
+    df = dedup.bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=4,
+        fallback_grams=0,
+    )
+    plan = _plan(df)
     assert "shiftrightunsigned" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontam_registry_fallback_is_single_broadcast_join(spark):
+    """At every committed scale factor the probe set is far below the
+    2^20-gram crossover, so the REGISTRY query must take the fallback:
+    one broadcast digest join, zero bitset expressions, zero shuffle
+    joins — within noise of the exact twin ngram_decontam."""
+    plan = _plan(E.queries()["bloom_decontam"](spark, SF))
+    assert "shiftrightunsigned" not in plan, "bitset gate should be skipped"
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
