@@ -1143,11 +1143,17 @@ def cluster_keepers(
         F.col(id_col).alias("_wid"),
         F.col(weight_col).cast("long").alias("_w"),
     )
+    # LEFT join: a cluster member absent from docs (caller passed a
+    # filtered corpus) must still COUNT toward n_members — an inner
+    # join would silently drop it and could elect the wrong keeper.
+    # Its null weight ranks last, so it never wins the election unless
+    # the whole cluster is weightless (then min-id, the
+    # duplicate_clusters convention).
     members = clusters.join(
-        weights, clusters["doc_id"] == weights["_wid"]
+        weights, clusters["doc_id"] == weights["_wid"], "left"
     ).select("doc_id", "cluster_id", "_w")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_w").desc(), F.col("doc_id").asc()
+        F.col("_w").desc_nulls_last(), F.col("doc_id").asc()
     )
     return (
         members.withColumn("_r", F.row_number().over(w))

@@ -552,7 +552,9 @@ def hashed_vector_topk(
     similarity search with no embedding model: the first
     ``n_queries`` doc ids (mod rule: doc_id < n_queries) probe the
     whole corpus. Sparse dot product via ONE equi-join on the bucket
-    index (never a dense d-wide array), integer dot exact as BIGINT,
+    index (never a dense d-wide array); dot and squared-norm sums are
+    exact wide integers (DECIMAL(38,0) — BIGINT would wrap on
+    large/repetitive documents while the oracle sums in HUGEINT);
     norms and the final cosine in double rounded to 6dp for the
     cross-engine ranking rule shared with every exact top-k entry.
 
@@ -565,10 +567,15 @@ def hashed_vector_topk(
     vecs = cacheutil.track(
         hashed_tfidf_vectors(docs, dim, id_col, text_col).persist()
     )
+    # Exact wide-integer sums: w_micro ~ tf·idf·1e6, so BIGINT sums of
+    # squared terms (~1e16 each) silently wrap on large/repetitive
+    # documents while the DuckDB oracle sums the same products in
+    # HUGEINT.  Casting each factor to DECIMAL(19,0) makes the product
+    # DECIMAL(38,0) — exact to 1e38, same integer the oracle computes —
+    # and only the final cast surfaces a double (no decimal output).
+    _wide = F.col("w_micro").cast("decimal(19,0)")
     norms = vecs.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w_micro") * F.col("w_micro")).cast("double")).alias(
-            "nrm"
-        )
+        F.sqrt(F.sum(_wide * _wide).cast("double")).alias("nrm")
     )
     qv = vecs.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"), "j", F.col("w_micro").alias("qw")
@@ -577,7 +584,12 @@ def hashed_vector_topk(
         vecs.join(F.broadcast(qv), "j")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("w_micro") * F.col("qw")).alias("dot_micro2"))
+        .agg(
+            F.sum(
+                F.col("w_micro").cast("decimal(19,0)")
+                * F.col("qw").cast("decimal(19,0)")
+            ).alias("dot_micro2")
+        )
     )
     qn = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("qn"))
     cn = norms.select(F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("cn"))

@@ -1363,7 +1363,10 @@ def ivf_upsert_index(
     changed (Lake.merge_replace's moved-key handling). Centroids are
     not re-trained; run ``ivf_build_index`` for that.
     """
-    crows = sorted(lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"])
+    crows = sorted(
+        _read_manifest(lake, f"{name}_centroids", "ivf_upsert_index"),
+        key=lambda r: r["cell"],
+    )
     centroids = [list(r["centroid"]) for r in crows]
     assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
     lake.merge_replace(ivf_cells_table(lake, name), assigned, "cell", "neighbor_id")
@@ -1385,7 +1388,8 @@ def ivf_query_index(
     semantics/ranking to ``ivf_topk`` with the same centroids.
     """
     crows = sorted(
-        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+        _read_manifest(lake, f"{name}_centroids", "ivf_query_index"),
+        key=lambda r: r["cell"],
     )
     centroids = [list(r["centroid"]) for r in crows]
     cells_tbl = crows[0]["cells_table"]
@@ -2008,6 +2012,26 @@ def pq_build_index(
     lake.overwrite(f"{name}_codebooks", manifest)
 
 
+def _read_manifest(lake, table: str, index_name: str) -> list:
+    """Read an index manifest table loudly: a never-built index must
+    fail with a ValueError naming the missing table, not an opaque
+    IndexError on rows[0] / a raw lake read error (the same loud-guard
+    contract as pq_codebooks' empty-corpus checks)."""
+    try:
+        rows = lake.read(table).collect()
+    except Exception as exc:
+        raise ValueError(
+            f"{index_name}: manifest table '{table}' is missing — build "
+            f"the index first (no prior *_build_index run?)"
+        ) from exc
+    if not rows:
+        raise ValueError(
+            f"{index_name}: manifest table '{table}' is empty — the "
+            f"index build did not commit"
+        )
+    return rows
+
+
 def pq_query_index(
     lake,
     queries: DataFrame,
@@ -2025,7 +2049,7 @@ def pq_query_index(
     function of codebooks + corpus, so the persisted stream IS the
     in-session stream; pinned in tests/test_ivf_index.py's PQ twin).
     """
-    mrows = lake.read(f"{name}_codebooks").collect()
+    mrows = _read_manifest(lake, f"{name}_codebooks", "pq_query_index")
     m = 1 + max(r["s"] for r in mrows)
     n_codes = 1 + max(r["j"] for r in mrows)
     codebooks: list[list[list[float]]] = [
@@ -2190,13 +2214,14 @@ def ivfpq_query_index(
     == in-session — pinned in tests/test_ivf_index.py).
     """
     crows = sorted(
-        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+        _read_manifest(lake, f"{name}_centroids", "ivfpq_query_index"),
+        key=lambda r: r["cell"],
     )
     cents = [list(r["centroid"]) for r in crows]
     codes_tbl = crows[0]["codes_table"]
     vecs_tbl = crows[0]["vectors_table"]
     books_tbl = crows[0]["codebooks_table"]
-    brows = lake.read(books_tbl).collect()
+    brows = _read_manifest(lake, books_tbl, "ivfpq_query_index")
     m = 1 + max(r["s"] for r in brows)
     n_codes = 1 + max(r["j"] for r in brows)
     codebooks: list[list[list[float]]] = [
@@ -2282,13 +2307,14 @@ def ivfpq_upsert_index(
     knob, not this function's).
     """
     crows = sorted(
-        lake.read(f"{name}_centroids").collect(), key=lambda r: r["cell"]
+        _read_manifest(lake, f"{name}_centroids", "ivfpq_upsert_index"),
+        key=lambda r: r["cell"],
     )
     cents = [list(r["centroid"]) for r in crows]
     codes_tbl = crows[0]["codes_table"]
     vecs_tbl = crows[0]["vectors_table"]
     books_tbl = crows[0]["codebooks_table"]
-    brows = lake.read(books_tbl).collect()
+    brows = _read_manifest(lake, books_tbl, "ivfpq_upsert_index")
     m = 1 + max(r["s"] for r in brows)
     n_codes = 1 + max(r["j"] for r in brows)
     codebooks: list[list[list[float]]] = [

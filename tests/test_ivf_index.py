@@ -442,3 +442,30 @@ def test_ivfpq_upsert_encodes_and_moves_keys(spark, tmp_path):
     assert ivfpq_query_index(
         lake, new, k=3, n_probe=4, shortlist_factor=8
     ).count() == 3
+
+
+def test_never_built_index_fails_loud(spark, tmp_path):
+    """Querying or upserting a never-built index must raise a
+    ValueError NAMING the missing manifest table — not an opaque
+    IndexError on rows[0] or a raw lake read error (the same loud
+    contract as pq_codebooks' empty-corpus guards)."""
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_upsert_index,
+        pq_query_index,
+    )
+
+    lake = Lake(spark, str(tmp_path / "empty_lake"))
+    q = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pq_codebooks"):
+        pq_query_index(lake, q)
+    with pytest.raises(ValueError, match="ivfpq_centroids"):
+        ivfpq_query_index(lake, q)
+    with pytest.raises(ValueError, match="ivfpq_centroids"):
+        ivfpq_upsert_index(lake, q)
+    with pytest.raises(ValueError, match="ivf_centroids"):
+        ivf_query_index(lake, q)
+    with pytest.raises(ValueError, match="ivf_centroids"):
+        ivf_upsert_index(lake, q)

@@ -83,6 +83,30 @@ def test_cluster_keepers_weight_tie_breaks_to_smaller_id(spark):
     assert len(out) == 1 and out[0].keeper_id == 5
 
 
+def test_cluster_keepers_counts_members_missing_from_docs(spark):
+    """A member id absent from docs (caller passed a filtered corpus)
+    must still count toward n_members with a null weight that ranks
+    LAST — an inner join would silently shrink the cluster and could
+    elect the wrong keeper."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    # doc 2 (the heaviest in the full corpus) is missing here
+    docs = _docs_rows(spark, [(1, "a", 5), (3, "c", 7)])
+    out = dedup.cluster_keepers(pairs, docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 3, "missing member must still be counted"
+    assert r.keeper_id == 3 and r.keeper_weight == 7
+    # all-weightless cluster: min id wins, weight surfaces as null
+    out2 = dedup.cluster_keepers(
+        pairs, _docs_rows(spark, [])
+    ).collect()
+    assert len(out2) == 1
+    assert out2[0].keeper_id == 1 and out2[0].keeper_weight is None
+    assert out2[0].n_members == 3
+
+
 def test_kmv_overlap_exact_below_k(spark):
     # two types with known overlap, all sets far below k=64: every
     # estimate must be EXACT (the sketch is the value set)
