@@ -251,6 +251,27 @@ def main() -> None:
         print(f"# sf={sf_val}: skipping labeled O(N^2) baselines: {skipped}",
               file=sys.stderr)
 
+    # Persisted-artifact builds, timed as their OWN entries (VERDICT
+    # r10 item 7): the shared pair table / LM model / index lakes
+    # build lazily on first touch, so without this the first query to
+    # touch each artifact silently pays its build and the steady-state
+    # numbers hide the amortized cost.  Forcing the builds here makes
+    # the build-once/query-many claim auditable — `builds` records
+    # what ONE analysis pays up front; `queries` records the marginal
+    # per-query cost every later query pays.
+    builds: dict[str, float] = {}
+    for bname, trigger in [
+        ("neardup_pairs_build", lambda: entrymod._neardup_pairs(spark, SF_DIR)),
+        ("lm_model_build", lambda: entrymod._lm_model(spark, SF_DIR)),
+        ("text_ivf_index_build", lambda: entrymod._index_lake(spark, SF_DIR)),
+        ("pq_index_build", lambda: entrymod._pq_lake(spark, SF_DIR)),
+        ("ivfpq_index_build", lambda: entrymod._ivfpq_lake(spark, SF_DIR)),
+    ]:
+        t0 = time.perf_counter()
+        trigger()
+        builds[bname] = round(time.perf_counter() - t0, 3)
+        cacheutil.release_all()
+
     # Three timed runs per query: the first pays one-time whole-stage
     # codegen / JIT compilation (~1-3s per distinct plan shape, a
     # per-process constant that vanishes at any real scale); the min
@@ -322,6 +343,7 @@ def main() -> None:
             "cold_value": round(sum(cold.values()), 3),
             "warm_value": round(sum(warm.values()), 3),
             "warm_queries": warm,
+            "builds": builds,
             "budget_violations": violations,
             **gate,
             "skipped": skipped,
