@@ -2491,6 +2491,19 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pairs_from_lake(lake)
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage audit: val/test documents whose
+    near-duplicate (shared MinHash-LSH band) landed in train — the
+    eval contamination a per-id hash split admits at the base rate
+    (Lee et al. 2021 §6.2). ZERO corpus joins: the split is a pure
+    md5 function of the id, so both sides of each candidate pair are
+    classified inside the (persisted, bucketed) pair-table scan; the
+    plan is one orientation union + one aggregate."""
+    from fxa_activity_metrics_spark.operators.assembly import split_leakage
+
+    return split_leakage(_neardup_pairs(spark, sf_dir).select("id_a", "id_b"))
+
+
 def q_text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed tf·idf document vectors (hashing trick,
     Weinberger et al. 2009): fixed-64-dim sparse embeddings from raw
@@ -2722,14 +2735,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FIRST 50 entries each round; tests/test_staleness_contract.py
         # machine-enforces that no entry's newest driver-green row ages
         # past two rounds).  Round-11 window: pricing_rollup (the one
-        # never-green entry, now DOUBLE-typed on both sides), the 45
-        # r7/r8-cohort entries that would age past two rounds after
-        # r11, then 4 slack slots filled with the stalest r9-cohort
-        # entries to flatten the r12 rotation.  Everything past
-        # position 50 stays locally oracle-checked every round by
-        # tests/test_oracle_parity.py.
+        # never-green entry, now DOUBLE-typed on both sides), the new
+        # split_leakage entry (first driver check), the 45 r7/r8-cohort
+        # entries that would age past two rounds after r11, then slack
+        # slots filled with the stalest r9-cohort entries to flatten
+        # the r12 rotation.  Everything past position 50 stays locally
+        # oracle-checked every round by tests/test_oracle_parity.py.
         # ---- never driver-green ----
         "pricing_rollup": q_pricing_rollup,
+        # ---- new this round (first driver check) ----
+        "split_leakage": q_split_leakage,
         # ---- newest driver row: r8 (in-window) ----
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
@@ -4605,6 +4620,32 @@ def oracle_sql() -> dict[str, str]:
                  list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ') AS chunk_text,
                CAST(least(64, n - ci * 48) AS INT) AS n_chunk_tokens
         FROM e
+    """
+
+    # Cross-split near-dup leakage: the LSH pair replay + both pair
+    # orientations + the train_split md5 bucket rule applied to each
+    # side as a pure id expression (no documents join, mirroring the
+    # engine's join-free plan).
+    out["split_leakage"] = _LSH_PAIRS_SQL + """
+        , ori AS (
+          SELECT id_a AS eid, id_b AS tid FROM pairs
+          UNION ALL
+          SELECT id_b AS eid, id_a AS tid FROM pairs
+        ), sp AS (
+          SELECT eid, tid,
+                 ('0x' || substring(md5('split' || CAST(eid AS VARCHAR)),
+                                    1, 7))::BIGINT % 10000 AS be,
+                 ('0x' || substring(md5('split' || CAST(tid AS VARCHAR)),
+                                    1, 7))::BIGINT % 10000 AS bt
+          FROM ori
+        )
+        SELECT eid AS doc_id,
+               CASE WHEN be < 9500 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_train_dups,
+               min(tid) AS min_train_dup
+        FROM sp
+        WHERE be >= 9000 AND bt < 9000
+        GROUP BY 1, 2
     """
 
     out["train_split"] = """

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "hard_negatives",
     "cluster_keepers",
     "kmv_overlap",
+    # round 11: leakage-safe split audit
+    "split_leakage",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

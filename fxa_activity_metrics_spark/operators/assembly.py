@@ -184,6 +184,52 @@ def train_split(
     )
 
 
+def split_leakage(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    thresholds: tuple[tuple[str, int], ...] = SPLIT_THRESHOLDS,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage: eval (val/test) documents
+    that have a near-duplicate in train — the contamination a
+    hash-based split cannot prevent (the split is independent per id,
+    so near-identical docs land in different splits at the base
+    rate), and the reason eval numbers go soft on duplicated corpora
+    (Lee et al. 2021 §6.2). Run it after dedup/split and either drop
+    the flagged eval docs or re-home them to train.
+
+    ZERO corpus joins: the split assignment is a pure md5 function of
+    the id (train_split's contract), so both sides of every candidate
+    pair are classified inside the pair scan — the only plan is one
+    union of the two pair orientations and one aggregate. At 100 TB
+    the candidate pair table (already persisted/bucketed by the LSH
+    build) is the ONLY input touched.
+
+    ``thresholds[0]`` must be the train band (train_split's
+    convention). Output: (doc_id, split, n_train_dups,
+    min_train_dup) — one row per leaked NON-train doc, counting its
+    distinct train-side near-duplicates.
+    """
+    train_name, train_upper = thresholds[0]
+    ori = pairs.select(
+        F.col(id_a).alias("eid"), F.col(id_b).alias("tid")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("eid"), F.col(id_a).alias("tid"))
+    )
+    eb = _hash_bucket(F.col("eid"), 10_000, salt=salt)
+    tb = _hash_bucket(F.col("tid"), 10_000, salt=salt)
+    return (
+        ori.filter((eb >= train_upper) & (tb < train_upper))
+        .withColumn("split", split_col(F.col("eid"), thresholds, salt))
+        .groupBy(F.col("eid").alias("doc_id"), F.col("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_dups"),
+            F.min("tid").alias("min_train_dup"),
+        )
+    )
+
+
 def source_mixture(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1808,7 +1808,8 @@ def jl_topk(
     once, bucket many times). Queries probe every bucket within
     Hamming distance probe_ham of their own (Σ C(d_out, i) probes)
     — the verify set shrinks by the complementary bucket mass and
-    the corpus shuffles once on bucket.
+    the corpus never shuffles (the bounded probe side broadcasts
+    onto the bucketed corpus scan).
 
     Defaults (6 bits, radius 2 → 22/64 of bucket space) are tuned on
     the synthetic embeddings, whose pairwise cosines concentrate
@@ -1865,7 +1866,15 @@ def jl_topk(
         q = q.select(
             "query_id", "q_vec", "q_nrm", F.explode(probes).alias("bucket")
         )
-    cand = c.join(q, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    # The probe side is queries × Σ C(d_out, i) rows — bounded by the
+    # serving batch, never corpus-scale — so broadcast it: the corpus
+    # is bucketed in place inside its scan stage and never shuffles
+    # (the jl_project docstring's "corpus shuffles once on bucket" was
+    # the pre-broadcast plan; a bucket shuffle of the corpus is
+    # exactly what a 100 TB serving path cannot afford per batch).
+    cand = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",

@@ -395,3 +395,47 @@ def test_training_shards_reserved_columns_rejected(spark, tmp_path):
     docs = _mkdocs(spark, [(1, "x", "s")]).withColumn("shard", F.lit(9))
     with pytest.raises(ValueError, match="collide"):
         assembly.write_training_shards(docs, str(tmp_path / "e"))
+
+
+# ---- cross-split near-dup leakage (split_leakage) -------------------
+
+
+def _py_bucket(i: int, salt: str = "split") -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:7], 16) % 10_000
+
+
+def test_split_leakage_matches_python_twin(spark):
+    """Pairs spanning the train boundary must surface exactly the
+    non-train side, with the correct split label, partner count, and
+    min train partner — replayed against a pure-python twin of the
+    md5 bucket rule over a synthetic pair set."""
+    ids = list(range(1, 300))
+    train = {i for i in ids if _py_bucket(i) < 9000}
+    evals = [i for i in ids if i not in train]
+    # build pairs: each eval doc paired with 2 train docs; plus some
+    # train-train and eval-eval pairs that must NOT surface
+    t = sorted(train)
+    pairs = []
+    want = {}
+    for n, e in enumerate(evals[:8]):
+        partners = [t[2 * n], t[2 * n + 1]]
+        pairs += [(min(e, p), max(e, p)) for p in partners]
+        want[e] = (len(partners), min(partners))
+    pairs += [(t[40], t[41]), (evals[10], evals[11])]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {r.doc_id: r for r in assembly.split_leakage(pdf).collect()}
+    assert set(out) == set(want)
+    for e, (n, mn) in want.items():
+        assert out[e].n_train_dups == n and out[e].min_train_dup == mn
+        assert out[e].split == ("val" if _py_bucket(e) < 9500 else "test")
+
+
+def test_split_leakage_plan_has_no_join(spark):
+    """The split of BOTH pair sides is a pure id expression, so the
+    registry plan must contain no join of any kind — one orientation
+    union over the persisted pair table, one aggregate."""
+    df = E.queries()["split_leakage"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
