@@ -152,6 +152,11 @@ BENCH_QUERIES = [
     "hard_negatives",
     "cluster_keepers",
     "kmv_overlap",
+    "pq_query_index",
+    "ivfpq_query_index",
+    "kmv_day_overlap",
+    "text_vectors",
+    "text_ann",
     # round 11: leakage-safe split audit
     "split_leakage",
 ]

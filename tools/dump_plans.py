@@ -60,7 +60,7 @@ HEADLINE = {
     "late_shipment_priority": "Q12 shape: both-sides late predicate as the equi-join residual",
     "promo_revenue_effect": "Q14 shape: conditional-sum ratio, one pass, broadcast part dim",
     "dominant_part_suppliers": "Q20 shape: per-part totals re-aggregate the pair frame (ReuseExchange)",
-    "bloom_decontam": "bloom prefilter: 16 KB bitset literal gates the corpus scan; exact join sees candidates only",
+    "bloom_decontam": "crossover fallback at committed scale (probe << 2^20 grams): the prefilter IS the exact digest broadcast join — no bitset jobs; forced-bloom plan pinned separately in test_plans",
     "daily_uniques_kmv": "KMV bottom-k: salted two-level rank, KB-scale merge — sketch AND estimate exactly oracled",
     "pagerank_neardup": "integer PageRank round: co-partitioned edge join + one groupBy(dst) exchange per round",
     "triangle_counts": "ordered-edge wedge join: each triangle found once, both joins equi-keyed",
@@ -85,6 +85,7 @@ HEADLINE = {
     "hard_negatives": "contrastive mining: label exclusion INSIDE the broadcast join condition — corpus never shuffles, same-label pairs never materialize",
     "cluster_keepers": "star-contraction components + node-scale weight join + per-cluster window (keeper = argmax weight, tie min id)",
     "kmv_overlap": "sketch set algebra: ONE distinct-hash shuffle builds all sketches; broadcast pairwise stage is |types|²·k array cells",
+    "split_leakage": "cross-split leakage: split = pure md5 id expression on BOTH pair sides — one orientation union over the persisted pair table + one aggregate, zero joins",
     "kmv_day_overlap": "consecutive-day sketch pairing (next_day = day + 1): returning-id estimates from k-row sketches, raw stream never reread",
     "pq_query_index": "persisted PQ: stored code stream scanned (never re-encoded), manifest codebooks -> broadcast LUT, exact rerank from stored vectors",
     "ivfpq_query_index": "persisted IVFPQ: probed cells are partition-PRUNED scans of the cell-partitioned code table; manifest LUT; stored-vector rerank",
