@@ -2504,6 +2504,23 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(_neardup_pairs(spark, sf_dir).select("id_a", "id_b"))
 
 
+def q_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated split assignment — the actionable twin of the
+    split_leakage audit: every document tagged with its hash split
+    plus a final_split that resolves eval docs leaked by a train-side
+    near-duplicate (policy 'drop' here: the eval doc is marked
+    'dropped' so eval stays clean). The leaked set is derived inside
+    the persisted pair-table scan (orientation union + md5 bucket
+    filter + aggregate) and broadcast LEFT-joined onto the corpus's
+    per-row split projection — one corpus scan, zero corpus shuffles."""
+    from fxa_activity_metrics_spark.operators.assembly import split_decontam
+
+    return split_decontam(
+        _docs(spark, sf_dir),
+        _neardup_pairs(spark, sf_dir).select("id_a", "id_b"),
+    )
+
+
 def q_text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed tf·idf document vectors (hashing trick,
     Weinberger et al. 2009): fixed-64-dim sparse embeddings from raw
@@ -2745,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         # ---- new this round (first driver check) ----
         "split_leakage": q_split_leakage,
+        "split_decontam": q_split_decontam,
         # ---- newest driver row: r8 (in-window) ----
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
@@ -4646,6 +4664,47 @@ def oracle_sql() -> dict[str, str]:
         FROM sp
         WHERE be >= 9000 AND bt < 9000
         GROUP BY 1, 2
+    """
+
+    # Decontaminated split: the same LSH-pair leakage derivation
+    # aggregated per eval doc, LEFT-joined onto the per-row md5 split
+    # assignment of the whole corpus (policy 'drop').
+    out["split_decontam"] = _LSH_PAIRS_SQL + """
+        , ori AS (
+          SELECT id_a AS eid, id_b AS tid FROM pairs
+          UNION ALL
+          SELECT id_b AS eid, id_a AS tid FROM pairs
+        ), sp AS (
+          SELECT eid, tid,
+                 ('0x' || substring(md5('split' || CAST(eid AS VARCHAR)),
+                                    1, 7))::BIGINT % 10000 AS be,
+                 ('0x' || substring(md5('split' || CAST(tid AS VARCHAR)),
+                                    1, 7))::BIGINT % 10000 AS bt
+          FROM ori
+        ), leaked AS (
+          SELECT eid, CAST(count(*) AS BIGINT) AS n_train_dups
+          FROM sp
+          WHERE be >= 9000 AND bt < 9000
+          GROUP BY eid
+        ), assigned AS (
+          SELECT doc_id,
+                 CASE WHEN b < 9000 THEN 'train'
+                      WHEN b < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                                      1, 7))::BIGINT % 10000 AS b
+            FROM documents
+          )
+        )
+        SELECT a.doc_id,
+               a.split,
+               CAST(COALESCE(l.n_train_dups, 0) AS BIGINT) AS n_train_dups,
+               CASE WHEN l.eid IS NOT NULL THEN 'dropped'
+                    ELSE a.split END AS final_split
+        FROM assigned a
+        LEFT JOIN leaked l ON a.doc_id = l.eid
     """
 
     out["train_split"] = """

@@ -157,8 +157,9 @@ BENCH_QUERIES = [
     "kmv_day_overlap",
     "text_vectors",
     "text_ann",
-    # round 11: leakage-safe split audit
+    # round 11: leakage-safe split audit + decontaminated assignment
     "split_leakage",
+    "split_decontam",
 ]
 
 # Labeled quadratic configurations (their docstrings say so): they

@@ -230,6 +230,78 @@ def split_leakage(
     )
 
 
+def split_decontam(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    policy: str = "drop",
+    thresholds: tuple[tuple[str, int], ...] = SPLIT_THRESHOLDS,
+    salt: str = "split",
+    broadcast_leaked: bool = True,
+) -> DataFrame:
+    """Decontaminated split assignment — the actionable twin of the
+    ``split_leakage`` audit. Assigns every document its hash split,
+    flags the eval (val/test) docs that have a train-side
+    near-duplicate among the candidate ``pairs``, and resolves them
+    per ``policy``: ``"drop"`` marks the leaked eval doc's
+    ``final_split`` as ``'dropped'`` (keep eval clean, lose the doc);
+    ``"rehome"`` moves it to the train band (keep the doc, shrink
+    eval). Train-side docs are never touched — the contamination is
+    the EVAL doc's problem (its score is inflated by a train twin),
+    so the fix is applied on the eval side only (Lee et al. 2021
+    §6.2's mitigation).
+
+    Plan shape: the leaked set is derived entirely inside the
+    (persisted, bucketed) pair-table scan — one orientation union,
+    one cross-split filter on pure md5 id expressions, one aggregate
+    — then LEFT-joined onto the corpus's per-row split projection.
+    The leaked side is bounded by the eval fraction times the leakage
+    base rate (tiny vs the corpus), so it broadcasts by default; pass
+    ``broadcast_leaked=False`` on a pathologically duplicated corpus
+    and let AQE pick the strategy. The corpus itself is scanned once
+    and never shuffled.
+
+    Output: (id, split, n_train_dups, final_split) — one row per doc;
+    ``n_train_dups`` is 0 for clean docs.
+    """
+    if policy not in ("drop", "rehome"):
+        raise ValueError(f"split_decontam: unknown policy {policy!r}")
+    train_name, train_upper = thresholds[0]
+    ori = pairs.select(
+        F.col(id_a).alias("eid"), F.col(id_b).alias("tid")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("eid"), F.col(id_a).alias("tid"))
+    )
+    eb = _hash_bucket(F.col("eid"), 10_000, salt=salt)
+    tb = _hash_bucket(F.col("tid"), 10_000, salt=salt)
+    leaked = (
+        ori.filter((eb >= train_upper) & (tb < train_upper))
+        .groupBy("eid")
+        .agg(F.count(F.lit(1)).alias("n_train_dups"))
+    )
+    if broadcast_leaked:
+        leaked = F.broadcast(leaked)
+    assigned = docs.select(
+        F.col(id_col),
+        split_col(id_col, thresholds=thresholds, salt=salt).alias("split"),
+    )
+    resolved = F.lit("dropped") if policy == "drop" else F.lit(train_name)
+    return assigned.join(
+        leaked, assigned[id_col] == leaked["eid"], "left"
+    ).select(
+        F.col(id_col),
+        F.col("split"),
+        F.coalesce(F.col("n_train_dups"), F.lit(0))
+        .cast("bigint")
+        .alias("n_train_dups"),
+        F.when(F.col("eid").isNotNull(), resolved)
+        .otherwise(F.col("split"))
+        .alias("final_split"),
+    )
+
+
 def source_mixture(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -439,3 +439,54 @@ def test_split_leakage_plan_has_no_join(spark):
     df = E.queries()["split_leakage"](spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+# ---- decontaminated split assignment (split_decontam) ----------------
+
+
+def test_split_decontam_policies_match_python_twin(spark):
+    """Every doc surfaces exactly once; leaked eval docs resolve per
+    policy (drop -> 'dropped', rehome -> 'train'); train-side pair
+    members and clean docs keep their split; n_train_dups counts the
+    eval doc's train partners and is 0 for clean docs."""
+    ids = list(range(1, 200))
+    train = {i for i in ids if _py_bucket(i) < 9000}
+    evals = [i for i in ids if i not in train]
+    t = sorted(train)
+    leaked_eval = evals[0]
+    clean_eval = evals[1]
+    pairs = [
+        (min(leaked_eval, t[0]), max(leaked_eval, t[0])),
+        (min(leaked_eval, t[1]), max(leaked_eval, t[1])),
+        (t[2], t[3]),  # train-train: must not flag anyone
+    ]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    for policy, resolved in (("drop", "dropped"), ("rehome", "train")):
+        out = {
+            r.doc_id: r
+            for r in assembly.split_decontam(docs, pdf, policy=policy).collect()
+        }
+        assert set(out) == set(ids)
+        r = out[leaked_eval]
+        assert r.n_train_dups == 2 and r.final_split == resolved
+        assert r.split == ("val" if _py_bucket(leaked_eval) < 9500 else "test")
+        for i in (clean_eval, t[0], t[1], t[2], t[3]):
+            assert out[i].n_train_dups == 0
+            assert out[i].final_split == out[i].split
+
+
+def test_split_decontam_rejects_unknown_policy(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pdf = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="policy"):
+        assembly.split_decontam(docs, pdf, policy="purge")
+
+
+def test_split_decontam_plan_broadcasts_leaked_set(spark):
+    """The corpus side must not shuffle: the only join is a broadcast
+    of the (tiny) leaked aggregate onto the per-row split projection."""
+    df = E.queries()["split_decontam"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

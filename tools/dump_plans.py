@@ -86,6 +86,7 @@ HEADLINE = {
     "cluster_keepers": "star-contraction components + node-scale weight join + per-cluster window (keeper = argmax weight, tie min id)",
     "kmv_overlap": "sketch set algebra: ONE distinct-hash shuffle builds all sketches; broadcast pairwise stage is |types|²·k array cells",
     "split_leakage": "cross-split leakage: split = pure md5 id expression on BOTH pair sides — one orientation union over the persisted pair table + one aggregate, zero joins",
+    "split_decontam": "decontaminated split: leaked-eval aggregate derived inside the pair-table scan, broadcast LEFT join onto the per-row split projection — one corpus scan, zero corpus shuffles",
     "kmv_day_overlap": "consecutive-day sketch pairing (next_day = day + 1): returning-id estimates from k-row sketches, raw stream never reread",
     "pq_query_index": "persisted PQ: stored code stream scanned (never re-encoded), manifest codebooks -> broadcast LUT, exact rerank from stored vectors",
     "ivfpq_query_index": "persisted IVFPQ: probed cells are partition-PRUNED scans of the cell-partitioned code table; manifest LUT; stored-vector rerank",
