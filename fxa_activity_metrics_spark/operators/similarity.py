@@ -1372,6 +1372,28 @@ def ivf_upsert_index(
     lake.merge_replace(ivf_cells_table(lake, name), assigned, "cell", "neighbor_id")
 
 
+def _semi_filter(
+    df: DataFrame,
+    candidate_ids: DataFrame | None,
+    id_name: str,
+    broadcast_filter: bool,
+) -> DataFrame:
+    """Filtered vector search: restrict an index candidate stream to
+    an allowed-id set (the metadata predicate's result, computed by
+    the caller over its own doc/attribute tables). LEFT SEMI so the
+    stream never duplicates; broadcast by default because filter sets
+    that matter (a language, a source, a split) are tiny next to the
+    corpus — pass broadcast_filter=False for corpus-scale filters and
+    let AQE pick the join."""
+    if candidate_ids is None:
+        return df
+    fcol = candidate_ids.columns[0]
+    allowed = candidate_ids.select(F.col(fcol).alias(id_name)).distinct()
+    if broadcast_filter:
+        allowed = F.broadcast(allowed)
+    return df.join(allowed, id_name, "left_semi")
+
+
 def ivf_query_index(
     lake,
     queries: DataFrame,
@@ -1380,12 +1402,24 @@ def ivf_query_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Query the persisted IVF index: probe cells are chosen against
     the stored centroids (driver-side, n_cells rows) and ONLY those
     cell partitions of the manifest's live cells table are read (isin
     over the partition column → partition pruning). Identical
     semantics/ranking to ``ivf_topk`` with the same centroids.
+
+    ``candidate_ids`` (one id column, any name) makes this a FILTERED
+    search: only those ids are scored, i.e. top-k *within* a metadata
+    predicate (language, source, split, ...). The filter lands on the
+    partition-pruned cells scan itself — before any scoring or
+    shuffle — so a selective predicate cuts the candidate stream
+    proportionally. Note pre-filtering semantics: k survivors are
+    guaranteed per query (unlike post-filtering a fixed shortlist,
+    which can starve); recall against the filtered brute-force twin
+    is pinned in tests/test_ivf_index.py.
     """
     crows = sorted(
         _read_manifest(lake, f"{name}_centroids", "ivf_query_index"),
@@ -1418,6 +1452,7 @@ def ivf_query_index(
             [], "query_id long, neighbor_id long, rank int, cosine double"
         )
     c = lake.read(cells_tbl).filter(F.col("cell").isin(*[F.lit(p) for p in probed]))
+    c = _semi_filter(c, candidate_ids, "neighbor_id", broadcast_filter)
     cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
@@ -2212,6 +2247,8 @@ def ivfpq_query_index(
     shortlist_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Query the persisted IVFPQ index: probe cells come from the
     stored centroids, ONLY those cell partitions of the code table
@@ -2221,6 +2258,13 @@ def ivfpq_query_index(
     Identical ranking to ``ivfpq_topk`` with the same centroids and
     codebooks (both are deterministic md5 derivations, so persisted
     == in-session — pinned in tests/test_ivf_index.py).
+
+    ``candidate_ids`` (one id column, any name) makes this a FILTERED
+    search: the allowed-id semi-join lands on the partition-pruned
+    code scan BEFORE the ADC aggregate, so the shortlist is built
+    from allowed ids only (pre-filtering — k survivors guaranteed,
+    never a starved post-filtered shortlist) and the exact rerank
+    stays bounded by shortlist_factor·k.
     """
     crows = sorted(
         _read_manifest(lake, f"{name}_centroids", "ivfpq_query_index"),
@@ -2255,6 +2299,7 @@ def ivfpq_query_index(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
     codes = lake.read(codes_tbl).filter(F.col("cell").isin(probed_cells))
+    codes = _semi_filter(codes, candidate_ids, "id", broadcast_filter)
     lut = _pq_lut(queries, codebooks, id_col, vec_col)
     adist = (
         codes.join(F.broadcast(probes), "cell")

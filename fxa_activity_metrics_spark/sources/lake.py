@@ -365,6 +365,94 @@ class Lake:
             shutil.rmtree(part)
             os.replace(tmp, part)
 
+    def optimize_zorder(
+        self,
+        table: str,
+        cols: list[str],
+        bits: int = 8,
+        n_files: int | None = None,
+    ) -> None:
+        """Z-ORDER clustering rewrite (the S7 maintenance family's
+        multi-column sibling of ``compact``): cluster a table so scans
+        filtered on ANY of ``cols`` skip most files and row groups.
+
+        A linear sort makes Parquet min/max stats selective on the
+        leading sort column only; interleaving the columns' bits into
+        a Morton z-value and sorting by THAT bounds every clustering
+        column's extent per row group simultaneously — the standard
+        data-clustering move for multi-predicate scan pruning at
+        100 TB (each row group covers ~1/2^bits of each dimension's
+        domain instead of all of it, so engines that prune on footer
+        stats — Spark, DuckDB, Trino — read a vanishing fraction of
+        the table for selective multi-column predicates).
+
+        Mechanics, all JVM-side: each clustering column is rank-
+        bucketed into 2^bits equi-depth bins against approxQuantile
+        boundaries (equi-depth, so skewed columns still spread across
+        buckets; the boundary list is ≤2^bits driver-side doubles — a
+        bounded collect, never corpus-scale), the bucket indexes'
+        bits are interleaved into one long, and the table is range-
+        partitioned + sorted by it in a single exchange, then swapped
+        in atomically (write to a temp dir, os.replace — the same
+        crash-safe pattern as ``compact``). NULLs rank lowest
+        (bucket 0). Numeric columns only; raises on anything else
+        rather than clustering garbage.
+        """
+        if not cols:
+            raise ValueError("optimize_zorder: need at least one column")
+        if bits * len(cols) > 63:
+            raise ValueError(
+                f"optimize_zorder: {bits} bits x {len(cols)} cols "
+                f"overflows the 63-bit z-value"
+            )
+        df = self.spark.read.parquet(self.path(table))
+        numeric = (T.NumericType,)
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"optimize_zorder: column {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()}, not numeric"
+                )
+        n_bins = 1 << bits
+        probs = [i / n_bins for i in range(1, n_bins)]
+        ndims = len(cols)
+        z = F.lit(0).cast("long")
+        for d, c in enumerate(cols):
+            # equi-depth boundaries; dedupe (heavy hitters repeat a
+            # boundary) while keeping order so the fold stays monotone
+            raw = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+            bnds: list[float] = []
+            for b in raw:
+                if not bnds or b > bnds[-1]:
+                    bnds.append(b)
+            # bucket index = #boundaries <= value (JVM fold over a
+            # literal array; lambda is a bound-ref comparison only)
+            idx = F.aggregate(
+                F.lit(bnds),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(idx, bit).bitwiseAND(F.lit(1)),
+                    bit * ndims + (ndims - 1 - d),
+                )
+        n = n_files or max(
+            1, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
+        )
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        part = self.path(table)
+        tmp = part + "._zorder"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part)
+        os.replace(tmp, part)
+
     def analyze(self, table: str) -> None:
         """ANALYZE analogue (S7): compute table stats for CBO when the
         table is catalog-backed (bucketed tables); no-op for pure-path

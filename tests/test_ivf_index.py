@@ -469,3 +469,78 @@ def test_never_built_index_fails_loud(spark, tmp_path):
         ivf_query_index(lake, q)
     with pytest.raises(ValueError, match="ivf_centroids"):
         ivf_upsert_index(lake, q)
+
+
+# Filtered vector search: candidate_ids restricts the index candidate
+# stream (pre-filtering — the metadata-predicate search every serving
+# stack needs: top-k within a language/source/split).
+
+
+def test_ivf_filtered_query_equals_filtered_bruteforce(env, spark):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lake, emb = env
+    # allowed-id frame with an arbitrary column name (interface takes
+    # the first column, whatever it is called)
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("the_id")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    # full probes (n_probe == n_cells): every allowed candidate is
+    # scored, so the filtered index search IS the filtered exact scan
+    got = ivf_query_index(
+        lake, q, name="ivf", k=5, n_probe=16, candidate_ids=allowed
+    ).collect()
+    fcorpus = emb.join(
+        allowed.select(F.col("the_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    want = brute_force_topk(fcorpus, q, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert all(r.neighbor_id % 3 == 0 for r in got)
+
+
+def test_ivfpq_filtered_query_equals_filtered_bruteforce(ivfpq_env, spark):
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_query_index,
+    )
+
+    lake, emb = ivfpq_env
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 20)
+    # full probes + corpus-sized shortlist: the ADC stage passes every
+    # allowed candidate to the exact rerank, so ranking == brute force
+    # on the filtered corpus (pre-filtering guarantees k survivors)
+    got = ivfpq_query_index(
+        lake, q, k=5, n_probe=16, shortlist_factor=200, candidate_ids=allowed
+    ).collect()
+    fcorpus = emb.join(allowed, "vec_id", "left_semi")
+    want = brute_force_topk(fcorpus, q, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_filtered_query_plan_is_broadcast_semi_join(ivfpq_env, spark):
+    """The allowed-id filter must hit the candidate stream as a
+    broadcast LEFT SEMI join (never a shuffle of the code table)."""
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_query_index,
+    )
+
+    lake, emb = ivfpq_env
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    df = ivfpq_query_index(
+        lake, emb.filter(F.col("vec_id") < 3), k=5, n_probe=2,
+        candidate_ids=allowed,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    semi = plan[plan.index("LeftSemi") - 200 : plan.index("LeftSemi") + 50]
+    assert "Broadcast" in semi, semi
