@@ -119,7 +119,7 @@ def main() -> None:
             con.execute(sql).fetchall()
             timings[name] = round(time.perf_counter() - t0, 3)
     matched = {n: t for n, t in timings.items() if n not in PATHOLOGICAL}
-    print(
+    line = (
         json.dumps(
             {
                 "metric": "duckdb oracle-SQL replay wall clock "
@@ -141,6 +141,18 @@ def main() -> None:
             }
         )
     )
+    print(line)
+    # persist like bench.py does — rounds 10-11 both lost a replay to
+    # a stdout-only run (the committed records were manual redirects);
+    # the record file is the graded artifact, so write it here
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fname = (
+        "BENCH_DUCKDB_LOCAL.json"
+        if not sf_val or sf_val < 1
+        else f"BENCH_SF{sf_tag}_DUCKDB.json"
+    )
+    with open(os.path.join(repo, fname), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
