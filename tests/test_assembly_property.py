@@ -91,3 +91,58 @@ def test_disjoint_chunking_reconstructs_document(spark, words, size):
     assert rebuilt == text
     # token coverage is exact and non-overlapping
     assert sum(len(t.split(" ")) for _, t in rows) == len(words)
+
+
+# ---- split_decontam: the full partition law on arbitrary pair sets ----
+
+
+def _py_split(i: int) -> str:
+    import hashlib
+
+    b = int(hashlib.md5(f"split{i}".encode()).hexdigest()[:7], 16) % 10_000
+    return "train" if b < 9000 else ("val" if b < 9500 else "test")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=80),
+            st.integers(min_value=1, max_value=80),
+        ).filter(lambda p: p[0] != p[1]),
+        max_size=25,
+    ),
+    policy=st.sampled_from(["drop", "rehome"]),
+)
+def test_split_decontam_law(spark, pairs, policy):
+    """For ANY candidate pair set: (1) every doc appears exactly once;
+    (2) a doc is resolved (dropped/rehomed) iff it is non-train AND
+    has a cross-split partner in pairs; (3) train docs and clean docs
+    keep their split; (4) n_train_dups counts the doc's pair rows
+    whose partner is train-side."""
+    from fxa_activity_metrics_spark.operators.assembly import split_decontam
+
+    ids = list(range(1, 81))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "id_a long, id_b long"
+    )
+    if not pairs:
+        pdf = pdf.filter("id_a <> id_b")  # empty frame, schema kept
+    out = {r.doc_id: r for r in split_decontam(docs, pdf, policy=policy).collect()}
+    assert sorted(out) == ids
+    want_dups: dict[int, int] = {}
+    for a, b in pairs:
+        for e, t in ((a, b), (b, a)):
+            if _py_split(e) != "train" and _py_split(t) == "train":
+                want_dups[e] = want_dups.get(e, 0) + 1
+    resolved = "dropped" if policy == "drop" else "train"
+    for i in ids:
+        r = out[i]
+        assert r.split == _py_split(i)
+        assert r.n_train_dups == want_dups.get(i, 0)
+        assert r.final_split == (resolved if i in want_dups else r.split)
