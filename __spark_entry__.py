@@ -2521,6 +2521,25 @@ def q_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k within a metadata predicate
+    (here: vec_id % 3 == 0 — stand-in for a language/source/split
+    gate), served from the PERSISTED IVF index with the allowed-id
+    set broadcast LEFT-SEMI-joined onto the partition-pruned cell
+    scan BEFORE scoring (pre-filtering: k survivors guaranteed).
+    n_probe == n_cells here, so every allowed candidate is scored and
+    the result is EXACTLY the brute-force top-k over the filtered
+    corpus — which is what the oracle replays; the probe-pruned
+    configurations are recall-bounded in tests/test_ivf_index.py."""
+    lake = _index_lake(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_query_index(
+        lake, q, name="ivf", k=5, n_probe=16, candidate_ids=allowed
+    )
+
+
 def q_text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed tf·idf document vectors (hashing trick,
     Weinberger et al. 2009): fixed-64-dim sparse embeddings from raw
@@ -2763,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new this round (first driver check) ----
         "split_leakage": q_split_leakage,
         "split_decontam": q_split_decontam,
+        "ann_filtered": q_ann_filtered,
         # ---- newest driver row: r8 (in-window) ----
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
@@ -3107,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
         """,
         "ann_bruteforce": _ANN_TOPK_SQL,
+        "ann_filtered": _ANN_FILTERED_SQL,
         # the GEMM path ranks on the same 6dp-rounded cosine, so the
         # identical oracle hash-verifies the vectorized scale path too
         "ann_bruteforce_gemm": _ANN_TOPK_SQL,
@@ -5214,6 +5235,15 @@ _ANN_TOPK_SQL = """
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
     FROM ranked WHERE rank <= 5
 """
+
+# Filtered search oracle: identical brute-force replay restricted to
+# the allowed-id predicate on the CANDIDATE side only (queries are
+# unrestricted) — exactly what the full-probe filtered IVF serves.
+_ANN_FILTERED_SQL = _ANN_TOPK_SQL.replace(
+    "SELECT vec_id AS nid, embedding AS ce FROM embeddings",
+    "SELECT vec_id AS nid, embedding AS ce FROM embeddings "
+    "WHERE vec_id % 3 = 0",
+)
 
 def _bpe_real_sql() -> str:
     """Oracle for the REAL greedy BPE token count: a recursive CTE
