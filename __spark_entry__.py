@@ -1514,8 +1514,10 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch path for distinct counts at scale: per-day unique users
     via HyperLogLog++ (approx_count_distinct, rsd 2%). Approximate —
-    no SQL oracle; tests assert the sketch lands within tolerance of
-    q_daily_uniques_exact. At 100 TB the sketch is mergeable and
+    no SQL oracle, so NOT in the queries() registry (retired r12 to
+    stop burning driver-window slots on structurally no-oracle rows);
+    tests/test_sketches.py pins it within tolerance of the hash-green
+    q_daily_uniques_exact twin. At 100 TB the sketch is mergeable and
     shuffle-light where exact distinct is a full repartition of the
     key space."""
     ev = _t(spark, sf_dir, "events")
@@ -1529,8 +1531,9 @@ def q_daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch: per-event-type p50/p95/p99 of value via
     percentile_approx (GK sketch, accuracy 10000). Approximate —
-    rows-only check; tolerance vs q_value_percentiles_exact asserted
-    in tests."""
+    no SQL oracle, so NOT in the queries() registry (retired r12);
+    tests/test_sketches.py pins tolerance vs the hash-green
+    q_value_percentiles_exact twin."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
@@ -2770,71 +2773,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registry order == driver-rotation order (the driver checks
         # the FIRST 50 entries each round; tests/test_staleness_contract.py
         # machine-enforces that no entry's newest driver-green row ages
-        # past two rounds).  Round-11 window: pricing_rollup (the one
-        # never-green entry, now DOUBLE-typed on both sides), the new
-        # split_leakage entry (first driver check), the 45 r7/r8-cohort
-        # entries that would age past two rounds after r11, then slack
-        # slots filled with the stalest r9-cohort entries to flatten
-        # the r12 rotation.  Everything past position 50 stays locally
-        # oracle-checked every round by tests/test_oracle_parity.py.
-        # ---- never driver-green ----
-        "pricing_rollup": q_pricing_rollup,
-        # ---- new this round (first driver check) ----
-        "split_leakage": q_split_leakage,
-        "split_decontam": q_split_decontam,
-        "ann_filtered": q_ann_filtered,
-        # ---- newest driver row: r8 (in-window) ----
-        "ann_lsh": q_ann_lsh,
-        "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
-        "injection_filter": q_injection_filter,
-        "empty_backfill": q_empty_backfill,
-        "asof_join": q_asof_join,
-        "session_window": q_session_window,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "ngram_decontam": q_ngram_decontam,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "token_count_bpe_real": q_token_count_bpe_real,
-        "blob_stats": q_blob_stats,
-        "blob_stats_compressed": q_blob_stats_compressed,
-        "phash": q_phash,
-        "phash_pairs": q_phash_pairs,
-        "phash_clusters": q_phash_clusters,
-        "phash_compressed": q_phash_compressed,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "train_split": q_train_split,
-        "source_mixture": q_source_mixture,
-        "shard_shuffle": q_shard_shuffle,
-        "quality_classifier": q_quality_classifier,
-        "curriculum_order": q_curriculum_order,
-        "clean_corpus": q_clean_corpus,
-        "bm25_search": q_bm25_search,
-        "query_text_index": q_query_text_index,
-        "ivf_query_index": q_ivf_query_index,
-        "interval_join": q_interval_join,
-        "daily_uniques_hll": q_daily_uniques_hll,
-        "value_percentiles": q_value_percentiles,
-        "semantic_dedup_trained": q_semantic_dedup_trained,
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "heavy_hitters": q_heavy_hitters,
-        "lm_score_backoff": q_lm_score_backoff,
-        "flow_sessionize": q_flow_sessionize,
-        "parse_functions": q_parse_functions,
-        "scalar_functions": q_scalar_functions,
-        "retention_filter": q_retention_filter,
-        "high_water_mark": q_high_water_mark,
-        "partition_discovery": q_partition_discovery,
+        # past two rounds).  Round-12 window: the 43 r9-cohort entries
+        # that would age past two rounds after r12, then the 7 stalest
+        # r10 entries to flatten the r13 rotation.  The three no-oracle
+        # sketches (daily_uniques_hll, value_percentiles, heavy_hitters)
+        # are retired from the registry (VERDICT r11 item 2): they can
+        # never show a driver-green row (err: no_oracle every windowed
+        # round) and their correctness lives in pytest tolerance pins
+        # against hash-green exact twins (daily_uniques_exact,
+        # value_percentiles_exact, heavy_hitters_exact/_mg).  Everything
+        # past position 50 stays locally oracle-checked every round by
+        # tests/test_oracle_parity.py.
         # ---- newest driver row: r9 (in-window) ----
-        "dedup_spans_exact": q_dedup_spans_exact,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "scd2_history": q_scd2_history,
         "ann_pq": q_ann_pq,
-        # ---- newest driver row: r9 (outside window; locally oracle-checked) ----
         "ann_ivfpq": q_ann_ivfpq,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue_change": q_forecast_revenue_change,
@@ -2875,7 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_exact": q_value_percentiles_exact,
         "daily_uniques_exact": q_daily_uniques_exact,
         "token_count_bpe": q_token_count_bpe,
-        # ---- newest driver row: r10 (outside window; locally oracle-checked) ----
+        # ---- newest driver row: r10 (in-window) ----
         "late_shipment_priority": q_late_shipment_priority,
         "bloom_decontam": q_bloom_decontam,
         "novelty_score": q_novelty_score,
@@ -2883,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "hard_negatives": q_hard_negatives,
         "cluster_keepers": q_cluster_keepers,
+        # ---- newest driver row: r10 (outside window; locally oracle-checked) ----
         "kmv_overlap": q_kmv_overlap,
         "pq_query_index": q_pq_query_index,
         "kmv_day_overlap": q_kmv_day_overlap,
@@ -2925,6 +2879,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "jaccard_dedup": q_jaccard_dedup,
         "simhash": q_simhash,
+        # ---- newest driver row: r11 (outside window; locally oracle-checked) ----
+        "pricing_rollup": q_pricing_rollup,
+        "split_leakage": q_split_leakage,
+        "split_decontam": q_split_decontam,
+        "ann_filtered": q_ann_filtered,
+        "ann_lsh": q_ann_lsh,
+        "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
+        "injection_filter": q_injection_filter,
+        "empty_backfill": q_empty_backfill,
+        "asof_join": q_asof_join,
+        "session_window": q_session_window,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "ngram_decontam": q_ngram_decontam,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "token_count_bpe_real": q_token_count_bpe_real,
+        "blob_stats": q_blob_stats,
+        "blob_stats_compressed": q_blob_stats_compressed,
+        "phash": q_phash,
+        "phash_pairs": q_phash_pairs,
+        "phash_clusters": q_phash_clusters,
+        "phash_compressed": q_phash_compressed,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "train_split": q_train_split,
+        "source_mixture": q_source_mixture,
+        "shard_shuffle": q_shard_shuffle,
+        "quality_classifier": q_quality_classifier,
+        "curriculum_order": q_curriculum_order,
+        "clean_corpus": q_clean_corpus,
+        "bm25_search": q_bm25_search,
+        "query_text_index": q_query_text_index,
+        "ivf_query_index": q_ivf_query_index,
+        "interval_join": q_interval_join,
+        "semantic_dedup_trained": q_semantic_dedup_trained,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "lm_score_backoff": q_lm_score_backoff,
+        "flow_sessionize": q_flow_sessionize,
+        "parse_functions": q_parse_functions,
+        "scalar_functions": q_scalar_functions,
+        "retention_filter": q_retention_filter,
+        "high_water_mark": q_high_water_mark,
+        "partition_discovery": q_partition_discovery,
+        "dedup_spans_exact": q_dedup_spans_exact,
     }
 
 
@@ -3277,10 +3279,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
         """,
-        # daily_uniques_hll / value_percentiles: intentionally no
-        # oracle — sketch outputs (HLL++, GK) are approximate;
-        # rows-only check here, tolerance vs exact asserted in tests.
-        # Their exact counterparts below ARE hash-verified.
+        # daily_uniques_hll / value_percentiles / heavy_hitters were
+        # retired from the registry in r12 (sketch outputs are
+        # approximate — no oracle possible, so the rows could never be
+        # driver-green); tolerance vs exact asserted in tests. Their
+        # exact counterparts below ARE hash-verified.
         "daily_uniques_exact": """
             SELECT CAST(ts AS DATE) AS day,
                    count(DISTINCT user_id) AS uniques

@@ -191,7 +191,7 @@ def test_heavy_hitters_merge_input_is_summary_scale(spark):
     assert "MapInPandas" in plan
     assert summaries.count() <= 16 * 48
 
-    out = E.queries()["heavy_hitters"](spark, SF)
+    out = E.q_heavy_hitters(spark, SF)
     # final merge folded on the driver: the result is a local relation
     # (createDataFrame -> ExistingRDD/LocalTableScan), not a plan over
     # the stream

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.01"
 def test_hll_within_tolerance(spark):
     approx = {
         r["day"]: r["uniques_hll"]
-        for r in E.queries()["daily_uniques_hll"](spark, SF).collect()
+        for r in E.q_daily_uniques_hll(spark, SF).collect()
     }
     exact = {
         r["day"]: r["uniques"]
@@ -30,7 +30,7 @@ def test_hll_within_tolerance(spark):
 def test_percentile_sketch_within_tolerance(spark):
     approx = {
         r["event_type"]: (r["p50"], r["p95"], r["p99"])
-        for r in E.queries()["value_percentiles"](spark, SF).collect()
+        for r in E.q_value_percentiles(spark, SF).collect()
     }
     exact = {
         r["event_type"]: (r["p50"], r["p95"], r["p99"])

@@ -113,7 +113,8 @@ def main() -> None:
         "formatted"
     )
     for name, blurb in HEADLINE.items():
-        df = em.queries()[name](spark, sf_dir)
+        fn = em.queries().get(name) or getattr(em, f"q_{name}")
+        df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
         tree = plan.split("\n\n")[0]
         out.append(f"## {name}\n\n_{blurb}_\n\n```\n{tree}\n```\n")
