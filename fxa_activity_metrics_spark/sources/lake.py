@@ -29,6 +29,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _bucket_index(col_name: str, bnds: list[float]):
+    """Equi-depth bucket index of ``col_name`` against sorted
+    boundaries: #boundaries <= value, as a JVM fold over a literal
+    array. NULL comparisons fall to the otherwise(0) branch, so NULLs
+    land in bucket 0."""
+    return F.aggregate(
+        F.lit(bnds),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col(col_name) >= b, 1).otherwise(0),
+    )
+
+
+def _swap_dir(live: str, tmp: str) -> None:
+    """Promote ``tmp`` over ``live`` with the trash-rotation pattern
+    (VERDICT r11 item 4): rotate live aside FIRST, then promote, then
+    drop the rotation. A crash at any point leaves the data
+    recoverable — before the promote the previous table survives
+    under ``._old_swap``; after it the new table is live. The naive
+    rmtree-then-rename order has a window where NO live dir exists.
+    The rename pair is not one atomic op; readers racing the swap
+    should retry (single-writer assumed)."""
+    trash = live + "._old_swap"
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+    if os.path.exists(live):
+        os.replace(live, trash)
+    os.replace(tmp, live)
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+
+
 class Lake:
     """A collection of day-partitioned Parquet tables under ``root``.
 
@@ -105,15 +137,7 @@ class Lake:
         """
         tmp = self.path(table) + "._tmp_swap"
         df.write.mode("overwrite").parquet(tmp)
-        dest = self.path(table)
-        trash = dest + "._old_swap"
-        if os.path.exists(trash):
-            shutil.rmtree(trash)
-        if os.path.exists(dest):
-            os.replace(dest, trash)
-        os.replace(tmp, dest)
-        if os.path.exists(trash):
-            shutil.rmtree(trash)
+        _swap_dir(self.path(table), tmp)
 
     # -- read -------------------------------------------------------------
 
@@ -354,7 +378,8 @@ class Lake:
         """VACUUM analogue (S7): rewrite each day partition into
         ``target_files_per_day`` sorted files. Run after heavy
         delete_where churn; partition-granular so it scales linearly
-        and can be parallelized per-day on a cluster."""
+        and can be parallelized per-day on a cluster. Each partition
+        swap uses the crash-safe trash rotation (``_swap_dir``)."""
         for day in self.days(table):
             part = os.path.join(self.path(table), f"day={day.isoformat()}")
             df = self.spark.read.parquet(part).coalesce(target_files_per_day)
@@ -362,8 +387,7 @@ class Lake:
                 df = df.sortWithinPartitions("timestamp")
             tmp = part + "._compact"
             df.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part)
-            os.replace(tmp, part)
+            _swap_dir(part, tmp)
 
     def optimize_zorder(
         self,
@@ -393,10 +417,30 @@ class Lake:
         bounded collect, never corpus-scale), the bucket indexes'
         bits are interleaved into one long, and the table is range-
         partitioned + sorted by it in a single exchange, then swapped
-        in atomically (write to a temp dir, os.replace — the same
-        crash-safe pattern as ``compact``). NULLs rank lowest
-        (bucket 0). Numeric columns only; raises on anything else
-        rather than clustering garbage.
+        in with the crash-safe trash rotation (``_swap_dir`` — live
+        rotated aside before the promote, so no window with no live
+        dir). NULLs rank lowest (bucket 0).
+
+        Column types: numeric columns rank on their value; DATE on
+        epoch day and TIMESTAMP on epoch seconds (order-preserving,
+        so the reference's SORTKEY columns — import_events.py:62
+        ``timestamp``/``day`` — are clusterable); STRING on the
+        big-endian integer of its first 7 bytes — an
+        order-preserving surrogate, NOT a hash: lexicographic
+        neighbors land in the same bucket, so the Parquet min/max
+        stats on the ORIGINAL string column stay narrow per row
+        group and equality/prefix predicates (``uid = …``,
+        ``flow_id LIKE 'ab%'``) prune. (A hash surrogate would
+        spread equal keys uniformly and leave every row group's
+        string min/max spanning the whole domain — no skipping.)
+        Other types raise rather than clustering garbage.
+
+        Partitioned tables are z-ordered PER PARTITION, preserving
+        the ``day=`` directory layout (each partition is an
+        independent rewrite — the unit of maintenance at 100 TB,
+        embarrassingly parallel across a cluster). Clustering on the
+        partition column itself raises (it is constant within a
+        partition; partition pruning already covers it).
         """
         if not cols:
             raise ValueError("optimize_zorder: need at least one column")
@@ -405,14 +449,74 @@ class Lake:
                 f"optimize_zorder: {bits} bits x {len(cols)} cols "
                 f"overflows the 63-bit z-value"
             )
-        df = self.spark.read.parquet(self.path(table))
-        numeric = (T.NumericType,)
-        for c in cols:
-            if not isinstance(df.schema[c].dataType, numeric):
+        root = self.path(table)
+        part_dirs = sorted(
+            d for d in os.listdir(root)
+            if "=" in d and os.path.isdir(os.path.join(root, d))
+        )
+        if part_dirs:
+            pcols = {d.split("=", 1)[0] for d in part_dirs}
+            clash = pcols & set(cols)
+            if clash:
                 raise ValueError(
-                    f"optimize_zorder: column {c!r} is "
-                    f"{df.schema[c].dataType.simpleString()}, not numeric"
+                    f"optimize_zorder: {sorted(clash)} are partition "
+                    f"columns — constant within each partition dir; "
+                    f"cluster on the non-partition keys instead"
                 )
+            for d in part_dirs:
+                leaf = os.path.join(root, d)
+                if any(
+                    "=" in s and os.path.isdir(os.path.join(leaf, s))
+                    for s in os.listdir(leaf)
+                ):
+                    raise ValueError(
+                        f"optimize_zorder: nested partition layout "
+                        f"under {leaf!r} is not supported"
+                    )
+                self._zorder_dir(leaf, cols, bits, n_files)
+        else:
+            self._zorder_dir(root, cols, bits, n_files)
+
+    @staticmethod
+    def _zorder_surrogate(c: str, dtype: T.DataType):
+        """Order-preserving numeric surrogate for a clustering column
+        (see ``optimize_zorder``); raises on unsupported types."""
+        if isinstance(dtype, T.NumericType):
+            return F.col(c).cast("double")
+        if isinstance(dtype, T.DateType):
+            # epoch day — exact in a double far beyond any calendar
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(dtype, T.TimestampType):
+            # epoch seconds (+fraction); doubles hold ~2^53 exactly,
+            # plenty for boundary ranking
+            return F.col(c).cast("double")
+        if isinstance(dtype, T.StringType):
+            # big-endian integer of the first 7 bytes (56 bits, inside
+            # double's 53-bit exactness for ranking purposes): strictly
+            # monotone in the string's byte order for the leading 7
+            # bytes, ties beyond that collapse into one bucket — fine
+            # for equi-depth bucketing. Empty string → conv('') → NULL
+            # → bucket 0, same as NULL.
+            return F.conv(
+                F.hex(F.substring(F.col(c), 1, 7)), 16, 10
+            ).cast("double")
+        raise ValueError(
+            f"optimize_zorder: column {c!r} is {dtype.simpleString()}; "
+            f"supported: numeric, date, timestamp, string"
+        )
+
+    def _zorder_dir(
+        self, path: str, cols: list[str], bits: int, n_files: int | None
+    ) -> None:
+        """One-directory z-order rewrite (the whole table, or one
+        partition of a partitioned table)."""
+        df = self.spark.read.parquet(path)
+        surrogates = {
+            c: self._zorder_surrogate(c, df.schema[c].dataType) for c in cols
+        }
+        work = df
+        for d, c in enumerate(cols):
+            work = work.withColumn(f"_zs{d}", surrogates[c])
         n_bins = 1 << bits
         probs = [i / n_bins for i in range(1, n_bins)]
         ndims = len(cols)
@@ -420,19 +524,18 @@ class Lake:
         for d, c in enumerate(cols):
             # equi-depth boundaries; dedupe (heavy hitters repeat a
             # boundary) while keeping order so the fold stays monotone
-            raw = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+            raw = work.stat.approxQuantile(f"_zs{d}", probs, 1.0 / (4 * n_bins))
             bnds: list[float] = []
             for b in raw:
                 if not bnds or b > bnds[-1]:
                     bnds.append(b)
             # bucket index = #boundaries <= value (JVM fold over a
-            # literal array; lambda is a bound-ref comparison only)
-            idx = F.aggregate(
-                F.lit(bnds),
-                F.lit(0).cast("long"),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-            )
+            # literal array; lambda is a bound-ref comparison only).
+            # NB: the fold lambda must be EXACTLY 2-arg — pyspark
+            # derives the higher-order function's arity from the
+            # Python signature — so the column name is bound via a
+            # factory closure, not a default arg.
+            idx = _bucket_index(f"_zs{d}", bnds)
             for bit in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(idx, bit).bitwiseAND(F.lit(1)),
@@ -442,16 +545,14 @@ class Lake:
             1, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
         )
         out = (
-            df.withColumn("_z", z)
+            work.withColumn("_z", z)
             .repartitionByRange(n, "_z")
             .sortWithinPartitions("_z")
-            .drop("_z")
+            .drop("_z", *[f"_zs{d}" for d in range(ndims)])
         )
-        part = self.path(table)
-        tmp = part + "._zorder"
+        tmp = path + "._zorder"
         out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part)
-        os.replace(tmp, part)
+        _swap_dir(path, tmp)
 
     def analyze(self, table: str) -> None:
         """ANALYZE analogue (S7): compute table stats for CBO when the

@@ -117,10 +117,10 @@ def test_zorder_filter_results_unchanged(spark, tmp_path):
 
 def test_zorder_loud_failures(spark, tmp_path):
     lake = Lake(spark, str(tmp_path))
-    df = spark.range(10).withColumn("s", F.col("id").cast("string"))
+    df = spark.range(10).withColumn("a", F.array(F.col("id")))
     df.write.mode("overwrite").parquet(lake.path("t"))
-    with pytest.raises(ValueError, match="not numeric"):
-        lake.optimize_zorder("t", ["s"])
+    with pytest.raises(ValueError, match="supported: numeric"):
+        lake.optimize_zorder("t", ["a"])
     with pytest.raises(ValueError, match="at least one column"):
         lake.optimize_zorder("t", [])
     with pytest.raises(ValueError, match="63-bit"):
@@ -160,3 +160,180 @@ def test_zorder_skewed_column_still_spreads(spark, tmp_path):
     assert hit >= 4, hit
     # and y stays bounded even with x skewed
     assert _mean(_extents(lake.path("t"), "y")) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# r12 additions: partitioned tables, non-numeric keys, crash-safe swap
+# (VERDICT r11 items 3-5)
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from pyspark.sql import types as T
+from fxa_activity_metrics_spark.sources.lake import _swap_dir
+
+
+def _mk_activity(spark, lakedir: str, n_days: int = 3, per_day: int = 8_000):
+    """A day-partitioned activity-like table: the reference's
+    SORTKEY/DISTKEY pair (timestamp, uid) as real TIMESTAMP/STRING
+    columns (import_events.py:62, import_activity_events.py:8)."""
+    lake = Lake(spark, lakedir)
+    df = (
+        spark.range(n_days * per_day)
+        .withColumn("day", F.date_add(F.lit("2021-03-01"),
+                                      (F.col("id") % n_days).cast("int")))
+        .withColumn(
+            "timestamp",
+            (F.unix_timestamp(F.col("day").cast("timestamp"))
+             + F.pmod(F.hash(F.col("id") * 5 + 3), F.lit(86_400))
+             ).cast("timestamp"),
+        )
+        .withColumn("uid", F.md5((F.col("id") % 500).cast("string")))
+        .withColumn("v", (F.col("id") % 997).cast("double"))
+        .repartition(16)
+    )
+    lake.write_days("t", df)
+    return lake
+
+
+def test_zorder_partitioned_preserves_day_layout(spark, tmp_path):
+    """The r11 hazard: z-ordering a day-partitioned table must NOT
+    flatten the day= directory layout — expire/compact/write_days all
+    manipulate those dirs. Per-partition rewrite keeps them."""
+    lake = _mk_activity(spark, str(tmp_path))
+    before_days = lake.days("t")
+    assert len(before_days) == 3
+    total = lake.read("t")
+    before_rows = total.count()
+    before_sum = total.agg(F.sum("v")).collect()[0][0]
+
+    lake.optimize_zorder("t", ["timestamp", "uid"], bits=6, n_files=8)
+
+    # layout preserved: same day= dirs, days() still resolves
+    assert lake.days("t") == before_days
+    for day in before_days:
+        assert os.path.isdir(
+            os.path.join(lake.path("t"), f"day={day.isoformat()}"))
+    after = lake.read("t")
+    assert after.count() == before_rows
+    assert abs(after.agg(F.sum("v")).collect()[0][0] - before_sum) < 1e-6
+    # and the downstream maintenance ops still work on the layout
+    lake.drop_part("t", "day", before_days[0])
+    assert lake.days("t") == before_days[1:]
+
+
+def test_zorder_partition_column_clash_raises(spark, tmp_path):
+    lake = _mk_activity(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="partition columns"):
+        lake.optimize_zorder("t", ["day", "uid"])
+
+
+def test_zorder_string_key_keeps_stats_selective(spark, tmp_path):
+    """String clustering must be ORDER-PRESERVING (rank on the
+    leading bytes), not hash-based: the footer min/max on the original
+    string column stays narrow per row group, so uid-equality scans
+    prune. Verified straight from the parquet footers."""
+    lake = Lake(spark, str(tmp_path))
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("uid", F.md5((F.col("id") % 2_000).cast("string")))
+        .withColumn("x", F.pmod(F.hash(F.col("id") * 2 + 1), F.lit(DOMAIN)))
+        .repartition(16)
+    )
+    df.write.mode("overwrite").parquet(lake.path("t"))
+
+    def uid_extent(path: str) -> float:
+        """mean per-row-group uid range, as a fraction of the hex
+        domain, via the 7-char prefix as a base-16 integer."""
+        vals = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            ci = pf.schema_arrow.get_field_index("uid")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                lo = int(st.min[:7], 16)
+                hi = int(st.max[:7], 16)
+                vals.append((hi - lo) / 16**7)
+        return sum(vals) / len(vals)
+
+    assert uid_extent(lake.path("t")) > 0.9  # shuffled: spans the domain
+    lake.optimize_zorder("t", ["uid", "x"], bits=6, n_files=16)
+    after = uid_extent(lake.path("t"))
+    assert after < 0.35, after
+    # content preserved
+    got = spark.read.parquet(lake.path("t"))
+    assert got.count() == n
+    assert got.select("uid").distinct().count() == 2_000
+
+
+def test_zorder_date_and_timestamp_keys(spark, tmp_path):
+    """DATE ranks on epoch day, TIMESTAMP on epoch seconds — both
+    order-preserving, so the reference's SORTKEY columns cluster."""
+    lake = Lake(spark, str(tmp_path))
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("d", F.date_add(F.lit("2021-01-01"),
+                                    F.pmod(F.hash("id"), F.lit(365)).cast("int")))
+        .withColumn(
+            "ts",
+            (F.lit(1_600_000_000)
+             + F.pmod(F.hash(F.col("id") + 9), F.lit(10_000_000))
+             ).cast("timestamp"),
+        )
+        .repartition(16)
+    )
+    df.write.mode("overwrite").parquet(lake.path("t"))
+    before = spark.read.parquet(lake.path("t"))
+    want = before.agg(F.min("d"), F.max("d"), F.min("ts"), F.max("ts"),
+                      F.count("*")).collect()[0]
+    lake.optimize_zorder("t", ["d", "ts"], bits=6, n_files=16)
+    after = spark.read.parquet(lake.path("t"))
+    assert after.agg(F.min("d"), F.max("d"), F.min("ts"), F.max("ts"),
+                     F.count("*")).collect()[0] == want
+
+    # per-row-group date extents collapse (epoch-day fraction of 365)
+    vals = []
+    for f in glob.glob(os.path.join(lake.path("t"), "*.parquet")):
+        pf = pq.ParquetFile(f)
+        ci = pf.schema_arrow.get_field_index("d")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            vals.append((st.max - st.min).days / 365)
+    assert sum(vals) / len(vals) < 0.35
+
+
+def test_swap_dir_promotes_and_cleans(tmp_path):
+    live = str(tmp_path / "live")
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(live); os.makedirs(tmp)
+    open(os.path.join(live, "old.txt"), "w").write("old")
+    open(os.path.join(tmp, "new.txt"), "w").write("new")
+    _swap_dir(live, tmp)
+    assert os.path.exists(os.path.join(live, "new.txt"))
+    assert not os.path.exists(os.path.join(live, "old.txt"))
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(live + "._old_swap")
+    # works when live doesn't exist yet (first write)
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "n2.txt"), "w").write("n2")
+    live2 = str(tmp_path / "live2")
+    _swap_dir(live2, tmp)
+    assert os.path.exists(os.path.join(live2, "n2.txt"))
+
+
+def test_swap_dir_stale_trash_from_prior_crash_is_replaced(tmp_path):
+    """A crash AFTER the rotate but before the promote leaves
+    ._old_swap holding the previous table; the next swap must clear
+    it and still promote."""
+    live = str(tmp_path / "live")
+    tmp = str(tmp_path / "tmp")
+    trash = live + "._old_swap"
+    os.makedirs(live); os.makedirs(tmp); os.makedirs(trash)
+    open(os.path.join(trash, "stale.txt"), "w").write("stale")
+    open(os.path.join(live, "cur.txt"), "w").write("cur")
+    open(os.path.join(tmp, "new.txt"), "w").write("new")
+    _swap_dir(live, tmp)
+    assert os.path.exists(os.path.join(live, "new.txt"))
+    assert not os.path.exists(trash)
