@@ -736,7 +736,9 @@ def pq_topk(
         short.join(base, "id")
         .join(F.broadcast(qbase), "query_id")
         .withColumn(
-            "cos", dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+            # 6dp BEFORE the rank window — see brute_force_topk note
+            "cos",
+            F.round(dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
@@ -744,7 +746,7 @@ def pq_topk(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
     )
 
@@ -901,7 +903,9 @@ def ivfpq_topk(
         short.join(base, "id")
         .join(F.broadcast(qbase), "query_id")
         .withColumn(
-            "cos", dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn"))
+            # 6dp BEFORE the rank window — see brute_force_topk note
+            "cos",
+            F.round(dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn")), 6),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
@@ -909,7 +913,7 @@ def ivfpq_topk(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
     )
 
@@ -1146,9 +1150,13 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos"
-        ),
+        # round to 6dp BEFORE ranking (matching brute_force_topk and
+        # every oracle): ranking on raw cos with 6dp output can
+        # hash-diverge when two candidates round to the same 6dp
+        # value but differ in raw value (ADVICE r11)
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -1156,7 +1164,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -1372,6 +1380,43 @@ def ivf_upsert_index(
     lake.merge_replace(ivf_cells_table(lake, name), assigned, "cell", "neighbor_id")
 
 
+def _one_col(candidate_ids: DataFrame) -> str:
+    """Validate the filtered-search id frame is single-column and
+    return that column's name (ADVICE r11: silently using the first
+    column of a wide frame could filter on the wrong column)."""
+    if len(candidate_ids.columns) != 1:
+        raise ValueError(
+            f"candidate_ids must be a single-column id frame; got "
+            f"{candidate_ids.columns} — .select() the id column "
+            f"(silently filtering on the first column would ignore "
+            f"the rest)"
+        )
+    return candidate_ids.columns[0]
+
+
+def _escalate_probes(
+    n_probe: int, n_cells: int, n_allowed: int, n_corpus: int
+) -> int:
+    """Candidate-aware probe escalation for FILTERED search
+    (VERDICT r11 item 6): a selective filter starves a fixed-n_probe
+    shortlist — the allowed ids may concentrate outside the probed
+    cells, so recall@k collapses as selectivity drops. Unfiltered,
+    ``n_probe`` cells yield ~n_probe·(N/C) candidates per query;
+    with an allowed fraction s = n_allowed/N, recovering the same
+    EXPECTED number of allowed candidates needs ~n_probe/s cells.
+    Escalate to that, clamped to [n_probe, n_cells] — at full
+    selectivity this is a no-op, and the worst case (tiny filter) is
+    a full-probe scan of the filtered stream, which the semi-join
+    has already cut to n_allowed rows, so the extra probes do NOT
+    re-inflate the scored stream. Pure driver arithmetic from two
+    counts (the allowed set is broadcast-scale; the corpus count is
+    parquet-metadata cheap)."""
+    if n_allowed <= 0:
+        return n_cells
+    s = n_allowed / max(n_corpus, 1)
+    return max(n_probe, min(n_cells, math.ceil(n_probe / max(s, 1e-12))))
+
+
 def _semi_filter(
     df: DataFrame,
     candidate_ids: DataFrame | None,
@@ -1387,7 +1432,7 @@ def _semi_filter(
     let AQE pick the join."""
     if candidate_ids is None:
         return df
-    fcol = candidate_ids.columns[0]
+    fcol = _one_col(candidate_ids)
     allowed = candidate_ids.select(F.col(fcol).alias(id_name)).distinct()
     if broadcast_filter:
         allowed = F.broadcast(allowed)
@@ -1404,6 +1449,7 @@ def ivf_query_index(
     vec_col: str = "embedding",
     candidate_ids: DataFrame | None = None,
     broadcast_filter: bool = True,
+    auto_probe: bool = True,
 ) -> DataFrame:
     """Query the persisted IVF index: probe cells are chosen against
     the stored centroids (driver-side, n_cells rows) and ONLY those
@@ -1416,10 +1462,16 @@ def ivf_query_index(
     predicate (language, source, split, ...). The filter lands on the
     partition-pruned cells scan itself — before any scoring or
     shuffle — so a selective predicate cuts the candidate stream
-    proportionally. Note pre-filtering semantics: k survivors are
-    guaranteed per query (unlike post-filtering a fixed shortlist,
-    which can starve); recall against the filtered brute-force twin
-    is pinned in tests/test_ivf_index.py.
+    proportionally. Pre-filtering semantics: k survivors are
+    guaranteed per query; recall against the filtered brute-force
+    twin is pinned in tests/test_ivf_index.py. With ``auto_probe``
+    (default), a selective filter escalates the probe count by
+    1/selectivity (``_escalate_probes``) so the shortlist is built
+    from roughly as many ALLOWED candidates as an unfiltered query
+    sees — without it, recall at low n_probe collapses once the
+    allowed ids concentrate outside the probed cells (measured in
+    FILTERED_RECALL.json; floor pinned in tests). No effect on
+    unfiltered queries or full-probe calls.
     """
     crows = sorted(
         _read_manifest(lake, f"{name}_centroids", "ivf_query_index"),
@@ -1427,6 +1479,13 @@ def ivf_query_index(
     )
     centroids = [list(r["centroid"]) for r in crows]
     cells_tbl = crows[0]["cells_table"]
+    if candidate_ids is not None and auto_probe:
+        n_probe = _escalate_probes(
+            n_probe,
+            len(centroids),
+            candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
+            lake.read(cells_tbl).count(),
+        )
     nearest_cells = _cell_exprs(centroids)
     q = (
         queries.select(
@@ -1457,9 +1516,13 @@ def ivf_query_index(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos"
-        ),
+        # round to 6dp BEFORE ranking (matching brute_force_topk and
+        # every oracle): ranking on raw cos with 6dp output can
+        # hash-diverge when two candidates round to the same 6dp
+        # value but differ in raw value (ADVICE r11)
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -1467,7 +1530,7 @@ def ivf_query_index(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -1526,9 +1589,13 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos"
-        ),
+        # round to 6dp BEFORE ranking (matching brute_force_topk and
+        # every oracle): ranking on raw cos with 6dp output can
+        # hash-diverge when two candidates round to the same 6dp
+        # value but differ in raw value (ADVICE r11)
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -1536,7 +1603,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -2131,7 +2198,9 @@ def pq_query_index(
         short.join(base, "id")
         .join(F.broadcast(qbase), "query_id")
         .withColumn(
-            "cos", dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+            # 6dp BEFORE the rank window — see brute_force_topk note
+            "cos",
+            F.round(dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
@@ -2139,7 +2208,7 @@ def pq_query_index(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
     )
 
@@ -2249,6 +2318,7 @@ def ivfpq_query_index(
     vec_col: str = "embedding",
     candidate_ids: DataFrame | None = None,
     broadcast_filter: bool = True,
+    auto_probe: bool = True,
 ) -> DataFrame:
     """Query the persisted IVFPQ index: probe cells come from the
     stored centroids, ONLY those cell partitions of the code table
@@ -2264,7 +2334,10 @@ def ivfpq_query_index(
     code scan BEFORE the ADC aggregate, so the shortlist is built
     from allowed ids only (pre-filtering — k survivors guaranteed,
     never a starved post-filtered shortlist) and the exact rerank
-    stays bounded by shortlist_factor·k.
+    stays bounded by shortlist_factor·k. ``auto_probe`` (default)
+    escalates the probe count by 1/selectivity for selective filters
+    (``_escalate_probes``) — same rationale and recall evidence as
+    ivf_query_index (FILTERED_RECALL.json).
     """
     crows = sorted(
         _read_manifest(lake, f"{name}_centroids", "ivfpq_query_index"),
@@ -2282,6 +2355,13 @@ def ivfpq_query_index(
     ]
     for r in brows:
         codebooks[r["s"]][r["j"]] = list(r["codeword"])
+    if candidate_ids is not None and auto_probe:
+        n_probe = _escalate_probes(
+            n_probe,
+            len(cents),
+            candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
+            lake.read(vecs_tbl).count(),
+        )
     nearest = _cell_exprs(cents)
     qvec = _as_double(F.col(vec_col))
     probes = cacheutil.track(
@@ -2328,7 +2408,9 @@ def ivfpq_query_index(
         short.join(base, "id")
         .join(F.broadcast(qbase), "query_id")
         .withColumn(
-            "cos", dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn"))
+            # 6dp BEFORE the rank window — see brute_force_topk note
+            "cos",
+            F.round(dot(F.col("vec"), F.col("qvb")) / (F.col("nrm") * F.col("qbn")), 6),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
@@ -2336,7 +2418,7 @@ def ivfpq_query_index(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
     )
 

@@ -544,3 +544,67 @@ def test_filtered_query_plan_is_broadcast_semi_join(ivfpq_env, spark):
     assert "LeftSemi" in plan
     semi = plan[plan.index("LeftSemi") - 200 : plan.index("LeftSemi") + 50]
     assert "Broadcast" in semi, semi
+
+
+def test_escalate_probes_arithmetic():
+    from fxa_activity_metrics_spark.operators.similarity import (
+        _escalate_probes,
+    )
+
+    # full selectivity: no-op
+    assert _escalate_probes(4, 16, 1000, 1000) == 4
+    # selectivity 1/4 -> 4x probes
+    assert _escalate_probes(2, 16, 250, 1000) == 8
+    # tiny filter: clamp at n_cells
+    assert _escalate_probes(2, 16, 3, 1000) == 16
+    # empty filter: full probe (result is empty anyway)
+    assert _escalate_probes(2, 16, 0, 1000) == 16
+    # never BELOW the caller's n_probe
+    assert _escalate_probes(8, 16, 1000, 1000) == 8
+
+
+def test_filtered_partial_probe_recall_floor(env, spark):
+    """FILTERED_RECALL.json's pinned floor: a selective filter
+    (selectivity 0.05) at n_probe=2 starves a fixed-probe shortlist
+    but auto_probe escalates to full probe, where filtered search ==
+    filtered brute force by construction. Everything here is a
+    deterministic md5 derivation, so the recalls are exact
+    reproducible numbers, not statistics."""
+    from pyspark.sql import functions as F
+
+    from fxa_activity_metrics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lake, emb = env
+    allowed = emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 20)
+    fcorpus = emb.join(allowed, "vec_id", "left_semi")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(fcorpus, q, k=5).collect()
+    }
+
+    def rec(auto):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_query_index(
+                lake, q, name="ivf", k=5, n_probe=2,
+                candidate_ids=allowed, auto_probe=auto,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    fixed, auto = rec(False), rec(True)
+    assert auto >= 0.95, auto     # escalated: ~= exact
+    assert auto >= fixed          # never worse than fixed probes
+
+
+def test_candidate_ids_multi_column_raises(env, spark):
+    from pyspark.sql import functions as F
+
+    lake, emb = env
+    q = emb.filter(F.col("vec_id") < 3)
+    wide = emb.select("vec_id", F.lit(1).alias("extra"))
+    with pytest.raises(ValueError, match="single-column"):
+        ivf_query_index(lake, q, name="ivf", candidate_ids=wide)

@@ -144,15 +144,23 @@ def main() -> None:
     print(line)
     # persist like bench.py does — rounds 10-11 both lost a replay to
     # a stdout-only run (the committed records were manual redirects);
-    # the record file is the graded artifact, so write it here
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fname = (
-        "BENCH_DUCKDB_LOCAL.json"
-        if not sf_val or sf_val < 1
-        else f"BENCH_SF{sf_tag}_DUCKDB.json"
-    )
-    with open(os.path.join(repo, fname), "w") as f:
-        f.write(line + "\n")
+    # the record file is the graded artifact, so write it here. ONLY
+    # for canonical sf roots though (ADVICE r11): a smoke run against
+    # sf0.01 or an ad-hoc dir must not clobber the graded record —
+    # pass --record to force.
+    canonical = sf_val in (0.1, 1.0, 10.0)
+    if canonical or "--record" in sys.argv:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fname = (
+            "BENCH_DUCKDB_LOCAL.json"
+            if not sf_val or sf_val < 1
+            else f"BENCH_SF{sf_tag}_DUCKDB.json"
+        )
+        with open(os.path.join(repo, fname), "w") as f:
+            f.write(line + "\n")
+    else:
+        print(f"# sf={sf_val}: non-canonical data dir — record NOT "
+              f"persisted (pass --record to force)", file=sys.stderr)
 
 
 if __name__ == "__main__":
