@@ -63,6 +63,13 @@ def get_spark(
         # import_events.py:102-105).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, so the
+        # lake's SORTKEY analogue (sortWithinPartitions("timestamp")
+        # + footer-stat row-group pruning) silently never prunes on
+        # timestamp for any reader (Spark, DuckDB, Trino). Found by
+        # tools/zorder_activity_bench.py reading back None stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # read TIMESTAMP(NANOS) parquet columns as long (converted to
         # microsecond timestamps by sources.testdata.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -98,7 +98,15 @@ class Lake:
             raise ValueError(f"write_parts requires a '{part_col}' partition column")
         out = df.repartition(part_col)
         if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+            # the partition column must LEAD the sort: FileFormatWriter
+            # requires its input ordered by the partition columns and
+            # silently inserts its own (non-stable) sort when it isn't
+            # — which destroyed a bare sortWithinPartitions(sort_cols)
+            # and left every row group spanning the whole day (no
+            # zone-map pruning; found via tools/zorder_activity_bench).
+            # Leading with part_col satisfies the writer's required
+            # ordering, so OUR sort is the one that reaches the files.
+            out = out.sortWithinPartitions(part_col, *sort_cols)
         (
             out.write.mode("overwrite")
             .partitionBy(part_col)

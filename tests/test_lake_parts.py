@@ -148,3 +148,37 @@ def test_overwrite_old_data_survives_until_promote(lake, spark, monkeypatch):
     assert os.path.isdir(trash)
     recovered = spark.read.parquet(trash)
     assert [r.id for r in recovered.collect()] == [1]
+
+
+def test_write_days_sort_survives_to_the_files(spark, tmp_path):
+    """write_days' SORTKEY analogue must actually reach the parquet
+    files: FileFormatWriter requires its input ordered by the
+    partition columns and silently inserts its own NON-STABLE sort
+    when it isn't — which used to destroy the timestamp order and
+    leave every row group spanning the whole day (zone maps useless).
+    write_parts now leads the sort with the partition column, so the
+    per-file timestamp order is the pinned contract here."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path))
+    df = (
+        spark.range(40_000)
+        .withColumn("day", F.date_add(F.lit("2021-03-01"),
+                                      (F.col("id") % 2).cast("int")))
+        .withColumn(
+            "timestamp",
+            (F.unix_timestamp(F.col("day").cast("timestamp"))
+             + F.pmod(F.hash(F.col("id") * 5 + 3), F.lit(86_400))
+             ).cast("timestamp"),
+        )
+        .repartition(8)
+    )
+    lake.write_days("t", df)
+    files = glob.glob(os.path.join(lake.path("t"), "day=*", "*.parquet"))
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["timestamp"])["timestamp"].to_pylist()
+        assert ts == sorted(ts), f"{f} not timestamp-sorted"
