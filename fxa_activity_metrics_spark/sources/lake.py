@@ -42,16 +42,26 @@ def _bucket_index(col_name: str, bnds: list[float]):
     )
 
 
+def _hidden_sibling(path: str, suffix: str) -> str:
+    """A dot-prefixed sibling name for temp/trash dirs: Spark's file
+    source ignores paths whose name starts with ``.`` or ``_``, so a
+    crash leftover inside a table root is invisible to readers
+    (a VISIBLE ``day=X._zorder`` leftover would be picked up as a
+    partition dir and break every scan with CANNOT_READ_FILE_FOOTER)."""
+    d, b = os.path.split(path.rstrip("/"))
+    return os.path.join(d, "." + b + suffix)
+
+
 def _swap_dir(live: str, tmp: str) -> None:
     """Promote ``tmp`` over ``live`` with the trash-rotation pattern
     (VERDICT r11 item 4): rotate live aside FIRST, then promote, then
     drop the rotation. A crash at any point leaves the data
     recoverable — before the promote the previous table survives
-    under ``._old_swap``; after it the new table is live. The naive
-    rmtree-then-rename order has a window where NO live dir exists.
-    The rename pair is not one atomic op; readers racing the swap
-    should retry (single-writer assumed)."""
-    trash = live + "._old_swap"
+    under the hidden ``._old_swap`` rotation; after it the new table
+    is live. The naive rmtree-then-rename order has a window where NO
+    live dir exists. The rename pair is not one atomic op; readers
+    racing the swap should retry (single-writer assumed)."""
+    trash = _hidden_sibling(live, "._old_swap")
     if os.path.exists(trash):
         shutil.rmtree(trash)
     if os.path.exists(live):
@@ -143,7 +153,7 @@ class Lake:
         rename pair is not a single atomic op; readers racing the
         swap on a live table should retry (single-writer assumed).
         """
-        tmp = self.path(table) + "._tmp_swap"
+        tmp = _hidden_sibling(self.path(table), "._tmp_swap")
         df.write.mode("overwrite").parquet(tmp)
         _swap_dir(self.path(table), tmp)
 
@@ -245,8 +255,11 @@ class Lake:
             d
             for d in os.listdir(self.root)
             if d.startswith(prefix)
+            and not d.startswith(".")
             and os.path.isdir(os.path.join(self.root, d))
-            # crash-leftover swap staging dirs are not tables
+            # crash-leftover swap staging dirs are not tables (the
+            # hidden ._tmp_swap/._old_swap siblings are dot-prefixed,
+            # but filter legacy visible names too)
             and not d.endswith(("._tmp_swap", "._old_swap"))
         )
 
@@ -393,7 +406,7 @@ class Lake:
             df = self.spark.read.parquet(part).coalesce(target_files_per_day)
             if "timestamp" in df.columns:
                 df = df.sortWithinPartitions("timestamp")
-            tmp = part + "._compact"
+            tmp = _hidden_sibling(part, "._compact")
             df.write.mode("overwrite").parquet(tmp)
             _swap_dir(part, tmp)
 
@@ -458,9 +471,13 @@ class Lake:
                 f"overflows the 63-bit z-value"
             )
         root = self.path(table)
+        # "._" excludes crash leftovers of our own temp/trash suffixes
+        # (._zorder / ._compact / ._old_swap): they must be neither
+        # clustered nor promoted as partitions
         part_dirs = sorted(
             d for d in os.listdir(root)
-            if "=" in d and os.path.isdir(os.path.join(root, d))
+            if "=" in d and "._" not in d
+            and os.path.isdir(os.path.join(root, d))
         )
         if part_dirs:
             pcols = {d.split("=", 1)[0] for d in part_dirs}
@@ -558,7 +575,7 @@ class Lake:
             .sortWithinPartitions("_z")
             .drop("_z", *[f"_zs{d}" for d in range(ndims)])
         )
-        tmp = path + "._zorder"
+        tmp = _hidden_sibling(path, "._zorder")
         out.write.mode("overwrite").parquet(tmp)
         _swap_dir(path, tmp)
 

@@ -108,16 +108,21 @@ def test_overwrite_swap_leftovers_ignored_and_recovered(lake, spark):
     import os
     import shutil
 
+    from fxa_activity_metrics_spark.sources.lake import _hidden_sibling
+
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     lake.overwrite("t_swap", df)
-    # simulate a crash that left both staging dirs behind
-    shutil.copytree(lake.path("t_swap"), lake.path("t_swap") + "._old_swap")
-    shutil.copytree(lake.path("t_swap"), lake.path("t_swap") + "._tmp_swap")
+    # simulate a crash that left both (hidden) staging dirs behind
+    trash = _hidden_sibling(lake.path("t_swap"), "._old_swap")
+    tmp = _hidden_sibling(lake.path("t_swap"), "._tmp_swap")
+    shutil.copytree(lake.path("t_swap"), trash)
+    shutil.copytree(lake.path("t_swap"), tmp)
     assert lake.tables("t_swap") == ["t_swap"], "staging dirs are not tables"
+    assert lake.tables() == ["t_swap"], "hidden dirs are not tables"
     # recovery: the next overwrite succeeds and clears the leftovers
     lake.overwrite("t_swap", spark.createDataFrame([(2, "b")], "id long, v string"))
     assert [r.id for r in lake.read("t_swap").collect()] == [2]
-    assert not os.path.exists(lake.path("t_swap") + "._old_swap")
+    assert not os.path.exists(trash)
     assert lake.tables("t_swap") == ["t_swap"]
 
 
@@ -144,7 +149,9 @@ def test_overwrite_old_data_survives_until_promote(lake, spark, monkeypatch):
         lake.overwrite("t_crash", df2)
     monkeypatch.undo()
     # old data is recoverable from the trash dir
-    trash = lake.path("t_crash") + "._old_swap"
+    from fxa_activity_metrics_spark.sources.lake import _hidden_sibling
+
+    trash = _hidden_sibling(lake.path("t_crash"), "._old_swap")
     assert os.path.isdir(trash)
     recovered = spark.read.parquet(trash)
     assert [r.id for r in recovered.collect()] == [1]

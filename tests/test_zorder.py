@@ -170,7 +170,7 @@ def test_zorder_skewed_column_still_spreads(spark, tmp_path):
 import datetime as dt
 
 from pyspark.sql import types as T
-from fxa_activity_metrics_spark.sources.lake import _swap_dir
+from fxa_activity_metrics_spark.sources.lake import _hidden_sibling, _swap_dir
 
 
 def _mk_activity(spark, lakedir: str, n_days: int = 3, per_day: int = 8_000):
@@ -314,7 +314,7 @@ def test_swap_dir_promotes_and_cleans(tmp_path):
     assert os.path.exists(os.path.join(live, "new.txt"))
     assert not os.path.exists(os.path.join(live, "old.txt"))
     assert not os.path.exists(tmp)
-    assert not os.path.exists(live + "._old_swap")
+    assert not os.path.exists(_hidden_sibling(live, "._old_swap"))
     # works when live doesn't exist yet (first write)
     os.makedirs(tmp)
     open(os.path.join(tmp, "n2.txt"), "w").write("n2")
@@ -329,7 +329,7 @@ def test_swap_dir_stale_trash_from_prior_crash_is_replaced(tmp_path):
     it and still promote."""
     live = str(tmp_path / "live")
     tmp = str(tmp_path / "tmp")
-    trash = live + "._old_swap"
+    trash = _hidden_sibling(live, "._old_swap")
     os.makedirs(live); os.makedirs(tmp); os.makedirs(trash)
     open(os.path.join(trash, "stale.txt"), "w").write("stale")
     open(os.path.join(live, "cur.txt"), "w").write("cur")
@@ -337,3 +337,26 @@ def test_swap_dir_stale_trash_from_prior_crash_is_replaced(tmp_path):
     _swap_dir(live, tmp)
     assert os.path.exists(os.path.join(live, "new.txt"))
     assert not os.path.exists(trash)
+
+
+def test_zorder_ignores_crash_leftover_temp_dirs(spark, tmp_path):
+    """A crash can leave hidden .day=X._zorder / .day=X._old_swap
+    dirs in the table root; Spark readers skip dot-prefixed paths,
+    and the partition detection must not cluster or promote them as
+    partitions either."""
+    lake = _mk_activity(spark, str(tmp_path), n_days=2, per_day=2_000)
+    stale = _hidden_sibling(
+        os.path.join(lake.path("t"), "day=2021-03-01"), "._zorder")
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk.txt"), "w").write("stale")
+    # dot-prefixed leftovers are invisible to readers: this scan
+    # would die with CANNOT_READ_FILE_FOOTER if the dir were visible
+    before = lake.read("t").count()
+    lake.optimize_zorder("t", ["timestamp", "uid"], bits=4, n_files=2)
+    assert lake.read("t").count() == before
+    assert len(lake.days("t")) == 2
+    # the rewrite of that partition re-used (and so reclaimed) the
+    # stale temp path; the junk was never promoted into the partition
+    assert not os.path.exists(os.path.join(stale, "junk.txt"))
+    part = os.path.join(lake.path("t"), "day=2021-03-01")
+    assert not any("junk" in f for f in os.listdir(part))
