@@ -291,6 +291,11 @@ def simhash(
         sig = sig + F.when(
             bitcount(b) * 2 > n, F.lit(1 << b).cast("long")
         ).otherwise(zero)
+    # NULL text must propagate NULL (as the pre-r12 single-fold shape
+    # did): without the guard every per-bit when(NULL).otherwise(0)
+    # yields 0, silently making all null-text docs mutual hamming-0
+    # near-duplicates of each other
+    sig = F.when(hs.isNull(), F.lit(None).cast("long")).otherwise(sig)
     return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 

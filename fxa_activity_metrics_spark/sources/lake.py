@@ -24,6 +24,7 @@ import datetime as dt
 import os
 import re
 import shutil
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -516,14 +517,19 @@ class Lake:
             # plenty for boundary ranking
             return F.col(c).cast("double")
         if isinstance(dtype, T.StringType):
-            # big-endian integer of the first 7 bytes (56 bits, inside
-            # double's 53-bit exactness for ranking purposes): strictly
-            # monotone in the string's byte order for the leading 7
-            # bytes, ties beyond that collapse into one bucket — fine
-            # for equi-depth bucketing. Empty string → conv('') → NULL
-            # → bucket 0, same as NULL.
+            # big-endian integer of the first 7 BYTES, zero-right-padded
+            # (56 bits, inside double's 53-bit exactness for ranking
+            # purposes): monotone in the string's byte order — shorter
+            # strings pad with 0x00 (the minimal byte) so 'z' (0x7A…)
+            # still ranks above 'abc' (0x616263…), and the slice is
+            # taken on the HEX of the UTF-8 bytes (14 hex chars = 7
+            # bytes exactly) so multi-byte characters can never widen
+            # the prefix past conv's 64-bit range. A strict byte-prefix
+            # of a longer string ties with it — ties collapse into one
+            # bucket, fine for equi-depth bucketing. Empty string → 0,
+            # NULL → NULL → bucket 0.
             return F.conv(
-                F.hex(F.substring(F.col(c), 1, 7)), 16, 10
+                F.rpad(F.substring(F.hex(F.col(c)), 1, 14), 14, "0"), 16, 10
             ).cast("double")
         raise ValueError(
             f"optimize_zorder: column {c!r} is {dtype.simpleString()}; "
@@ -554,6 +560,19 @@ class Lake:
             for b in raw:
                 if not bnds or b > bnds[-1]:
                     bnds.append(b)
+            if not bnds:
+                # approxQuantile returns [] when the column is entirely
+                # NULL in this directory (reachable since per-partition
+                # rewrites scan single days): folding over an empty
+                # literal array is degenerate, so skip the dimension —
+                # every row is bucket 0 anyway, contributing constant
+                # 0 bits.
+                warnings.warn(
+                    f"optimize_zorder: column {c!r} is entirely NULL "
+                    f"under {path!r}; skipping that dimension",
+                    stacklevel=2,
+                )
+                continue
             # bucket index = #boundaries <= value (JVM fold over a
             # literal array; lambda is a bound-ref comparison only).
             # NB: the fold lambda must be EXACTLY 2-arg — pyspark

@@ -608,3 +608,62 @@ def test_candidate_ids_multi_column_raises(env, spark):
     wide = emb.select("vec_id", F.lit(1).alias("extra"))
     with pytest.raises(ValueError, match="single-column"):
         ivf_query_index(lake, q, name="ivf", candidate_ids=wide)
+
+
+def test_manifest_records_corpus_count_through_build_and_upsert(spark, tmp_path):
+    """The centroids manifest carries n_vectors so filtered queries
+    compute selectivity from a bounded manifest read, never a count
+    job over the cells table per call (VERDICT r12 item 3). Build
+    records the corpus size; upsert refreshes it — new ids add,
+    re-upserted ids don't double-count."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings").filter("vec_id < 200")
+    n = emb.count()
+    lake = Lake(spark, str(tmp_path / "nv_lake"))
+    ivf_build_index(lake, emb, name="ivf", n_cells=8)
+    m = lake.read("ivf_centroids")
+    assert set(r["n_vectors"] for r in m.collect()) == {n}
+
+    # 5 genuinely new ids + 1 replaced id -> n + 5
+    delta = (
+        read_table(spark, SF, "embeddings")
+        .filter("vec_id >= 200 and vec_id < 205")
+        .unionByName(emb.filter("vec_id = 0"))
+    )
+    ivf_upsert_index(lake, delta, name="ivf")
+    m2 = lake.read("ivf_centroids")
+    assert set(r["n_vectors"] for r in m2.collect()) == {n + 5}
+    # and the count matches the actual cells table
+    assert lake.read(ivf_cells_table(lake, "ivf")).count() == n + 5
+
+
+def test_filtered_query_uses_manifest_count_not_a_cells_scan(spark, tmp_path):
+    """A filtered auto_probe query on a current index must not launch
+    a count over the cells table: with the cells files made unreadable
+    for anything but the probed partitions... (cheap proxy: monkeypatch
+    Lake.read to record table reads and assert the cells table is read
+    exactly once — the probed scan — not twice)."""
+    emb = read_table(spark, SF, "embeddings").filter("vec_id < 300")
+    lake = Lake(spark, str(tmp_path / "mc_lake"))
+    ivf_build_index(lake, emb, name="ivf", n_cells=8)
+    queries = emb.filter("vec_id < 3")
+    allowed = emb.filter("vec_id % 7 = 0").select("vec_id")
+
+    reads: list[str] = []
+    orig = Lake.read
+
+    def spy(self, table, schema=None):
+        reads.append(table)
+        return orig(self, table, schema)
+
+    Lake.read = spy
+    try:
+        out = ivf_query_index(
+            lake, queries, name="ivf", k=3, n_probe=2, candidate_ids=allowed
+        )
+        out.collect()
+    finally:
+        Lake.read = orig
+    cells = ivf_cells_table(lake, "ivf")
+    assert reads.count(cells) == 1, reads

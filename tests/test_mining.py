@@ -213,3 +213,18 @@ def test_text_ann_finds_exact_duplicate_first(spark):
     out = hashed_vector_topk(docs, k=2, dim=32, n_queries=1).collect()
     top = [r for r in out if r.query_id == 0 and r.rank == 1][0]
     assert top.neighbor_id == 50 and top.cosine == 1.0
+
+
+def test_simhash_null_text_propagates_null(spark):
+    """NULL text → NULL signature (pre-r12 single-fold behavior): the
+    per-bit scalar folds must not collapse null-text docs to simhash 0,
+    which would make them all mutual hamming-0 near-duplicates."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got[1] is not None
+    assert got[2] is None
+    # empty string tokenizes to an empty array, not NULL: signature 0
+    assert got[3] == 0

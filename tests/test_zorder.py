@@ -267,6 +267,57 @@ def test_zorder_string_key_keeps_stats_selective(spark, tmp_path):
     assert got.select("uid").distinct().count() == 2_000
 
 
+def test_zorder_string_surrogate_is_byte_order_preserving(spark):
+    """The string surrogate must rank by BYTE order for variable-length
+    and non-ASCII keys: without zero-right-padding 'z' (one byte 0x7A)
+    would rank below 'abc' (0x616263), and a character-based 7-char
+    slice of a non-ASCII key can exceed 7 BYTES and overflow conv's
+    64-bit range, saturating those rows into one bucket (the silent
+    zone-map-killer class). Pinned directly against Python byte order."""
+    keys = [
+        "", "a", "z", "abc", "abcdefgh", "abd", "zz",
+        "münchen", "éclair", "中文键",
+        "\U0001f600emoji", "zzzzzzzz", "a" * 20,
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sur = Lake._zorder_surrogate("k", T.StringType())
+    got = {r["k"]: r["s"] for r in df.select("k", sur.alias("s")).collect()}
+    # no saturation/NULL: every key maps to a finite surrogate
+    assert all(got[k] is not None for k in keys)
+    assert all(got[k] < float(1 << 56) for k in keys)
+    # byte order preserved: for every pair, surrogate order must agree
+    # with UTF-8 byte order unless one 7-byte prefix is a prefix of the
+    # other (those tie into one bucket by design)
+    for a in keys:
+        for b in keys:
+            pa, pb = a.encode()[:7], b.encode()[:7]
+            if pa == pb or pa == pb[: len(pa)] or pb == pa[: len(pb)]:
+                continue
+            assert (got[a] < got[b]) == (pa < pb), (a, b, got[a], got[b])
+
+
+def test_zorder_all_null_column_skips_dimension(spark, tmp_path):
+    """An entirely-NULL clustering column in one directory (reachable
+    since per-partition rewrites scan single days) must not blow up or
+    silently degrade the OTHER dimensions: the NULL dimension is
+    skipped with a warning and the non-NULL key still clusters."""
+    lake = Lake(spark, str(tmp_path))
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("x", F.pmod(F.hash(F.col("id") * 2 + 1), F.lit(DOMAIN)))
+        .withColumn("dead", F.lit(None).cast("double"))
+        .repartition(8)
+    )
+    df.write.mode("overwrite").parquet(lake.path("t"))
+    with pytest.warns(UserWarning, match="entirely NULL"):
+        lake.optimize_zorder("t", ["x", "dead"], bits=6, n_files=16)
+    after = spark.read.parquet(lake.path("t"))
+    assert after.count() == n
+    # x still clusters despite the dead dimension
+    assert _mean(_extents(lake.path("t"), "x")) < 0.35
+
+
 def test_zorder_date_and_timestamp_keys(spark, tmp_path):
     """DATE ranks on epoch day, TIMESTAMP on epoch seconds — both
     order-preserving, so the reference's SORTKEY columns cluster."""
