@@ -259,44 +259,73 @@ def simhash(
     doubles for h < 2^32. Output: (id, simhash BIGINT).
     """
     toks = F.array_distinct(tokens(text_col))
-    # hash every token ONCE (md5 is the expensive step), then one
-    # scalar fold PER BIT over the shared hs subexpression — Spark's
-    # subexpression elimination evaluates the md5 transform once per
-    # row, not once per bit (verified by measurement: this shape is
-    # ~15% FASTER than the single-fold alternative at sf1; a 32× md5
-    # re-eval would be ~10× slower). The replaced single fold
-    # zip_with-accumulated a (bits+1)-wide array, allocating a fresh
-    # 33-element array per token — per-element allocation dominated
-    # its interpreted-HOF cost. Bit-identical output.
+    # Three projection stages, each behind an EXPLICIT boundary that
+    # Catalyst cannot collapse away (the boundary expression is
+    # non-cheap and referenced more than once, which blocks
+    # CollapseProject from inlining it):
+    #
+    #   1. _hs   — md5-hash every distinct token ONCE;
+    #   2. _pk   — ceil(bits/3) packed folds over the MATERIALIZED
+    #              _hs column, each accumulating three bit-counts in
+    #              20-bit lanes of one long (no per-token allocation);
+    #   3. sig   — cheap bit extraction of the majority votes.
+    #
+    # The boundary is the whole point: higher-order functions run
+    # INTERPRETED (no whole-stage codegen), so common-subexpression
+    # elimination does NOT share a repeated hs subtree across folds —
+    # the r12 per-bit shape silently re-evaluated the md5 transform in
+    # every one of its 32 folds. Materializing _hs and folding over
+    # the column reference measured 10× faster at sf10 (33 s → 3.3 s)
+    # and 2.5× at sf1, bit-identical output (ENGINEERING_NOTES.md r13).
+    # Lane counts are bounded by the per-doc distinct-token count —
+    # safe below 2^20 ≈ 1M distinct tokens per document, far past any
+    # real document this text path handles.
     # shiftright+bitwiseAND on a long is exact for h < 2^32.
-    hs = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
-    n = F.size(hs)
     zero = F.lit(0).cast("long")
+    _LANE = 20  # bits per packed count lane (3 lanes < 63 bits)
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        ).alias("_hs"),
+    )
+    hcol = F.col("_hs")
 
-    def bitcount(b: int):
-        # factory closure, NOT a default arg: pyspark derives the HOF
-        # arity from the Python signature, so a 3-arg lambda would
-        # bind a Column to the extra parameter
-        return F.aggregate(
-            hs,
-            zero,
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
+    def packcount(group: list[int]):
+        # factory closure, NOT default args: pyspark derives the HOF
+        # arity from the Python signature, so extra parameters would
+        # bind Columns to them
+        def step(acc, h):
+            e = acc
+            for lane, b in enumerate(group):
+                e = e + F.shiftleft(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)), lane * _LANE
+                )
+            return e
 
+        return F.aggregate(hcol, zero, step)
+
+    groups = [list(range(p, min(p + 3, bits))) for p in range(0, bits, 3)]
+    packed = hashed.select(
+        "id",
+        F.size(hcol).alias("_n"),
+        F.array(*[packcount(g) for g in groups]).alias("_pk"),
+        # NULL text must propagate NULL: without the guard every
+        # per-bit when(NULL).otherwise(0) yields 0, silently making
+        # all null-text docs mutual hamming-0 near-duplicates
+        hcol.isNull().alias("_isnull"),
+    )
     sig = zero
-    for b in range(bits):
-        # majority vote per bit: 2*set_count > n_tokens → bit set
-        sig = sig + F.when(
-            bitcount(b) * 2 > n, F.lit(1 << b).cast("long")
-        ).otherwise(zero)
-    # NULL text must propagate NULL (as the pre-r12 single-fold shape
-    # did): without the guard every per-bit when(NULL).otherwise(0)
-    # yields 0, silently making all null-text docs mutual hamming-0
-    # near-duplicates of each other
-    sig = F.when(hs.isNull(), F.lit(None).cast("long")).otherwise(sig)
-    return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    for gi, group in enumerate(groups):
+        pk = F.col("_pk")[gi]
+        for lane, b in enumerate(group):
+            cnt = F.shiftright(pk, lane * _LANE).bitwiseAND(F.lit((1 << _LANE) - 1))
+            # majority vote per bit: 2*set_count > n_tokens → bit set
+            sig = sig + F.when(
+                cnt * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+            ).otherwise(zero)
+    sig = F.when(F.col("_isnull"), F.lit(None).cast("long")).otherwise(sig)
+    return packed.select("id", sig.alias("simhash"))
 
 
 def duplicate_clusters(
