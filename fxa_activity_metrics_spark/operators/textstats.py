@@ -520,17 +520,35 @@ def repetition_stats(
     """
     from fxa_activity_metrics_spark.operators.dedup import shingles
 
-    def dup_frac(n: int):
-        z = shingles(text_col, n, distinct=False)
-        total = F.size(z)
-        uniq = F.size(F.array_distinct(z))
+    # The gram arrays are zip_with chains — CodegenFallback, so
+    # repeated references re-evaluate them (no codegen, no
+    # subexpression elimination; the simhash 10× lesson, r13).
+    # Materialize each array ONCE behind a projection boundary
+    # (expensive + multi-referenced blocks CollapseProject), reduce to
+    # four ints, then the fractions are cheap arithmetic. Previously
+    # each dup_frac inlined its shingle chain into four reference
+    # sites (round + flag, × size + array_distinct) per n.
+    grams = docs.select(
+        F.col(id_col),
+        shingles(text_col, 2, distinct=False).alias("_z2"),
+        shingles(text_col, 3, distinct=False).alias("_z3"),
+    )
+    counts = grams.select(
+        id_col,
+        F.size("_z2").alias("_t2"),
+        F.size(F.array_distinct("_z2")).alias("_u2"),
+        F.size("_z3").alias("_t3"),
+        F.size(F.array_distinct("_z3")).alias("_u3"),
+    )
+
+    def dup_frac(total, uniq):
         return F.when(
             total > 0, (total - uniq).cast("double") / total.cast("double")
         ).otherwise(F.lit(0.0))
 
-    d2 = dup_frac(2)
-    d3 = dup_frac(3)
-    return docs.select(
+    d2 = dup_frac(F.col("_t2"), F.col("_u2"))
+    d3 = dup_frac(F.col("_t3"), F.col("_u3"))
+    return counts.select(
         F.col(id_col),
         F.round(d2, 6).alias("dup_2gram_frac"),
         F.round(d3, 6).alias("dup_3gram_frac"),

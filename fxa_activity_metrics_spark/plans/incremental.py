@@ -134,6 +134,24 @@ class ImportJob:
         for suffix, _percent, months in SAMPLE_RATES:
             self.lake.expire(self.table(suffix), max_day, months)
 
+    def maintain(self, max_day: dt.date) -> None:
+        """S7 at pipeline cadence: z-order CLOSED day partitions on
+        the dataset's clustering keys (the reference's SORTKEY/DISTKEY
+        pair, schemas.py) so uid/flow_id point lookups and composite
+        time-slices prune row groups. Only days strictly older than
+        max_day are clustered — the newest day stays inside the 1-day
+        grace window and may still be rewritten; once a newer day
+        lands, the next run picks it up. Per-partition _CLUSTERED
+        markers make re-runs no-ops (Lake.maintain)."""
+        if not self.dataset.zorder_cols:
+            return
+        for suffix, _percent, _months in SAMPLE_RATES:
+            self.lake.maintain(
+                self.table(suffix),
+                list(self.dataset.zorder_cols),
+                before_day=max_day,
+            )
+
     def run(self) -> list[dt.date]:
         """The full pipeline (import_events.py:238-258). Returns the
         days processed (newest first)."""
@@ -147,6 +165,7 @@ class ImportJob:
             processed.append(day)
         if max_day:
             self.expire(max_day)
+            self.maintain(max_day)
         if self.after_import:
             self.after_import(self, max_day)
         return processed

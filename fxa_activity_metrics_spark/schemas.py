@@ -228,6 +228,11 @@ class Dataset:
     # string-length caps from the reference VARCHAR(n) DDL, applied on
     # load to emulate Redshift TRUNCATECOLUMNS (import_events.py:96)
     max_lengths: dict[str, int] = field(default_factory=dict)
+    # clustering keys for scheduled maintenance (Lake.maintain): the
+    # Spark-side analogue of the reference's SORTKEY/DISTKEY pair —
+    # closed day partitions are z-ordered on these so point lookups
+    # and composite scans prune row groups (ZORDER_ACTIVITY_SKIP.json)
+    zorder_cols: tuple[str, ...] | None = None
 
 
 ACTIVITY = Dataset(
@@ -236,6 +241,9 @@ ACTIVITY = Dataset(
     lake_schema=ACTIVITY_EVENTS_SCHEMA,
     id_column="uid",
     csv_prefix="activity_events",
+    # SORTKEY timestamp (import_events.py:62) + DISTKEY uid
+    # (import_activity_events.py:8)
+    zorder_cols=("timestamp", "uid"),
     max_lengths={
         "uid": 64,
         "type": 30,
@@ -253,6 +261,9 @@ FLOW = Dataset(
     lake_schema=FLOW_EVENTS_SCHEMA,
     id_column="flow_id",
     csv_prefix="flow_events",
+    # SORTKEY timestamp (import_events.py:62) + DISTKEY flow_id
+    # (import_flow_events.py:51)
+    zorder_cols=("timestamp", "flow_id"),
     max_lengths={"type": 79, "flow_id": 64, "locale": 40, "uid": 64},
 )
 
@@ -262,6 +273,9 @@ EMAIL = Dataset(
     lake_schema=EMAIL_EVENTS_SCHEMA,
     id_column="flow_id",
     csv_prefix="email_events",
+    # SORTKEY timestamp (import_events.py:62) + DISTKEY flow_id
+    # (import_email_events.py:7)
+    zorder_cols=("timestamp", "flow_id"),
     max_lengths={
         "flow_id": 64,
         "domain": 40,

@@ -503,6 +503,55 @@ class Lake:
         else:
             self._zorder_dir(root, cols, bits, n_files)
 
+    def maintain(
+        self,
+        table: str,
+        zorder_cols: list[str],
+        bits: int = 8,
+        n_files: int | None = None,
+        before_day: dt.date | None = None,
+    ) -> list[dt.date]:
+        """The SCHEDULED clustering path (S7 at pipeline cadence):
+        z-order every CLOSED day partition exactly once. A partition
+        is closed when it can no longer be rewritten — the caller
+        passes ``before_day`` (typically the dataset's max_day, so the
+        newest day, still inside the reference's 1-day grace window,
+        is left alone until a newer day lands).
+
+        Idempotence is a per-partition ``_CLUSTERED`` marker file
+        (underscore-prefixed: invisible to every parquet reader, the
+        _SUCCESS convention), written AFTER the crash-safe swap — a
+        crash between rewrite and marker re-clusters that one day on
+        the next run, which is harmless. Any later rewrite of the
+        partition (grace-window delete_where, write_days overwrite,
+        compact) replaces the directory and with it the marker, so a
+        rewritten day is automatically re-clustered on the next
+        maintenance pass. Each day is an independent bounded rewrite —
+        the unit of maintenance at 100 TB, embarrassingly parallel
+        across a cluster.
+
+        Returns the days clustered this call.
+        """
+        if "day" in zorder_cols:
+            raise ValueError(
+                "maintain: 'day' is the partition column — constant "
+                "within each partition dir; cluster on the non-partition "
+                "keys instead"
+            )
+        done: list[dt.date] = []
+        for day in self.days(table):
+            if before_day is not None and day >= before_day:
+                continue
+            part = os.path.join(self.path(table), f"day={day.isoformat()}")
+            marker = os.path.join(part, "_CLUSTERED")
+            if os.path.exists(marker):
+                continue
+            self._zorder_dir(part, zorder_cols, bits, n_files)
+            with open(marker, "w") as fh:
+                fh.write(",".join(zorder_cols))
+            done.append(day)
+        return done
+
     @staticmethod
     def _zorder_surrogate(c: str, dtype: T.DataType):
         """Order-preserving numeric surrogate for a clustering column
@@ -551,7 +600,7 @@ class Lake:
         n_bins = 1 << bits
         probs = [i / n_bins for i in range(1, n_bins)]
         ndims = len(cols)
-        z = F.lit(0).cast("long")
+        live_bnds: dict[int, list[float]] = {}
         for d, c in enumerate(cols):
             # equi-depth boundaries; dedupe (heavy hitters repeat a
             # boundary) while keeping order so the fold stays monotone
@@ -573,13 +622,25 @@ class Lake:
                     stacklevel=2,
                 )
                 continue
-            # bucket index = #boundaries <= value (JVM fold over a
-            # literal array; lambda is a bound-ref comparison only).
-            # NB: the fold lambda must be EXACTLY 2-arg — pyspark
-            # derives the higher-order function's arity from the
-            # Python signature — so the column name is bound via a
-            # factory closure, not a default arg.
-            idx = _bucket_index(f"_zs{d}", bnds)
+            live_bnds[d] = bnds
+        # Bucket indexes are MATERIALIZED behind a projection boundary
+        # (expensive fold, referenced ``bits`` times in the z-value —
+        # which blocks CollapseProject): higher-order folds run
+        # interpreted with no cross-reference subexpression sharing,
+        # so inlining idx would re-run the boundary fold per bit.
+        # The fold lambda must be EXACTLY 2-arg — pyspark derives the
+        # HOF arity from the Python signature — so the column name is
+        # bound via a factory closure, not a default arg.
+        work = work.select(
+            "*",
+            *[
+                _bucket_index(f"_zs{d}", bnds).alias(f"_idx{d}")
+                for d, bnds in live_bnds.items()
+            ],
+        )
+        z = F.lit(0).cast("long")
+        for d in live_bnds:
+            idx = F.col(f"_idx{d}")
             for bit in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(idx, bit).bitwiseAND(F.lit(1)),
@@ -592,7 +653,11 @@ class Lake:
             work.withColumn("_z", z)
             .repartitionByRange(n, "_z")
             .sortWithinPartitions("_z")
-            .drop("_z", *[f"_zs{d}" for d in range(ndims)])
+            .drop(
+                "_z",
+                *[f"_zs{d}" for d in range(ndims)],
+                *[f"_idx{d}" for d in live_bnds],
+            )
         )
         tmp = _hidden_sibling(path, "._zorder")
         out.write.mode("overwrite").parquet(tmp)

@@ -112,3 +112,96 @@ def test_partition_pruning_plan(lake):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.select("day").distinct().count() == 1
+
+
+def test_scheduled_maintenance_clusters_closed_days(spark, lake):
+    """The pipeline itself z-orders CLOSED day partitions on the
+    dataset's SORTKEY/DISTKEY pair (timestamp, uid) — no tool
+    invocation: after run(), every day strictly older than max_day
+    carries a _CLUSTERED marker, the newest (grace-window) day does
+    not, and a re-run re-clusters nothing."""
+    import os
+
+    root = lake.path("activity_events")
+    newest = max(DAYS)
+    for day in DAYS:
+        marker = os.path.join(root, f"day={day.isoformat()}", "_CLUSTERED")
+        if day < newest:
+            assert os.path.exists(marker), f"{day} should be clustered"
+            assert open(marker).read() == "timestamp,uid"
+        else:
+            assert not os.path.exists(marker), "grace-window day must wait"
+
+    # readers are undisturbed by the marker and the rewrite
+    df = lake.read("activity_events")
+    assert df.filter(F.to_date("timestamp") != F.col("day")).count() == 0
+
+    # re-run: markers make maintenance a metadata no-op
+    mtimes = {
+        d: os.path.getmtime(os.path.join(root, f"day={d.isoformat()}", "_CLUSTERED"))
+        for d in DAYS
+        if d < newest
+    }
+    job = ImportJob(spark=spark, lake=lake, dataset=ACTIVITY, source_dir=lake._src)
+    assert job.run() == []
+    for d, m in mtimes.items():
+        assert (
+            os.path.getmtime(os.path.join(root, f"day={d.isoformat()}", "_CLUSTERED"))
+            == m
+        ), "re-run must not re-cluster"
+
+
+def test_maintenance_collapses_uid_extents(spark, tmp_path):
+    """The scheduled path must actually cluster: on a fixture with
+    shuffled uids, per-row-group uid extents (fraction of the hex-uid
+    domain, straight from the parquet footers) collapse for closed
+    days after run()."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from tests.fixtures import write_csv
+
+    src = str(tmp_path / "src")
+    days = [D1 + dt.timedelta(days=i) for i in range(2)]
+    # 2000 rows/day with hash-shuffled uids so unclustered row groups
+    # span the whole uid domain
+    import hashlib
+
+    for day in days:
+        rows = []
+        base = int(dt.datetime.combine(day, dt.time()).timestamp())
+        for i in range(2000):
+            uid = hashlib.md5(f"u{i}".encode()).hexdigest()
+            rows.append([base + i * 40, "b", "1", "os", uid, "login", "svc", f"d{i%7}"])
+        write_csv(src, "activity_events", day, rows)
+    lk = Lake(spark, str(tmp_path / "lake"))
+    # the default clustering file budget derives from
+    # spark.sql.shuffle.partitions (//4); the test session pins 8,
+    # which yields 2 files — only the leading interleave bit
+    # (timestamp's) splits, so uid extents can't show. Use the
+    # production default for this measurement.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ImportJob(spark=spark, lake=lk, dataset=ACTIVITY, source_dir=src).run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+    def uid_extent(part: str) -> float:
+        vals = []
+        for f in glob.glob(os.path.join(part, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            ci = pf.schema_arrow.get_field_index("uid")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                vals.append((int(st.max[:7], 16) - int(st.min[:7], 16)) / 16**7)
+        return sum(vals) / len(vals)
+
+    root = lk.path("activity_events")
+    closed = os.path.join(root, f"day={days[0].isoformat()}")
+    open_day = os.path.join(root, f"day={days[1].isoformat()}")
+    assert os.path.exists(os.path.join(closed, "_CLUSTERED"))
+    # 8 files over a 2-dim z-curve: uid extent ~0.59 measured vs
+    # ~1.0 for the unclustered grace-window day
+    assert uid_extent(closed) < 0.7 < 0.9 < uid_extent(open_day)

@@ -1,0 +1,92 @@
+"""Regenerate BENCH_ORGANIC.json: the pair-output-bound dedup family
+measured on ORGANIC-DUPLICATE scaled corpora (VERDICT r12 items 2-3).
+
+The standard replica corpora (tools/make_scaled_sf.py, no cap) give
+every document `factor` near-identical clones, so the LSH candidate
+pair set — and with it every pair-output-bound downstream (the
+jaccard verify, cluster resolution, per-pair DP verify, pHash
+Hamming buckets, wedge joins) — grows as factor², which measures the
+generator, not the engine: on organic corpora duplicate-group sizes
+do not grow with corpus scale. This tool measures exactly that family
+on `--clone-cap 2` corpora (bounded 2-clone cliques + salted unique
+growth; documents-only, the family's sole input) at 10× and 100× the
+sf0.1 base, and applies the repo's own scaling gate
+(bench.scaling_violations: t must not grow faster than the data) so
+the family's scale evidence is machine-checked instead of excluded.
+
+Usage: python tools/bench_organic.py
+(expects .scratch/sf1organic and .scratch/sf10organic from
+ make_scaled_sf.py [10|100] /root/testdata/sf0.1 <dir>
+ --clone-cap 2 --tables documents)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fxa_activity_metrics_spark.session import get_spark  # noqa: E402
+from fxa_activity_metrics_spark import cacheutil  # noqa: E402
+
+from bench import scaling_violations  # noqa: E402
+
+# every pair-output-bound consumer of the near-dup pair structure:
+# the three adjudicated in VERDICT r12 item 2, plus the three already
+# excluded at sf >= 1 with the replica-clique rationale — organic
+# corpora are exactly the setting where they CAN be measured honestly
+FAMILY = [
+    "jaccard_dedup",
+    "dedup_clusters",
+    "cluster_keepers",
+    "neardup_editdist",
+    "phash_pairs",
+    "triangle_counts",
+]
+
+RUNS = [("sf1organic", 10.0), ("sf10organic", 100.0)]
+CLONE_CAP = 2
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as em
+
+    with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
+        base = json.load(f)["queries"]
+
+    spark = get_spark("bench-organic")
+    qs = em.queries()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    record: dict = {"clone_cap": CLONE_CAP, "runs": {}}
+    for run_name, ratio in RUNS:
+        sf_dir = os.path.join(root, ".scratch", run_name)
+        timings: dict[str, float] = {}
+        for name in FAMILY:
+            per = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                per.append(time.perf_counter() - t0)
+                cacheutil.release_all()
+            timings[name] = round(min(per), 3)
+            print(f"{run_name} {name}: {timings[name]}", file=sys.stderr)
+        record["runs"][run_name] = {
+            "data_ratio_vs_base": ratio,
+            "queries": timings,
+            "gate": scaling_violations(timings, base, ratio),
+        }
+    line = json.dumps(record)
+    print(line)
+    with open(os.path.join(root, "BENCH_ORGANIC.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
