@@ -1397,9 +1397,21 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     into 8 bands of 8 bits; by pigeonhole a pair within Hamming
     ``max_hamming ≤ 7`` shares at least one UNTOUCHED band, so the
     band equi-join is EXACT (identical rows to the all-pairs scan —
-    that is the oracle) while shuffling only (band, value) keys,
-    never materializing N² pairs. The Hamming verify is JVM-side
-    bit_count over the xor'd halves.
+    that is the oracle). The Hamming verify is JVM-side bit_count
+    over the xor'd halves.
+
+    The band join runs over DISTINCT hashes, not over documents:
+    each 8-bit band has only 256 values, so banding N document rows
+    directly saturates at corpus scale — at 500k docs every band
+    bucket holds ~2000 rows and the join emits ~10⁹ intermediate
+    pairs (measured 400 s / gate-flagged on the sf10 organic corpus;
+    the r13 gate's first real catch). Duplicate images collapse to
+    one hash row here, so the quadratic-in-bucket term scales with
+    hash DIVERSITY, not with duplicate mass; candidate hash pairs
+    (including the equal-hash pair) then expand back to id pairs
+    through two equi-joins — output-bound, since those rows ARE the
+    answer. Output identical to the document-banded form (oracle
+    unchanged).
     """
     if max_hamming >= 8:
         raise ValueError("banded join is exact only for max_hamming <= 7")
@@ -1423,28 +1435,52 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
             for i in range(4)
         ],
     )
-    base = hashes.select("doc_id", "phash_hi", "phash_lo", F.explode(bands).alias("k"))
+    dh = hashes.select("phash_hi", "phash_lo").distinct()
+    base = dh.select("phash_hi", "phash_lo", F.explode(bands).alias("k"))
     a = base.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("phash_hi").alias("hi_a"),
-        F.col("phash_lo").alias("lo_a"),
-        "k",
+        F.col("phash_hi").alias("hi_a"), F.col("phash_lo").alias("lo_a"), "k"
     )
     b = base.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("phash_hi").alias("hi_b"),
-        F.col("phash_lo").alias("lo_b"),
-        "k",
+        F.col("phash_hi").alias("hi_b"), F.col("phash_lo").alias("lo_b"), "k"
     )
     ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
-    return (
+    # canonical unordered hash pairs, INCLUDING the equal-hash pair
+    # (hamming 0 — exact perceptual duplicates expand through it)
+    hp = (
         a.join(b, "k")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("hi_a") < F.col("hi_b"))
+            | (
+                (F.col("hi_a") == F.col("hi_b"))
+                & (F.col("lo_a") <= F.col("lo_b"))
+            )
+        )
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("hi_a", "lo_a", "hi_b", "lo_b", "hamming")
+        .dropDuplicates(["hi_a", "lo_a", "hi_b", "lo_b"])
+    )
+    ma = hashes.select(
+        F.col("doc_id").alias("id_x"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    mb = hashes.select(
+        F.col("doc_id").alias("id_y"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    return (
+        hp.join(ma, ["hi_a", "lo_a"])
+        .join(mb, ["hi_b", "lo_b"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -1458,9 +1494,15 @@ def _synth_pixels(d: int, xx, yy, groups: int, height: int, width: int):
 
     g = d % groups
     img = np.empty((height, width, 3), np.uint8)
-    img[:, :, 0] = (g * 31 + xx * 7 + yy * 13) % 256
-    img[:, :, 1] = (g * 17 + xx * 11 + yy * 5) % 256
-    img[:, :, 2] = (g * 23 + xx * 3 + yy * 19) % 256
+    # the linear terms wrap mod 256, so g and g+256 would render the
+    # SAME pattern — the quadratic (g//256)-scaled term keeps patterns
+    # perceptually distinct past 256 groups (it is exactly zero for
+    # g < 256, so every oracle-pinned use — groups ≤ 256 — is
+    # bit-identical to the pre-r13 rule)
+    hi = g // 256
+    img[:, :, 0] = (g * 31 + xx * 7 + yy * 13 + hi * xx * yy) % 256
+    img[:, :, 1] = (g * 17 + xx * 11 + yy * 5 + hi * (xx + 3) * yy) % 256
+    img[:, :, 2] = (g * 23 + xx * 3 + yy * 19 + hi * xx * (yy + 5)) % 256
     m = d // groups
     img[(m * 13) % height, (m * 7) % width, 0] ^= 4
     return img

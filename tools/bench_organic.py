@@ -43,9 +43,19 @@ FAMILY = [
     "dedup_clusters",
     "cluster_keepers",
     "neardup_editdist",
-    "phash_pairs",
     "triangle_counts",
+    # phash_pairs is measured separately below: its duplicate groups
+    # come from the synthetic image generator (doc_id % groups), not
+    # from the text, so the organic DOCUMENTS don't bound them — the
+    # registry's oracle-pinned groups=50 means 10,000-member identical
+    # image groups at 500k docs (billions of pairs, Java-heap OOM
+    # measured). The organic contract applied to the image table is
+    # groups ∝ N: constant ~100-member duplicate groups, matching the
+    # sf0.1 base geometry (5000 docs / 50 groups), so the same-name
+    # gate row compares like with like.
 ]
+
+PHASH_GROUPS = {"sf1organic": 500, "sf10organic": 5000}
 
 RUNS = [("sf1organic", 10.0), ("sf10organic", 100.0)]
 CLONE_CAP = 2
@@ -62,14 +72,25 @@ def main() -> None:
     qs = em.queries()
     spark.range(1000).selectExpr("sum(id)").collect()
     record: dict = {"clone_cap": CLONE_CAP, "runs": {}}
+    from fxa_activity_metrics_spark.operators import multimodal
+
     for run_name, ratio in RUNS:
         sf_dir = os.path.join(root, ".scratch", run_name)
         timings: dict[str, float] = {}
-        for name in FAMILY:
+
+        def q_phash_scaled(spark, sf_dir, _g=PHASH_GROUPS[run_name]):
+            hashes = multimodal.phash_images(
+                multimodal.synth_ppm_images(em._docs(spark, sf_dir), groups=_g)
+            )
+            return multimodal.phash_pairs(hashes, max_hamming=7)
+
+        for name, fn in [(n, qs[n]) for n in FAMILY] + [
+            ("phash_pairs", q_phash_scaled)
+        ]:
             per = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode(
+                fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 per.append(time.perf_counter() - t0)
@@ -79,6 +100,7 @@ def main() -> None:
         record["runs"][run_name] = {
             "data_ratio_vs_base": ratio,
             "queries": timings,
+            "phash_groups": PHASH_GROUPS[run_name],
             "gate": scaling_violations(timings, base, ratio),
         }
     line = json.dumps(record)

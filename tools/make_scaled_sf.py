@@ -29,13 +29,18 @@ factor² — a generator artifact that makes pair-output-bound dedup
 timings measure the replication, not the engine. With a cap, replicas
 0..N-1 keep the near-dup suffix (bounded clique size N, like organic
 corpora where duplicate-group sizes don't grow with corpus scale) and
-replicas >= N get a per-replica salt token spliced between EVERY pair
-of words — every word 3-gram then contains the salt, so those replicas
-are near-dup of nothing (not the original, not each other) and the
-corpus grows in unique content. The sf0.1 corpus's own organic
-near-dup groups survive WITHIN each replica (shared consecutive word
-pairs salt identically), so per-replica pair structure is preserved
-and total pair count grows linearly with factor.
+replicas >= N get a per-(replica, DOCUMENT) salt token spliced between
+EVERY pair of words — every word 3-gram then contains a salt unique to
+that one row, so those replicas share no shingles with anything (not
+the original, not each other, not other docs). The salt must be
+per-document, not merely per-replica: a shared replica salt creates a
+`(salt, word, salt)` shingle for every middle token, which correlates
+ALL same-replica docs through their common vocabulary and re-explodes
+the LSH candidate set (measured: the first organic jaccard run never
+finished at 50k docs). Duplicate mass under a cap is therefore
+constant (the capped cliques + replica-0's own organic groups) while
+the corpus grows — so at sf >= 1 the family's scaling gate measures
+the corpus-scan term, exactly the part that must not be super-linear.
 
 ``--tables`` restricts output to a comma-list (the dedup family reads
 only `documents`, so its organic evidence run doesn't need 1.4 GB of
@@ -96,10 +101,13 @@ def main() -> None:
     doc_span = span("documents", "doc_id")
     if clone_cap > 0:
         # organic mode: bounded clone cliques + salted unique growth
+        # (PER-DOC salt — see module docstring for why per-replica
+        # salts re-explode the pair set)
         text_expr = f"""
             CASE WHEN rep = 0 THEN d.text
                  WHEN rep < {clone_cap} THEN d.text || ' rep' || rep
-                 ELSE replace(d.text, ' ', ' s' || rep || ' ') END
+                 ELSE replace(d.text, ' ',
+                      ' s' || rep || 'd' || d.doc_id || ' ') END
         """
     else:
         text_expr = f"""
