@@ -62,10 +62,14 @@ def test_sf1_record_has_no_scaling_violations():
     with open(p) as f:
         rec = json.load(f)
     assert rec["budget_violations"] == []
-    from bench import PAIR_VERIFY_DATA_BORNE, QUADRATIC_BASELINES
+    from bench import (
+        PAIR_VERIFY_DATA_BORNE,
+        QUADRATIC_BASELINES,
+        REPLICA_OUTPUT_BOUND,
+    )
 
     assert rec["skipped"] == sorted(
-        QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE
+        QUADRATIC_BASELINES | PAIR_VERIFY_DATA_BORNE | REPLICA_OUTPUT_BOUND
     )
 
 
@@ -111,3 +115,47 @@ def test_committed_scale_records_cover_current_suite():
         sf10 = json.load(f)
     covered10 = set(sf10["queries"]) | set(sf10["excluded"])
     assert set(BENCH_QUERIES) <= covered10, sorted(set(BENCH_QUERIES) - covered10)
+
+
+def test_sf10_record_carries_its_scaling_gate():
+    """r12 VERDICT item 2: the sf10 record must CARRY its gate (the
+    'zero scaling violations' claim is machine-backed, not asserted).
+    The BINDING gate is vs the sf0.1 base at ratio 100 — it must be
+    empty. The sf1->sf10 step sub-gate is recorded as a diagnostic:
+    on replica corpora the near-dup pair table grows with factor², so
+    its consumers show a super-linear STEP while remaining sub-linear
+    overall; any step-flagged query must therefore still pass the
+    x100 gate (checked from the committed records), and its organic
+    evidence lives in BENCH_ORGANIC.json."""
+    with open(os.path.join(REPO, "BENCH_SF10_LOCAL.json")) as f:
+        rec = json.load(f)
+    assert "gate" in rec, "regenerate BENCH_SF10_LOCAL.json (no gate field)"
+    assert rec["gate"].get("vs_sf0.1_x100") == [], rec["gate"]
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
+        base = json.load(f)["queries"]
+    for q in rec["gate"].get("vs_sf1_x10", []):
+        assert rec["queries"][q] <= 100.0 * base[q], (
+            f"{q}: step-flagged AND super-linear at x100"
+        )
+
+
+def test_organic_family_record_covers_replica_clique_exclusions():
+    """Every pair-output-bound query excluded from the replica-corpus
+    scale runs must be measured AND scaling-gated on the organic
+    (bounded-clique) corpora instead — exclusion without organic
+    evidence would hide super-linearity the way the r12 sf10 record
+    did."""
+    with open(os.path.join(REPO, "BENCH_ORGANIC.json")) as f:
+        rec = json.load(f)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench import PAIR_VERIFY_DATA_BORNE
+    from bench_sf10 import REPLICA_CLIQUE_OUTPUT
+
+    family = REPLICA_CLIQUE_OUTPUT | PAIR_VERIFY_DATA_BORNE
+    for run_name in ("sf1organic", "sf10organic"):
+        run = rec["runs"][run_name]
+        assert family <= set(run["queries"]), (
+            run_name,
+            sorted(family - set(run["queries"])),
+        )
+        assert run["gate"] == [], (run_name, run["gate"])
