@@ -2773,65 +2773,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registry order == driver-rotation order (the driver checks
         # the FIRST 50 entries each round; tests/test_staleness_contract.py
         # machine-enforces that no entry's newest driver-green row ages
-        # past two rounds).  Round-13 window: the 42 r10-cohort entries
-        # that would age past two rounds after r13, then the 8 stalest
-        # r11 entries to flatten the r14 rotation (leaving 39 r11
-        # entries for r14's window — under the 50-slot cap).  Everything
+        # past two rounds).  Round-14 window: the 39 r11-cohort entries
+        # that would age past two rounds after r14, then the 11 stalest
+        # r12 entries to flatten the r15 rotation (leaving 39 r12
+        # entries for r15's window — under the 50-slot cap).  Everything
         # past position 50 stays locally oracle-checked every round by
         # tests/test_oracle_parity.py.
-        # ---- newest driver row: r10 (in-window) ----
-        "kmv_overlap": q_kmv_overlap,
-        "pq_query_index": q_pq_query_index,
-        "kmv_day_overlap": q_kmv_day_overlap,
-        "ivfpq_query_index": q_ivfpq_query_index,
-        "text_vectors": q_text_vectors,
-        "text_ann": q_text_ann,
-        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
-        "order_revenue": q_order_revenue,
-        "nation_revenue": q_nation_revenue,
-        "json_extract": q_json_extract,
-        "token_histogram": q_token_histogram,
-        "fingerprint": q_fingerprint,
-        "language_id": q_language_id,
-        "text_quality": q_text_quality,
-        "stratified_sample": q_stratified_sample,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        "min_cost_supplier": q_min_cost_supplier,
-        "parts_supplier_stats": q_parts_supplier_stats,
-        "dormant_customers": q_dormant_customers,
-        "shipping_priority": q_shipping_priority,
-        "top_suppliers": q_top_suppliers,
-        "dedup_spans": q_dedup_spans,
-        "substring_dedup": q_substring_dedup,
-        "cohort_retention": q_cohort_retention,
-        "funnel_steps": q_funnel_steps,
-        "order_priority_returns": q_order_priority_returns,
-        "customer_distribution": q_customer_distribution,
-        "cms_token_counts": q_cms_token_counts,
-        "funnel_windowed": q_funnel_windowed,
-        "embedding_neardup_gemm": q_embedding_neardup_gemm,
-        "embedding_decontam": q_embedding_decontam,
-        "lm_score": q_lm_score,
-        "lm_filter": q_lm_filter,
-        "dedup_clusters": q_dedup_clusters,
-        "daily_activity_per_device": q_daily_activity,
-        "multi_device_users_join": q_multi_device_join,
-        "cohort_sample": q_cohort_sample,
-        "pricing_summary": q_pricing_summary,
-        "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "jaccard_dedup": q_jaccard_dedup,
-        "simhash": q_simhash,
-        # ---- newest driver row: r11 (in-window: 8 stalest, flattens r14) ----
-        "pricing_rollup": q_pricing_rollup,
-        "split_leakage": q_split_leakage,
-        "split_decontam": q_split_decontam,
-        "ann_filtered": q_ann_filtered,
-        "ann_lsh": q_ann_lsh,
-        "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
-        "injection_filter": q_injection_filter,
-        "empty_backfill": q_empty_backfill,
-        # ---- newest driver row: r11 (outside window; locally oracle-checked) ----
+        # ---- newest driver row: r11 (in-window) ----
         "asof_join": q_asof_join,
         "session_window": q_session_window,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -2871,7 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_water_mark": q_high_water_mark,
         "partition_discovery": q_partition_discovery,
         "dedup_spans_exact": q_dedup_spans_exact,
-        # ---- newest driver row: r12 (outside window; locally oracle-checked) ----
+        # ---- newest driver row: r12 (first 11 in-window, flattens r15) ----
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "scd2_history": q_scd2_history,
         "ann_pq": q_ann_pq,
@@ -2922,6 +2870,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "hard_negatives": q_hard_negatives,
         "cluster_keepers": q_cluster_keepers,
+        # ---- newest driver row: r13 (outside window; locally oracle-checked) ----
+        "kmv_overlap": q_kmv_overlap,
+        "pq_query_index": q_pq_query_index,
+        "kmv_day_overlap": q_kmv_day_overlap,
+        "ivfpq_query_index": q_ivfpq_query_index,
+        "text_vectors": q_text_vectors,
+        "text_ann": q_text_ann,
+        "winnow_fingerprint_rk": q_winnow_fingerprint_rk,
+        "order_revenue": q_order_revenue,
+        "nation_revenue": q_nation_revenue,
+        "json_extract": q_json_extract,
+        "token_histogram": q_token_histogram,
+        "fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "text_quality": q_text_quality,
+        "stratified_sample": q_stratified_sample,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "min_cost_supplier": q_min_cost_supplier,
+        "parts_supplier_stats": q_parts_supplier_stats,
+        "dormant_customers": q_dormant_customers,
+        "shipping_priority": q_shipping_priority,
+        "top_suppliers": q_top_suppliers,
+        "dedup_spans": q_dedup_spans,
+        "substring_dedup": q_substring_dedup,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
+        "order_priority_returns": q_order_priority_returns,
+        "customer_distribution": q_customer_distribution,
+        "cms_token_counts": q_cms_token_counts,
+        "funnel_windowed": q_funnel_windowed,
+        "embedding_neardup_gemm": q_embedding_neardup_gemm,
+        "embedding_decontam": q_embedding_decontam,
+        "lm_score": q_lm_score,
+        "lm_filter": q_lm_filter,
+        "dedup_clusters": q_dedup_clusters,
+        "daily_activity_per_device": q_daily_activity,
+        "multi_device_users_join": q_multi_device_join,
+        "cohort_sample": q_cohort_sample,
+        "pricing_summary": q_pricing_summary,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_dedup": q_jaccard_dedup,
+        "simhash": q_simhash,
+        "pricing_rollup": q_pricing_rollup,
+        "split_leakage": q_split_leakage,
+        "split_decontam": q_split_decontam,
+        "ann_filtered": q_ann_filtered,
+        "ann_lsh": q_ann_lsh,
+        "ann_bruteforce_gemm": q_ann_bruteforce_gemm,
+        "injection_filter": q_injection_filter,
+        "empty_backfill": q_empty_backfill,
     }
 
 
