@@ -252,7 +252,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("fxa-bench")
-    qs = entrymod.queries()
+    qs = entrymod.all_queries()
     # warmup: JVM/codegen spin-up on a trivial job
     spark.range(1000).selectExpr("sum(id)").collect()
 

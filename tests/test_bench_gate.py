@@ -80,8 +80,13 @@ def test_bench_queries_all_registered():
     import re
 
     src = open(os.path.join(REPO, "__spark_entry__.py")).read()
-    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}\n", src, __import__("re").S)
-    registered = set(re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1)))
+    registered = set()
+    # bench resolves via all_queries(): live registry + retired
+    # formulation variants (still timed, no longer driver-rotated)
+    for fn in ("queries", "retired_queries"):
+        m = re.search(rf"def {fn}\(\).*?return \{{(.*?)\n    \}}\n", src,
+                      __import__("re").S)
+        registered |= set(re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1)))
     from bench import BENCH_QUERIES
 
     missing = [q for q in BENCH_QUERIES if q not in registered]

@@ -87,7 +87,7 @@ def test_minhash_no_cartesian(spark):
 
 def test_ann_bruteforce_broadcasts_queries(spark):
     """The query batch broadcasts; the corpus is never shuffled."""
-    plan = _plan(E.queries()["ann_bruteforce"](spark, SF))
+    plan = _plan(E.retired_queries()["ann_bruteforce"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
@@ -111,12 +111,13 @@ def test_no_pushdown_duplicated_folds(spark):
     substituted in — that evaluates the bucket/cell/norm fold twice
     per row. Guarded by non-nullable (coalesce-wrapped) outputs in
     bucket_ids / norm / ivf cell assignment."""
+    qall = E.all_queries()
     for name in [
         "ann_bruteforce", "ann_lsh", "ann_ivf",
         "embedding_neardup", "embedding_neardup_lsh",
         "minhash_lsh", "jaccard_dedup", "simhash",
     ]:
-        opt = _optimized(E.queries()[name](spark, SF))
+        opt = _optimized(qall[name](spark, SF))
         for line in opt.split("\n"):
             if "Filter" in line:
                 assert "aggregate(" not in line and "array_sort(" not in line, (

@@ -89,7 +89,7 @@ def main() -> None:
     from fxa_activity_metrics_spark.sources.testdata import read_table
 
     spark = get_spark("bench-sf10")
-    qs = em.queries()
+    qs = em.all_queries()
     spark.range(1000).selectExpr("sum(id)").collect()
     names = [q for q in BENCH_QUERIES if q not in EXCLUDED]
     timings: dict[str, float] = {}

@@ -78,7 +78,7 @@ def main() -> None:
         if sf_val >= 1 and "--include-quadratic" not in sys.argv
         else []
     )
-    oracles = E.oracle_sql()
+    oracles = E.all_oracle_sql()
     timings: dict[str, float] = {}
     timeouts: list[str] = []
     for name in BENCH_QUERIES:

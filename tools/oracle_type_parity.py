@@ -137,8 +137,8 @@ def sweep(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
     import __spark_entry__ as entrymod
     from tests.oracle_utils import duck_con
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    queries = entrymod.all_queries()
+    oracles = entrymod.all_oracle_sql()
     con = duck_con(sf_dir)
     out: dict[str, list[str]] = {}
     try:
