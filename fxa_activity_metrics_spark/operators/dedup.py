@@ -279,7 +279,9 @@ def simhash(
     # and 2.5× at sf1, bit-identical output (ENGINEERING_NOTES.md r13).
     # Lane counts are bounded by the per-doc distinct-token count —
     # safe below 2^20 ≈ 1M distinct tokens per document, far past any
-    # real document this text path handles.
+    # real document this text path handles; a document at/over the
+    # bound raises loudly (the `_n` guard below) instead of silently
+    # corrupting the adjacent lane's count.
     # shiftright+bitwiseAND on a long is exact for h < 2^32.
     zero = F.lit(0).cast("long")
     _LANE = 20  # bits per packed count lane (3 lanes < 63 bits)
@@ -308,7 +310,17 @@ def simhash(
     groups = [list(range(p, min(p + 3, bits))) for p in range(0, bits, 3)]
     packed = hashed.select(
         "id",
-        F.size(hcol).alias("_n"),
+        F.when(
+            F.size(hcol) >= F.lit(1 << _LANE),
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash: document "),
+                    F.col("id").cast("string"),
+                    F.lit(" has >= 2^20 distinct tokens — packed-lane "
+                          "counts would overflow"),
+                )
+            ).cast("int"),
+        ).otherwise(F.size(hcol)).alias("_n"),
         F.array(*[packcount(g) for g in groups]).alias("_pk"),
         # NULL text must propagate NULL: without the guard every
         # per-bit when(NULL).otherwise(0) yields 0, silently making

@@ -1383,12 +1383,17 @@ def ivf_upsert_index(
     centroids = [list(r["centroid"]) for r in crows]
     assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
     cells_tbl = crows[0]["cells_table"]
-    lake.merge_replace(cells_tbl, assigned, "cell", "neighbor_id")
-    # refresh the manifest's corpus count (merge may have added ids);
-    # a crash between the merge and this overwrite leaves a stale
-    # n_vectors, which only skews the auto_probe heuristic — the next
-    # upsert or build self-heals it
-    n_vectors = lake.read(cells_tbl).count()
+    delta = lake.merge_replace(cells_tbl, assigned, "cell", "neighbor_id")
+    # refresh the manifest's corpus count arithmetically: prior total
+    # + the merge's partition-pruned row delta — O(touched cells), not
+    # an O(corpus) re-count per upsert (full count only for pre-r13
+    # manifests that lack n_vectors). A crash between the merge and
+    # this overwrite leaves a stale n_vectors, which only skews the
+    # auto_probe heuristic — the next upsert or build self-heals it
+    prior_n = crows[0].asDict().get("n_vectors")
+    n_vectors = (
+        prior_n + delta if prior_n is not None else lake.read(cells_tbl).count()
+    )
     lake.overwrite(
         f"{name}_centroids",
         new_vectors.sparkSession.createDataFrame(
@@ -2521,9 +2526,13 @@ def ivfpq_upsert_index(
         .withColumn("nrm", norm(F.col("vec")))
         .join(assigned.select("id", "cell"), "id")
     )
-    lake.merge_replace(vecs_tbl, vectors, "cell", "id")
+    delta = lake.merge_replace(vecs_tbl, vectors, "cell", "id")
     # refresh the manifest's corpus count — see ivf_upsert_index
-    n_vectors = lake.read(vecs_tbl).count()
+    # (prior total + partition-pruned merge delta, no O(corpus) count)
+    prior_n = crows[0].asDict().get("n_vectors")
+    n_vectors = (
+        prior_n + delta if prior_n is not None else lake.read(vecs_tbl).count()
+    )
     lake.overwrite(
         f"{name}_centroids",
         new_vectors.sparkSession.createDataFrame(

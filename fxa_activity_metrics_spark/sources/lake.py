@@ -336,10 +336,15 @@ class Lake:
         schema: T.StructType | None = None,
         sort_cols: list[str] | None = None,
         keys: DataFrame | None = None,
-    ) -> None:
+    ) -> int:
         """Partition-granular replace-by-key merge — the MERGE INTO
         analogue for entity tables partitioned on a date or integer
-        column.
+        column.  Returns the table's row-count DELTA (rows inserted
+        minus rows replaced/removed), computed from two partition-
+        pruned counts over the touched partitions only — callers
+        maintaining a corpus-size manifest (ivf/ivfpq upsert) add it
+        to their prior total instead of re-counting the whole table
+        per call.
 
         Replaces every existing row whose ``key_col`` appears in
         ``df`` and inserts ``df``'s rows, rewriting ONLY the
@@ -370,7 +375,9 @@ class Lake:
             raise ValueError(f"keys frame must have exactly one '{key_col}' column")
         if not self.exists(table):
             self.write_parts(table, df, part_col, sort_cols=sort_cols)
-            return
+            # all rows are new — count the files just written (reads
+            # parquet footers only, no recompute of df's lineage)
+            return self.read(table).count()
         existing = self.read(table, schema)
         keys = keys.distinct()
         touched = {
@@ -383,8 +390,11 @@ class Lake:
         new_parts = {r[part_col] for r in df.select(part_col).distinct().collect()}
         touched |= new_parts
         if not touched:
-            return
+            return 0
         lits = [_part_lit(p) for p in sorted(touched)]
+        # partition-pruned metadata count of the rows about to be
+        # rewritten — one side of the returned delta
+        n_before = existing.filter(F.col(part_col).isin(*lits)).count()
         kept = existing.filter(F.col(part_col).isin(*lits)).join(
             keys, key_col, "left_anti"
         )
@@ -395,6 +405,15 @@ class Lake:
         self.write_parts(table, merged, part_col, sort_cols=sort_cols)
         for p in sorted(touched - kept_parts - new_parts):
             self.drop_part(table, part_col, p)
+        written = sorted((kept_parts | new_parts) & touched)
+        if not written:
+            return -n_before
+        n_after = (
+            self.read(table)
+            .filter(F.col(part_col).isin(*[_part_lit(p) for p in written]))
+            .count()
+        )
+        return n_after - n_before
 
     def compact(self, table: str, target_files_per_day: int = 1) -> None:
         """VACUUM analogue (S7): rewrite each day partition into

@@ -152,9 +152,17 @@ def test_organic_family_record_covers_replica_clique_exclusions():
     did."""
     with open(os.path.join(REPO, "BENCH_ORGANIC.json")) as f:
         rec = json.load(f)
-    sys.path.insert(0, os.path.join(REPO, "tools"))
     from bench import PAIR_VERIFY_DATA_BORNE
-    from bench_sf10 import REPLICA_CLIQUE_OUTPUT
+
+    # import tools/bench_sf10.py by explicit path: mutating sys.path
+    # would let tools/*.py shadow same-named modules for later tests
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_sf10_for_gate", os.path.join(REPO, "tools", "bench_sf10.py"))
+    bench_sf10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_sf10)
+    REPLICA_CLIQUE_OUTPUT = bench_sf10.REPLICA_CLIQUE_OUTPUT
 
     family = REPLICA_CLIQUE_OUTPUT | PAIR_VERIFY_DATA_BORNE
     for run_name in ("sf1organic", "sf10organic"):

@@ -228,3 +228,26 @@ def test_simhash_null_text_propagates_null(spark):
     assert got[2] is None
     # empty string tokenizes to an empty array, not NULL: signature 0
     assert got[3] == 0
+
+
+def test_simhash_lane_overflow_raises(spark):
+    """A document at the 2^20 distinct-token packed-lane bound must
+    raise loudly instead of silently corrupting the adjacent lane's
+    count (ADVICE r13). The guard lives on `_n`, so it fires whenever
+    the signature is actually computed (collect/write); a bare count()
+    column-prunes the whole projection and computes nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = spark.range(1).select(
+        F.lit(7).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1 << 20)),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="distinct tokens"):
+        dedup.simhash(big).collect()

@@ -58,17 +58,22 @@ ROW_GROUP = 65536
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     clone_cap = 0
     only: set[str] | None = None
     argv = sys.argv[1:]
+    args: list[str] = []
+    consumed: set[int] = set()
     for i, a in enumerate(argv):
+        if i in consumed:
+            continue
         if a == "--clone-cap":
             clone_cap = int(argv[i + 1])
-            args.remove(argv[i + 1])
+            consumed.add(i + 1)
         elif a == "--tables":
             only = set(argv[i + 1].split(","))
-            args.remove(argv[i + 1])
+            consumed.add(i + 1)
+        elif not a.startswith("--"):
+            args.append(a)
     factor = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = (
