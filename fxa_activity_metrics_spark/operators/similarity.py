@@ -1451,6 +1451,32 @@ def _manifest_n_vectors(lake, crows, table_key: str) -> int:
     return lake.read(row[table_key]).count()
 
 
+def _validate_candidate_subset(
+    lake, candidate_ids: DataFrame, table: str, id_name: str, fn_name: str
+) -> None:
+    """Opt-in enforcement of the candidate_ids subset contract
+    (VERDICT r13): anti-join the filter frame against the index's id
+    column and raise on any foreign id.  This pays a column-pruned
+    scan of the index table — exactly the corpus-scale cost the hot
+    path avoids by making the contract the caller's responsibility —
+    so it is OFF by default and meant for tests/debugging, where a
+    violated contract should be loud instead of silently
+    under-escalating auto_probe."""
+    fcol = _one_col(candidate_ids)
+    cand = candidate_ids.select(F.col(fcol).alias(id_name)).distinct()
+    indexed = lake.read(table).select(id_name)
+    sample = [
+        r[id_name] for r in cand.join(indexed, id_name, "left_anti").limit(5).collect()
+    ]
+    if sample:
+        raise ValueError(
+            f"{fn_name}: candidate_ids contains ids absent from the index "
+            f"(e.g. {sample}) — stale/foreign ids overstate selectivity and "
+            f"under-escalate probes; intersect the filter frame with the "
+            f"indexed corpus before querying"
+        )
+
+
 def _semi_filter(
     df: DataFrame,
     candidate_ids: DataFrame | None,
@@ -1484,6 +1510,7 @@ def ivf_query_index(
     candidate_ids: DataFrame | None = None,
     broadcast_filter: bool = True,
     auto_probe: bool = True,
+    validate_candidates: bool = False,
 ) -> DataFrame:
     """Query the persisted IVF index: probe cells are chosen against
     the stored centroids (driver-side, n_cells rows) and ONLY those
@@ -1513,12 +1540,17 @@ def ivf_query_index(
     )
     centroids = [list(r["centroid"]) for r in crows]
     cells_tbl = crows[0]["cells_table"]
+    if candidate_ids is not None and validate_candidates:
+        _validate_candidate_subset(
+            lake, candidate_ids, cells_tbl, "neighbor_id", "ivf_query_index"
+        )
     if candidate_ids is not None and auto_probe and n_probe < len(centroids):
         # candidate_ids must be a SUBSET of indexed ids: stale/foreign
         # ids inflate n_allowed, overstate selectivity, and
         # under-escalate (ADVICE r12) — the caller owns that contract
         # because intersecting here would cost the very corpus-scale
-        # scan auto_probe exists to avoid
+        # scan auto_probe exists to avoid (validate_candidates=True
+        # opts into that scan to make violations loud in tests)
         n_probe = _escalate_probes(
             n_probe,
             len(centroids),
@@ -2360,6 +2392,7 @@ def ivfpq_query_index(
     candidate_ids: DataFrame | None = None,
     broadcast_filter: bool = True,
     auto_probe: bool = True,
+    validate_candidates: bool = False,
 ) -> DataFrame:
     """Query the persisted IVFPQ index: probe cells come from the
     stored centroids, ONLY those cell partitions of the code table
@@ -2396,6 +2429,10 @@ def ivfpq_query_index(
     ]
     for r in brows:
         codebooks[r["s"]][r["j"]] = list(r["codeword"])
+    if candidate_ids is not None and validate_candidates:
+        _validate_candidate_subset(
+            lake, candidate_ids, vecs_tbl, "id", "ivfpq_query_index"
+        )
     if candidate_ids is not None and auto_probe and n_probe < len(cents):
         # subset contract + manifest-count rationale: see ivf_query_index
         n_probe = _escalate_probes(

@@ -667,3 +667,43 @@ def test_filtered_query_uses_manifest_count_not_a_cells_scan(spark, tmp_path):
         Lake.read = orig
     cells = ivf_cells_table(lake, "ivf")
     assert reads.count(cells) == 1, reads
+
+
+def test_validate_candidates_raises_on_foreign_ids(env, spark):
+    """Opt-in subset-contract enforcement (VERDICT r13): a filter
+    frame with ids absent from the index must raise loudly instead of
+    silently overstating selectivity and under-escalating auto_probe.
+    Off by default — the validation scan is the corpus-scale cost the
+    hot path deliberately avoids."""
+    from pyspark.sql import functions as F
+
+    lake, emb = env
+    q = emb.filter(F.col("vec_id") < 3)
+    foreign = spark.range(10_000_000, 10_000_005).select(
+        F.col("id").alias("vec_id")
+    )
+    with pytest.raises(ValueError, match="absent from the index"):
+        ivf_query_index(lake, q, name="ivf", candidate_ids=foreign,
+                        validate_candidates=True)
+    # a genuine subset passes and returns the same rows as unvalidated
+    subset = emb.filter("vec_id % 7 = 0").select("vec_id")
+    a = ivf_query_index(lake, q, name="ivf", candidate_ids=subset,
+                        validate_candidates=True).collect()
+    b = ivf_query_index(lake, q, name="ivf", candidate_ids=subset).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_validate_candidates_raises_on_foreign_ids_ivfpq(ivfpq_env, spark):
+    from pyspark.sql import functions as F
+    from fxa_activity_metrics_spark.operators.similarity import (
+        ivfpq_query_index,
+    )
+
+    lake, emb = ivfpq_env
+    q = emb.filter(F.col("vec_id") < 3)
+    foreign = spark.range(10_000_000, 10_000_003).select(
+        F.col("id").alias("vec_id")
+    )
+    with pytest.raises(ValueError, match="absent from the index"):
+        ivfpq_query_index(lake, q, candidate_ids=foreign,
+                          validate_candidates=True)
