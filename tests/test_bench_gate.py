@@ -172,3 +172,68 @@ def test_organic_family_record_covers_replica_clique_exclusions():
             sorted(family - set(run["queries"])),
         )
         assert run["gate"] == [], (run_name, run["gate"])
+
+
+def test_sf10_semantic_dedup_scaled_has_gate_base():
+    """VERDICT r13 item 4: semantic_dedup_scaled was the single
+    largest sf10 entry with no same-name base, so no gate covered it.
+    The record must now carry its sf1 twin (same ~800-vectors/cell
+    rule at both scales) and the x10 gate — with that base injected —
+    must not flag it."""
+    with open(os.path.join(REPO, "BENCH_SF10_LOCAL.json")) as f:
+        rec = json.load(f)
+    base = rec.get("semantic_dedup_scaled_sf1base")
+    assert base is not None, (
+        "regenerate BENCH_SF10_LOCAL.json — no semantic_dedup_scaled "
+        "sf1 twin recorded")
+    assert "semantic_dedup_scaled" not in rec["gate"].get("vs_sf1_x10", []), (
+        rec["queries"]["semantic_dedup_scaled"], base)
+
+
+def test_organic_record_covers_embedding_family():
+    """VERDICT r13 item 3: the embedding near-dup family must carry
+    organic-mode scale evidence (bounded clone cliques at cosine
+    ~0.99, pseudo-random growth) instead of exclusion-by-rationale.
+    Gated against the record's own sf0.1 base run of the identical
+    parametrization."""
+    with open(os.path.join(REPO, "BENCH_ORGANIC.json")) as f:
+        rec = json.load(f)
+    family = {
+        "embedding_neardup_lsh_organic",
+        "semantic_dedup_organic",
+        "hard_negatives_organic",
+        "embedding_decontam_organic",
+    }
+    assert family <= set(rec.get("emb_base", {})), (
+        sorted(family - set(rec.get("emb_base", {}))))
+    for run_name in ("sf1organic", "sf10organic"):
+        run = rec["runs"][run_name]
+        assert family <= set(run.get("emb_queries", {})), (
+            run_name, sorted(family - set(run.get("emb_queries", {}))))
+        assert run.get("emb_gate") == [], (run_name, run.get("emb_gate"))
+
+
+def test_pipeline_record_carries_day_scaling_gate():
+    """VERDICT r13 item 5: the reference IS an import pipeline
+    (import_events.py:147-258, calculate_daily_summary.py:135-168) —
+    the committed BENCH_PIPELINE.json must time that shape end-to-end
+    (per-day import -> flow hooks -> summaries -> maintain/z-order) at
+    two day counts and carry an empty day-count scaling gate: N more
+    days may cost at most N× more, per stage."""
+    import importlib.util
+
+    p = os.path.join(REPO, "BENCH_PIPELINE.json")
+    assert os.path.exists(p), "run tools/bench_pipeline.py"
+    with open(p) as f:
+        rec = json.load(f)
+    spec = importlib.util.spec_from_file_location(
+        "bench_pipeline_for_gate", os.path.join(REPO, "tools", "bench_pipeline.py"))
+    bp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bp)
+    assert len(rec["runs"]) == 2, rec["runs"].keys()
+    day_counts = sorted(run["days"] for run in rec["runs"].values())
+    assert day_counts[1] >= 10 * day_counts[0], day_counts
+    for run in rec["runs"].values():
+        assert set(run["stages"]) == set(bp.STAGES), (
+            sorted(set(run["stages"]) ^ set(bp.STAGES)))
+    assert rec["gate"] == [], rec["gate"]

@@ -189,3 +189,32 @@ def test_write_days_sort_survives_to_the_files(spark, tmp_path):
     for f in files:
         ts = pq.read_table(f, columns=["timestamp"])["timestamp"].to_pylist()
         assert ts == sorted(ts), f"{f} not timestamp-sorted"
+
+
+def test_merge_replace_returns_partition_pruned_row_delta(spark, tmp_path):
+    """merge_replace returns the table's row-count delta (inserted
+    minus replaced/removed), computed from partition-pruned counts —
+    the arithmetic the ivf/ivfpq upserts use to maintain the
+    manifest's n_vectors without an O(corpus) count per call."""
+    from fxa_activity_metrics_spark.sources.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "mr_lake"))
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (1, 3, "c")], "cell int, id int, v string"
+    )
+    # create: every row is new
+    assert lake.merge_replace("t", df, "cell", "id") == 3
+    # pure insert into an existing partition
+    ins = spark.createDataFrame([(0, 4, "d")], "cell int, id int, v string")
+    assert lake.merge_replace("t", ins, "cell", "id") == 1
+    # in-place replace: delta 0
+    rep = spark.createDataFrame([(0, 1, "a2")], "cell int, id int, v string")
+    assert lake.merge_replace("t", rep, "cell", "id") == 0
+    # key moves partitions: still delta 0 (one removed, one added)
+    mv = spark.createDataFrame([(2, 3, "c2")], "cell int, id int, v string")
+    assert lake.merge_replace("t", mv, "cell", "id") == 0
+    # widened delete set (keys=) with no new rows: negative delta
+    keys = spark.createDataFrame([(4,)], "id int")
+    empty = spark.createDataFrame([], "cell int, id int, v string")
+    assert lake.merge_replace("t", empty, "cell", "id", keys=keys) == -1
+    assert lake.read("t").count() == 3

@@ -103,24 +103,40 @@ def main() -> None:
         timings[name] = round(min(per), 3)
         print(f"{name}: {timings[name]}", file=sys.stderr)
 
-    # the semantic-dedup SCALE configuration: n_cells grows with the
-    # corpus (~sqrt(N)); same operator, same single cell-keyed
-    # exchange, pair count ~N^2/C held ~linear in N
-    emb = em._emb(spark, sf_dir)
-    cents = similarity.ivf_centroids(
-        read_table(spark, sf_dir, "embeddings"), n_cells=256
-    )
-    per = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        similarity.semantic_dedup(
-            emb, threshold=0.3, centroids=cents
-        ).write.format("noop").mode("overwrite").save()
-        per.append(time.perf_counter() - t0)
-        cacheutil.release_all()
-    timings["semantic_dedup_scaled"] = round(min(per), 3)
+    # the semantic-dedup SCALE configuration: n_cells grows LINEARLY
+    # with the corpus at ~800 vectors/cell (max(16, N // 800) — 250
+    # cells at sf10's 200k vectors, 25 at sf1), so the within-cell
+    # pairwise term N·cell_size stays linear in N — the SemDeDup
+    # scale rule (fixed expected cell mass), and the rule that makes
+    # the sf1-twin ×10 gate below compare like with like. (The r13
+    # record used a hardcoded 256 cells with no sf1 base, so the
+    # largest entry in the record was ungated — VERDICT r13 item 4.)
+    def _scaled_semantic(d: str) -> float:
+        emb_d = em._emb(spark, d)
+        n = read_table(spark, d, "embeddings").count()
+        cents = similarity.ivf_centroids(
+            read_table(spark, d, "embeddings"), n_cells=max(16, n // 800)
+        )
+        per = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            similarity.semantic_dedup(
+                emb_d, threshold=0.3, centroids=cents
+            ).write.format("noop").mode("overwrite").save()
+            per.append(time.perf_counter() - t0)
+            cacheutil.release_all()
+        return round(min(per), 3)
+
+    timings["semantic_dedup_scaled"] = _scaled_semantic(sf_dir)
     print(f"semantic_dedup_scaled: {timings['semantic_dedup_scaled']}",
           file=sys.stderr)
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "sf1",
+    )
+    scaled_sf1 = _scaled_semantic(sf1_dir) if os.path.isdir(sf1_dir) else None
+    if scaled_sf1 is not None:
+        print(f"semantic_dedup_scaled sf1 twin: {scaled_sf1}", file=sys.stderr)
 
     # the repo's own scaling rule, applied AT sf10 (r12 VERDICT item
     # 2 — the record must carry its gate, not assert it): a query
@@ -139,6 +155,10 @@ def main() -> None:
     if os.path.exists(sf1_path):
         with open(sf1_path) as f:
             base1 = json.load(f)["queries"]
+        if scaled_sf1 is not None:
+            # give the scale configuration its same-name base so the
+            # x10 gate covers the largest entry in this record
+            base1 = dict(base1, semantic_dedup_scaled=scaled_sf1)
         gate["vs_sf1_x10"] = scaling_violations(timings, base1, 10.0)
     line = json.dumps(
         {
@@ -147,6 +167,7 @@ def main() -> None:
             "queries": timings,
             "value": round(sum(timings.values()), 3),
             "excluded": sorted(EXCLUDED),
+            "semantic_dedup_scaled_sf1base": scaled_sf1,
             "gate": gate,
         }
     )

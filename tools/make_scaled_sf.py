@@ -8,7 +8,10 @@ realistic 10× shape: more facts per dimension):
   exact-dup groups keep their sf0.1 structure instead of every doc
   gaining 9 clones); n_chars recomputed.
 - embeddings: vec_id offset, vectors kept identical (near-dup ops see
-  honest duplicate groups of `factor` — the harsher stress).
+  honest duplicate groups of `factor` — the harsher stress).  With
+  ``--clone-cap`` the vectors follow the organic design too: bounded
+  near-identical cliques (cosine ~0.99) plus independent pseudo-random
+  growth (see the inline comment at the embeddings emit).
 - events: event_id and user_id offset per replica (10× distinct
   users, the join-state dimension that actually grows at scale).
 - orders/lineitem: o_orderkey/l_orderkey offset per replica in
@@ -130,10 +133,42 @@ def main() -> None:
         """,
     )
     vec_span = span("embeddings", "vec_id")
+    if clone_cap > 0:
+        # organic mode for VECTORS (VERDICT r13 item 3), mirroring the
+        # text design: replicas 0..cap-1 form bounded near-dup cliques
+        # (rep 0 identical; 1 <= rep < cap gets deterministic noise of
+        # ~0.14 L2 on a unit vector => cosine ~0.99 vs the original,
+        # inside any theta >= 0.95 near-dup gate), and replicas >= cap
+        # are re-drawn as independent pseudo-random vectors — at
+        # dim 64 a random pair's cosine is ~N(0, 1/64), so P(cos >
+        # 0.95) is ~0 and the salted mass shares no near-dup pairs
+        # with anything. Duplicate mass is therefore constant while
+        # the corpus grows, exactly like the text salt. NOTE the
+        # measurement regime: this synthetic space has genuine random
+        # mass above cosine 0.3-0.4 (the registry entries' broad-theta
+        # pins), where the OUTPUT itself is quadratic on any corpus —
+        # organic scale evidence for the embedding family must run at
+        # theta >= 0.95 (tools/bench_organic.py does).
+        emb_expr = f"""
+            CASE WHEN rep = 0 THEN e.embedding
+                 WHEN rep < {clone_cap} THEN CAST(list_transform(
+                     e.embedding, (x, i) -> x
+                       + (CAST(hash(e.vec_id * 131071 + rep * 8191 + i)
+                           % 2001 AS BIGINT) - 1000) / 1000.0 * 0.03
+                 ) AS FLOAT[])
+                 ELSE CAST(list_transform(
+                     e.embedding, (x, i) ->
+                       (CAST(hash(e.vec_id * 524287 + rep * 2003 + i * 37)
+                         % 2001 AS BIGINT) - 1000) / 1000.0 * 0.125
+                 ) AS FLOAT[]) END
+        """
+    else:
+        emb_expr = "e.embedding"
     emit(
         "embeddings",
         f"""
-        SELECT e.vec_id + rep * {vec_span} AS vec_id, e.embedding, e.label
+        SELECT e.vec_id + rep * {vec_span} AS vec_id,
+               {emb_expr} AS embedding, e.label
         FROM read_parquet('{src}/embeddings.parquet') e, reps
         """,
     )
