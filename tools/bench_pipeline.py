@@ -201,9 +201,21 @@ def main() -> None:
         print(f"days{n_days}: {stages}", file=sys.stderr)
         shutil.rmtree(lake_dir)
         shutil.rmtree(src)
+    big, small = results[base_days * ratio], results[base_days]
+    # per-stage work units: imports and summaries process ALL D days;
+    # maintain z-orders only the CLOSED days (D-1 — the newest day
+    # stays inside the 1-day grace window), so its honest ratio is
+    # (D2-1)/(D1-1): at 3 vs 30 days that is 29/2 = 14.5x work for
+    # 10x days, and gating it at 10x would flag a stage that is
+    # sub-linear per closed day
+    closed_ratio = (base_days * ratio - 1) / max(base_days - 1, 1)
     record["gate"] = scaling_violations(
-        results[base_days * ratio], results[base_days], float(ratio)
+        {k: v for k, v in big.items() if k != "maintain"},
+        small, float(ratio),
+    ) + scaling_violations(
+        {"maintain": big["maintain"]}, small, closed_ratio
     )
+    record["maintain_closed_day_ratio"] = round(closed_ratio, 2)
     line = json.dumps(record)
     print(line)
     with open(os.path.join(ROOT, "BENCH_PIPELINE.json"), "w") as f:
