@@ -82,6 +82,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_q(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """Bounded ANN query batch from the RAW embeddings scan: the
+    vec_id predicate pushes down to the parquet scan and a ~20-row
+    frame needs no parallelism, so routing it through _emb would pay
+    the corpus-wide repartition exchange once per consumer job (the
+    LUT/GEMM driver pulls re-execute the query frame's lineage as
+    their own job — guide §2.4: remove shuffles outright)."""
+    return read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < n)
+
+
 def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Fact table with a parallelism floor: the test parquet arrives
     as 1-3 input splits (single file, few row groups), so a plan
@@ -1250,7 +1260,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    queries_df = _emb_q(spark, sf_dir)
     return similarity.brute_force_topk(emb, queries_df, k=5)
 
 
@@ -1261,7 +1271,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-checked); tests additionally assert recall ≥ 0.4 vs the
     brute-force baseline."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    queries_df = _emb_q(spark, sf_dir)
     return similarity.lsh_topk(
         emb, queries_df, k=5, n_planes=4, dim=_emb_dim(spark, sf_dir)
     )
@@ -1275,7 +1285,7 @@ def q_ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; tests also assert neighbor-set equality vs the fold
     baseline."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    queries_df = _emb_q(spark, sf_dir)
     return similarity.brute_force_topk_gemm(emb, queries_df, k=5)
 
 
@@ -1317,15 +1327,21 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_RECALL.json) × ADC shortlist recall (~0.87 of the in-cell
     answer set) — measured 0.40 at sf0.01."""
     emb = _emb(spark, sf_dir)
+    raw = read_table(spark, sf_dir, "embeddings")
     return similarity.ivfpq_topk(
         emb,
-        emb.filter(F.col("vec_id") < 20),
+        _emb_q(spark, sf_dir),
         k=5,
         n_cells=16,
         n_probe=4,
         m=16,
         n_codes=16,
         shortlist_factor=8,
+        # 16-row centroid sample from the RAW scan (no repartition
+        # exchange — the ivf_topk centroid_source rationale); the
+        # codebook pick stays on the repartitioned corpus, whose
+        # N×m-row md5 window needs the parallelism
+        centroids=similarity.ivf_centroids(raw, n_cells=16),
     )
 
 
@@ -1342,7 +1358,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.pq_topk(
         emb,
-        emb.filter(F.col("vec_id") < 20),
+        _emb_q(spark, sf_dir),
         k=5,
         m=16,
         n_codes=16,
@@ -1438,7 +1454,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid pick and cell assignment exactly (hash-checked); recall
     asserted in tests."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    queries_df = _emb_q(spark, sf_dir)
     if sf_dir not in _IVF_CENTROIDS:
         # index-build phase, once per corpus: sample centroids from
         # the RAW scan (no repartition shuffle for a 16-row sample)
@@ -1899,7 +1915,7 @@ def q_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay exactly in the oracle; recall floor pinned in
     tests/test_similarity_recall.py."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    queries_df = _emb_q(spark, sf_dir)
     return similarity.jl_topk(
         emb, queries_df, k=5, d_in=_emb_dim(spark, sf_dir), d_out=6, probe_ham=2
     )
@@ -2535,9 +2551,9 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — which is what the oracle replays; the probe-pruned
     configurations are recall-bounded in tests/test_ivf_index.py."""
     lake = _index_lake(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
-    q = emb.filter(F.col("vec_id") < 20)
+    raw = read_table(spark, sf_dir, "embeddings")
+    allowed = raw.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    q = _emb_q(spark, sf_dir)
     return similarity.ivf_query_index(
         lake, q, name="ivf", k=5, n_probe=16, candidate_ids=allowed
     )
@@ -2591,10 +2607,9 @@ def q_ivfpq_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored vector table — identical ranking to ann_ivfpq (same
     deterministic centroids + codebooks), same oracle. Completes the
     persisted-index family: BM25, IVF, PQ, IVFPQ."""
-    emb = _emb(spark, sf_dir)
     return similarity.ivfpq_query_index(
         _ivfpq_lake(spark, sf_dir),
-        emb.filter(F.col("vec_id") < 20),
+        _emb_q(spark, sf_dir),
         k=5,
         n_probe=4,
         shortlist_factor=8,
@@ -2640,10 +2655,9 @@ def q_pq_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     time) — identical ranking to ann_pq, same oracle. The PQ
     counterpart of ivf_query_index/query_text_index: build-once/
     query-many at storage level."""
-    emb = _emb(spark, sf_dir)
     return similarity.pq_query_index(
         _pq_lake(spark, sf_dir),
-        emb.filter(F.col("vec_id") < 20),
+        _emb_q(spark, sf_dir),
         k=5,
         shortlist_factor=8,
     )
@@ -2658,7 +2672,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     every exact top-k entry, so the oracle is exact-hash."""
     emb = _emb(spark, sf_dir)
     return similarity.hard_negatives(
-        emb, emb.filter(F.col("vec_id") < 20), k=5
+        emb, _emb_q(spark, sf_dir), k=5
     )
 
 
@@ -2736,10 +2750,9 @@ def q_ivf_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN against the PERSISTED IVF index (cell-partitioned corpus,
     probed cells partition-pruned) — identical ranking to ivf_topk
     with the same deterministic centroids, same oracle as ann_ivf."""
-    emb = _emb(spark, sf_dir)
     return similarity.ivf_query_index(
         _index_lake(spark, sf_dir),
-        emb.filter(F.col("vec_id") < 20),
+        _emb_q(spark, sf_dir),
         k=5,
         n_probe=4,
     )

@@ -630,25 +630,24 @@ def pq_encode(
     return sel.mapInPandas(kernel, "id long, codes array<int>")
 
 
-def _pq_lut(
-    queries: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """(query_id, s, code, part_micro) ADC lookup table. The query
-    side is a bounded serving batch (the ANN entries' standing
-    assumption), so the LUT is computed driver-side from one Arrow
-    pull — same left-to-right term accumulation as the encode kernel,
-    and HALF_UP micro rounding via floor(x·1e6 + 0.5) (np.round is
-    banker's — it would disagree with F.round/DuckDB on exact .5
-    ties; distances are ≥ 0 so floor(+0.5) is exactly HALF_UP)."""
+def _pq_lut_from(session, qids, qmat, codebooks) -> DataFrame:
+    """(query_id, s, code, part_micro) ADC lookup table over an
+    already-pulled (ids, matrix) pair. The query side is a bounded
+    serving batch (the ANN entries' standing assumption), so the LUT
+    is computed driver-side — same left-to-right term accumulation as
+    the encode kernel, and HALF_UP micro rounding via
+    floor(x·1e6 + 0.5) (np.round is banker's — it would disagree with
+    F.round/DuckDB on exact .5 ties; distances are ≥ 0 so
+    floor(+0.5) is exactly HALF_UP). Taking the pulled pair (not the
+    DataFrame) lets each query path pay ONE driver pull for probes,
+    LUT and rerank side instead of a Spark job per consumer
+    (guide §5: repeated small driver round-trips are per-query
+    constants)."""
     import numpy as np
 
     m = len(codebooks)
     sub_len = len(codebooks[0][0])
     books = np.array(codebooks, dtype=np.float64)
-    qids, qmat = _pull_matrix(queries, id_col, vec_col)
     rows = []
     for qi, qv in zip(qids, qmat):
         for s in range(m):
@@ -663,7 +662,7 @@ def _pq_lut(
             rows.extend(
                 (int(qi), s, j, int(micro[j])) for j in range(len(c))
             )
-    return queries.sparkSession.createDataFrame(
+    return session.createDataFrame(
         rows, "query_id long, s int, code int, part_micro long"
     )
 
@@ -705,9 +704,15 @@ def pq_topk(
     codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
         "id", F.posexplode("codes").alias("s", "code")
     )
-    # LUT: per (query, subspace, code) the micro-quantized partial
-    # distance, built from the SAME codebook literals the encoder used
-    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    # ONE driver pull of the bounded query batch feeds both the LUT
+    # (same micro-quantized partials as before) and the rerank side
+    session = queries.sparkSession
+    qids, qmat = _pull_matrix(
+        queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)),
+        id_col,
+        vec_col,
+    )
+    lut = _pq_lut_from(session, qids, qmat, codebooks)
     adist = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("id") != F.col("query_id"))
@@ -725,9 +730,11 @@ def pq_topk(
     base = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
+    # rerank query side from the SAME pull (bit-identical values; qnrm
+    # still the same JVM norm() fold)
+    qbase = session.createDataFrame(
+        [(int(qi), [float(x) for x in qv]) for qi, qv in zip(qids, qmat)],
+        "query_id long, qvec array<double>",
     ).withColumn("qnrm", norm(F.col("qvec")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
@@ -823,6 +830,8 @@ def ivfpq_topk(
     shortlist_factor: int = 4,
     seed: str = "fxa-ivf",
     pq_seed: str = "fxa-pq",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The full IVFPQ serving stack (Jégou et al. 2011 §IV): the IVF
     cell probe bounds WHICH vectors are scanned, PQ codes bound WHAT
@@ -843,9 +852,18 @@ def ivfpq_topk(
     shortlist recall (pq_topk's sweep) — pinned as a floor in
     tests/test_similarity_recall.py.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    # centroids/codebooks are index-build artifacts: at scale they are
+    # computed once and reused across query batches, so callers may
+    # pass them (e.g. derived from an unshuffled scan of the same
+    # table — the ivf_topk `centroid_source` rationale)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    )
     nearest = _cell_exprs(cents)
-    codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, pq_seed)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes, pq_seed)
     codes = (
         pq_encode(corpus, codebooks, id_col, vec_col)
         .join(
@@ -864,16 +882,20 @@ def ivfpq_topk(
         )
         .select("id", "cell", F.posexplode("codes").alias("s", "code"))
     )
-    qvec = _as_double(F.col(vec_col))
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
-        .withColumn("qnrm", norm(F.col("qv")))
-        .select(
-            "query_id",
-            F.explode(nearest(F.col("qv"), F.col("qnrm"), n_probe)).alias("cell"),
-        )
+    # ONE driver pull of the bounded query batch feeds probes, LUT and
+    # rerank side (probe cells via the bit-exact _cell_exprs replica)
+    session = queries.sparkSession
+    qids, qmat = _pull_matrix(
+        queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)),
+        id_col,
+        vec_col,
     )
-    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    qrows = _nearest_cells_rows(qids, qmat, cents, n_probe)
+    probes = session.createDataFrame(
+        [(qi, int(c)) for qi, _, cells in qrows for c in cells],
+        "query_id long, cell int",
+    )
+    lut = _pq_lut_from(session, list(qids), qmat, codebooks)
     adist = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
@@ -892,9 +914,9 @@ def ivfpq_topk(
     base = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvb"),
+    qbase = session.createDataFrame(
+        [(int(qi), [float(x) for x in qv]) for qi, qv in zip(qids, qmat)],
+        "query_id long, qvb array<double>",
     ).withColumn("qbn", norm(F.col("qvb")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
@@ -1166,6 +1188,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
+
+
+def _nearest_cells_rows(qids, qmat, centroids, n):
+    """Driver-side replica of ``_cell_exprs`` over an already-pulled
+    query batch: the same sequential-fold dot (``dot()``), the same
+    ``_py_norm`` norms, and the same array_sort/reverse tie order
+    (cos desc then cell desc; NaN sorts first, matching Spark's
+    NaN-largest double ordering). Python floats are IEEE binary64
+    like Spark doubles, so probe sets are bit-identical — without
+    compiling the centroid-literal expression tree into a separate
+    per-call collect job (guide §1.2: per-query constants).
+
+    Returns [(query_id, q_nrm, [cell, ...])] per query."""
+    import math as _math
+
+    cn = [_py_norm(list(c)) for c in centroids]
+    out = []
+    for qi, qv in zip(qids, qmat):
+        qvf = [float(x) for x in qv]
+        qn = _py_norm(qvf)
+        scored = []
+        for i, cv in enumerate(centroids):
+            acc = 0.0
+            for x, y in zip(qvf, cv):
+                acc = acc + x * y
+            c = acc / (qn * cn[i])
+            nan = _math.isnan(c)
+            scored.append((nan, 0.0 if nan else c, i))
+        scored.sort()
+        scored.reverse()
+        out.append((int(qi), qn, [t[2] for t in scored[:n]]))
+    return out
 
 
 def _cell_exprs(centroids: list[list[float]]):
@@ -1557,25 +1611,29 @@ def ivf_query_index(
             candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
             _manifest_n_vectors(lake, crows, "cells_table"),
         )
-    nearest_cells = _cell_exprs(centroids)
-    q = (
+    # ONE Arrow pull of the bounded query batch; probe cells and
+    # norms are computed driver-side by the bit-exact _cell_exprs
+    # replica, then the query frame is a local relation. The old path
+    # localCheckpointed q and ran a separate distinct-collect for the
+    # probed cells: two extra driver round-trips (plus a fresh
+    # centroid-literal codegen) per query call (guide §5).
+    qids, qmat = _pull_matrix(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-        )
-        .withColumn("q_nrm", norm(F.col("q_vec")))
-        .withColumn(
-            "cell", F.explode(nearest_cells(F.col("q_vec"), F.col("q_nrm"), n_probe))
-        )
-        # materialize once: the probed-cell collect below and the
-        # candidate join both consume q — without this the queries
-        # lineage would execute twice (and a non-deterministic source
-        # could probe different cells than it joins)
-        .transform(cacheutil.local_checkpoint)
+            F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+        ),
+        id_col,
+        vec_col,
     )
-    # ANN probe sets are small by contract (same as ivf_topk's
-    # driver-collected centroids): collect the probed cell ids so the
-    # cells read is a static partition-pruned scan
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    qrows = _nearest_cells_rows(qids, qmat, centroids, n_probe)
+    q = queries.sparkSession.createDataFrame(
+        [
+            (qi, [float(x) for x in qv], qn, int(c))
+            for (qi, qn, cells), qv in zip(qrows, qmat)
+            for c in cells
+        ],
+        "query_id long, q_vec array<double>, q_nrm double, cell int",
+    )
+    probed = sorted({int(c) for _, _, cells in qrows for c in cells})
     if not probed:
         # empty query batch: isin() with zero args would raise
         return queries.sparkSession.createDataFrame(
@@ -2242,7 +2300,17 @@ def pq_query_index(
     codes_tbl = mrows[0]["codes_table"]
     vecs_tbl = mrows[0]["vectors_table"]
     codes = lake.read(codes_tbl)
-    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    # ONE driver pull of the bounded query batch feeds both the LUT
+    # and the rerank side — previously the LUT pulled and the rerank
+    # re-scanned the query frame in the main job (two passes over the
+    # same rows; guide §1.2 "don't compute things twice")
+    session = queries.sparkSession
+    qids, qmat = _pull_matrix(
+        queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)),
+        id_col,
+        vec_col,
+    )
+    lut = _pq_lut_from(session, qids, qmat, codebooks)
     adist = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("id") != F.col("query_id"))
@@ -2258,9 +2326,12 @@ def pq_query_index(
         .select("query_id", "id")
     )
     base = lake.read(vecs_tbl)
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
+    # rerank query side from the SAME pull (values are bit-identical:
+    # Arrow float64 round-trips exactly); qnrm still computed by the
+    # same JVM norm() fold as before
+    qbase = session.createDataFrame(
+        [(int(qi), [float(x) for x in qv]) for qi, qv in zip(qids, qmat)],
+        "query_id long, qvec array<double>",
     ).withColumn("qnrm", norm(F.col("qvec")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
@@ -2441,25 +2512,32 @@ def ivfpq_query_index(
             candidate_ids.select(_one_col(candidate_ids)).distinct().count(),
             _manifest_n_vectors(lake, crows, "vectors_table"),
         )
-    nearest = _cell_exprs(cents)
-    qvec = _as_double(F.col(vec_col))
-    probes = cacheutil.track(
-        queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
-        .withColumn("qnrm", norm(F.col("qv")))
-        .select(
-            "query_id",
-            F.explode(nearest(F.col("qv"), F.col("qnrm"), n_probe)).alias(
-                "cell"
-            ),
+    session = queries.sparkSession
+    # ONE Arrow pull of the bounded query batch (the ANN entries'
+    # standing assumption) feeds probes, LUT and rerank side; probe
+    # cells come from the bit-exact _cell_exprs replica. The old path
+    # paid a persist + a distinct-collect + a separate Arrow pull for
+    # the LUT (three driver round-trips over the same 20-row batch).
+    qids, qmat = _pull_matrix(
+        queries.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+        ),
+        id_col,
+        vec_col,
+    )
+    if not len(qids):
+        return session.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
         )
-        .persist()
+    qrows = _nearest_cells_rows(qids, qmat, cents, n_probe)
+    probes = session.createDataFrame(
+        [(qi, int(c)) for qi, _, cells in qrows for c in cells],
+        "query_id long, cell int",
     )
-    probed_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    )
+    probed_cells = sorted({int(c) for _, _, cells in qrows for c in cells})
     codes = lake.read(codes_tbl).filter(F.col("cell").isin(probed_cells))
     codes = _semi_filter(codes, candidate_ids, "id", broadcast_filter)
-    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+    lut = _pq_lut_from(session, list(qids), qmat, codebooks)
     adist = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
@@ -2476,9 +2554,11 @@ def ivfpq_query_index(
         .select("query_id", "id")
     )
     base = lake.read(vecs_tbl)
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvb"),
+    # rerank query side from the SAME collect (values bit-identical;
+    # qbn computed by the same JVM norm() fold as before)
+    qbase = session.createDataFrame(
+        [(int(qi), [float(x) for x in qv]) for qi, qv in zip(qids, qmat)],
+        "query_id long, qvb array<double>",
     ).withColumn("qbn", norm(F.col("qvb")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()

@@ -87,7 +87,7 @@ def test_minhash_no_cartesian(spark):
 
 def test_ann_bruteforce_broadcasts_queries(spark):
     """The query batch broadcasts; the corpus is never shuffled."""
-    plan = _plan(E.retired_queries()["ann_bruteforce"](spark, SF))
+    plan = _plan(E.all_queries()["ann_bruteforce"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 

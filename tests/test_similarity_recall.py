@@ -21,7 +21,7 @@ def _neighbor_sets(df):
 
 @pytest.fixture(scope="module")
 def exact_topk(spark):
-    return _neighbor_sets(E.retired_queries()["ann_bruteforce"](spark, SF))
+    return _neighbor_sets(E.all_queries()["ann_bruteforce"](spark, SF))
 
 
 @pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf", "ann_jl", "ann_pq"])
@@ -39,7 +39,7 @@ def test_ann_recall(spark, exact_topk, name):
 def test_embedding_neardup_lsh_subset_and_recall(spark):
     exact = {
         (r["id_a"], r["id_b"])
-        for r in E.retired_queries()["embedding_neardup"](spark, SF).collect()
+        for r in E.all_queries()["embedding_neardup"](spark, SF).collect()
     }
     approx = {
         (r["id_a"], r["id_b"])
