@@ -90,8 +90,18 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("sm"))
         )
-        prev = pr
-        pr = (
+        # each round persists (the next round's join would otherwise
+        # re-derive it through the growing lineage) but is NOT eagerly
+        # materialized: for a fixed small round count the whole chain
+        # executes as ONE action, with the round caches filling as the
+        # plan runs — the old per-round count() paid a scheduled job
+        # per round purely to truncate lineage (guide §1.2: per-query
+        # constants; §5: caches still compute once — concurrent
+        # readers of an unmaterialized cached partition block on the
+        # block manager, they don't recompute). All rounds stay
+        # tracked; cacheutil.release_all() frees them after the
+        # result is consumed.
+        pr = cacheutil.track(
             nodes.join(sums, nodes["id"] == sums["dst"], "left")
             .select(
                 "id",
@@ -102,14 +112,7 @@ def pagerank(
             )
             .persist()
         )
-        # materialize the round so the next one joins a computed
-        # node-scale table, not a growing lineage — then drop the
-        # superseded round; only base frames + the final round stay
-        # cached (released by cacheutil.release_all)
-        pr.count()
-        if prev.is_cached:
-            prev.unpersist()
-    return cacheutil.track(pr)
+    return pr
 
 
 def triangle_counts(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
@@ -178,7 +181,7 @@ def kcore(
     for every node still carrying an edge. Degree-0 survivors cannot
     exist (an edge survives iff both ends do).
     """
-    e = symmetrize(pairs, a, b).persist()
+    e = cacheutil.track(symmetrize(pairs, a, b).persist())
     for _ in range(n_rounds):
         keep = (
             e.groupBy("src")
@@ -186,16 +189,18 @@ def kcore(
             .filter(F.col("d") >= k)
             .select(F.col("src").alias("id"))
         )
-        prev = e
-        e = (
+        # per-round persist (each round's edge set feeds BOTH the next
+        # degree agg and the next semi-join filter — without the cache
+        # that work doubles per round), but lazily: the fixed-round
+        # chain runs as ONE action instead of a scheduled job per
+        # round (see pagerank above); all rounds stay tracked for
+        # cacheutil.release_all().
+        e = cacheutil.track(
             e.join(keep, e["src"] == keep["id"], "left_semi")
             .join(keep, F.col("dst") == keep["id"], "left_semi")
             .persist()
         )
-        e.count()
-        # round materialized: the superseded edge set is dead weight
-        prev.unpersist()
-    return cacheutil.track(e).groupBy(F.col("src").alias("doc_id")).agg(
+    return e.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 
