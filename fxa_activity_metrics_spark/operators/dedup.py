@@ -395,12 +395,14 @@ def duplicate_clusters(
         .distinct()
         .transform(cacheutil.local_checkpoint)
     )
-    assign = (
+    # node set over the checkpointed edges — lazily persisted: it is
+    # the base of the (lazy) assignment chain, never loop control
+    assign = cacheutil.track(
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .transform(cacheutil.local_checkpoint)
+        .persist()
     )
     for _ in range(max_iter):
         if edges.isEmpty():
@@ -408,18 +410,26 @@ def duplicate_clusters(
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # star fold: every current node to min(self, neighbors)
-        lbl = (
+        # star fold: every current node to min(self, neighbors).
+        # Lazily persisted, not checkpointed: the edge rewrite below
+        # (the phase's one eager job) materializes the cache, and the
+        # assignment composition reads the same cache later — one
+        # scheduled job per phase instead of three (guide §1.2).
+        lbl = cacheutil.track(
             sym.groupBy("u")
             .agg(F.min("v").alias("m"))
             .select(
                 F.col("u").alias("node"), F.least("u", "m").alias("lbl")
             )
-            .transform(cacheutil.local_checkpoint)
+            .persist()
         )
         # compose the assignment through this phase's fold (current
         # cluster ids ARE current-graph node ids, so a left join
-        # suffices; unmatched = already-collapsed supernodes)
+        # suffices; unmatched = already-collapsed supernodes). The
+        # composition stays LAZY — it never feeds loop control, and
+        # each phase joins against that phase's persisted lbl, so the
+        # final plan is a bounded chain of node-scale joins over
+        # InMemoryRelations, executed once by the caller's action.
         assign = (
             assign.join(
                 lbl.select(
@@ -432,7 +442,6 @@ def duplicate_clusters(
                 "doc_id",
                 F.coalesce("_new", "cluster_id").alias("cluster_id"),
             )
-            .transform(cacheutil.local_checkpoint)
         )
         # contract: rewrite endpoints onto supernodes, drop loops
         edges = (
