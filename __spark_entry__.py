@@ -1679,7 +1679,14 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("tok"))
-    cms = cms_build(toks, "tok", d=4, w=1024)
+    # ONE pass over the exploded tokens: both the sketch and the exact
+    # probe counts consume the same per-token aggregate (identical
+    # Exchange(tok) subtrees — AQE stage reuse serves the second
+    # reader), instead of tokenizing the corpus twice. CMS cell
+    # weights are sums of per-token counts — the same integers as
+    # counting occurrences directly (cms_build's weight_col path).
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    cms = cms_build(tok_counts, "tok", d=4, w=1024, weight_col="exact_n")
     probe = spark.createDataFrame(
         [(t,) for t in _CMS_PROBE_TOKENS], "token string"
     )
@@ -1687,11 +1694,7 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("token"), "est"
     )
     exact = (
-        probe.join(
-            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")),
-            probe["token"] == F.col("tok"),
-            "left",
-        )
+        probe.join(tok_counts, probe["token"] == F.col("tok"), "left")
         .select("token", F.coalesce("exact_n", F.lit(0)).alias("exact_n"))
     )
     return est.join(exact, "token").select("token", "est", "exact_n")
