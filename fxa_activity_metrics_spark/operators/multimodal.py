@@ -1415,6 +1415,19 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     """
     if max_hamming >= 8:
         raise ValueError("banded join is exact only for max_hamming <= 7")
+    # The hash frame feeds THREE consumers (the distinct band base and
+    # the two id-expansion sides) whose exchange subtrees differ, so
+    # without a persist the upstream decode/DCT pipeline — by far the
+    # expensive part — executes once per consumer (measured 4x the
+    # single-pass executor time at sf0.1). Persist the tiny
+    # (id, 16-byte hash) proxy once and decide everything on it: the
+    # guide-§8 shape — heavy bytes decoded once, decisions on small
+    # rows. Tracked for the caller's cacheutil.release_all().
+    from fxa_activity_metrics_spark import cacheutil
+
+    hashes = cacheutil.track(
+        hashes.select("doc_id", "phash_hi", "phash_lo").persist()
+    )
     bands = F.array(
         *[
             F.struct(
