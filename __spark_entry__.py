@@ -2277,12 +2277,16 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "raise the uid stride for ultra-long documents")
         ).cast("long")
     )
+    # the chunker already knows each chunk's token count
+    # (n_chunk_tokens == size(tokens(chunk_text)) by construction),
+    # so the packer takes the count column directly: chunk_text is
+    # never built, and the pack map stage ships 16-byte rows instead
+    # of re-tokenizing ~1.3x the corpus text
     packed = textstats.pack_sequences(
-        chunks.select(
-            uid.alias("doc_id"), F.col("chunk_text").alias("text")
-        ),
+        chunks.select(uid.alias("doc_id"), "n_chunk_tokens"),
         capacity=512,
         block_size=16 * stride,
+        n_tokens_col="n_chunk_tokens",
     )
     return packed.withColumnRenamed("doc_id", "chunk_uid")
 

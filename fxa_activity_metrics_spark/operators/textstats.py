@@ -447,6 +447,7 @@ def pack_sequences(
     block_size: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy next-fit sequence packing: assign documents to packed
     training sequences (bins) of at most ``capacity`` tokens — the
@@ -457,8 +458,12 @@ def pack_sequences(
     deterministic BLOCKS (``doc_id // block_size``), each block packs
     independently with next-fit in doc_id order, and bin ids are
     globally unique by construction (``grp * block_size + local``,
-    local < block items). Blocks are embarrassingly parallel —
-    ``applyInPandas`` runs one tiny sequential loop per block, one
+    local < block items). Blocks are embarrassingly parallel — each
+    block's tiny sequential fold runs as a JVM ``aggregate`` over the
+    block's collected (id, n) list (bounded by ``block_size`` items;
+    formerly an ``applyInPandas`` loop, but per-block pandas framing
+    and the row-at-a-time Python loop cost ~2x the whole stage —
+    guide §4: stay in the JVM when a built-in fold exists), one
     shuffle on the block key; at 100 TB block packing is the standard
     trade (a ≤1-bin-per-block fragmentation cost for linear scaling).
 
@@ -469,12 +474,24 @@ def pack_sequences(
     forces the next doc into a fresh bin).
 
     Output: (doc_id, n_tokens, bin_id).
+
+    ``n_tokens_col``: use a pre-computed token count instead of
+    re-tokenizing ``text_col`` — for inputs whose producer already
+    knows the count (chunk_documents emits ``n_chunk_tokens`` =
+    len(token slice), provably equal to size(tokens(chunk_text))
+    since chunk_text is the " "-join of those tokens). Skipping the
+    text column here also lets the scan prune it entirely.
     """
     from fxa_activity_metrics_spark.operators.dedup import tokens
 
+    n_expr = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else F.size(tokens(text_col))
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        n_expr.cast("long").alias("n_tokens"),
     ).withColumn(
         # integer DIV, not float floor-division: doubles lose exact
         # integers above 2^53, which would mis-shard hash-derived
@@ -483,24 +500,71 @@ def pack_sequences(
         F.expr(f"doc_id DIV {int(block_size)}"),
     )
 
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        local = []
-        bin_local, fill = 0, 0
-        for i, n in enumerate(pdf["n_tokens"]):
-            if i == 0:
-                fill = int(n)
-            elif fill + int(n) > capacity:
-                bin_local += 1
-                fill = int(n)
-            else:
-                fill += int(n)
-            local.append(bin_local)
-        pdf["bin_id"] = pdf["grp"] * block_size + local
-        return pdf[["doc_id", "n_tokens", "bin_id"]]
-
-    return base.groupBy("grp").applyInPandas(
-        pack, "doc_id long, n_tokens long, bin_id long"
+    # One collected (id, n) list per block (array_sort's struct order
+    # = doc_id order; ids are unique), folded by the next-fit
+    # recurrence entirely in the JVM. The lambda touches only its
+    # bound vars (acc, x) — nothing upstream re-evaluates per element
+    # (the r13 HOF projection-boundary rule).
+    cap = int(capacity)
+    packed = (
+        base.groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_tokens"))
+            ).alias("_lst")
+        )
+        .select(
+            "grp",
+            F.aggregate(
+                "_lst",
+                F.expr(
+                    "named_struct('bin', cast(-1 as long),"
+                    " 'fill', cast(0 as long),"
+                    " 'out', cast(array() as"
+                    " array<struct<doc_id: long, n_tokens: long,"
+                    " bin_local: long>>))"
+                ),
+                lambda acc, x: F.struct(
+                    F.when(
+                        (acc["bin"] < 0)
+                        | (acc["fill"] + x["n_tokens"] <= cap),
+                        F.greatest(acc["bin"], F.lit(0).cast("long")),
+                    )
+                    .otherwise(acc["bin"] + 1)
+                    .alias("bin"),
+                    F.when(
+                        (acc["bin"] < 0)
+                        | (acc["fill"] + x["n_tokens"] > cap),
+                        x["n_tokens"],
+                    )
+                    .otherwise(acc["fill"] + x["n_tokens"])
+                    .alias("fill"),
+                    F.array_append(
+                        acc["out"],
+                        F.struct(
+                            x["doc_id"].alias("doc_id"),
+                            x["n_tokens"].alias("n_tokens"),
+                            F.when(
+                                (acc["bin"] < 0)
+                                | (acc["fill"] + x["n_tokens"] <= cap),
+                                F.greatest(
+                                    acc["bin"], F.lit(0).cast("long")
+                                ),
+                            )
+                            .otherwise(acc["bin"] + 1)
+                            .alias("bin_local"),
+                        ),
+                    ).alias("out"),
+                ),
+            ).alias("_acc"),
+        )
+    )
+    return packed.select(
+        "grp", F.explode(F.col("_acc.out")).alias("_e")
+    ).select(
+        F.col("_e.doc_id").alias("doc_id"),
+        F.col("_e.n_tokens").alias("n_tokens"),
+        (F.col("grp") * block_size + F.col("_e.bin_local")).alias("bin_id"),
     )
 
 

@@ -147,10 +147,16 @@ def test_pii_scrub_is_shuffle_free_projection(spark):
 
 
 def test_pack_sequences_single_block_shuffle(spark):
-    """Sequence packing shuffles exactly once, on the block key."""
+    """Sequence packing shuffles exactly once, on the block key, and
+    the next-fit fold runs entirely in the JVM (r14: the former
+    applyInPandas block loop cost ~2x the stage in per-block pandas
+    framing + the row-at-a-time Python loop — guide §4)."""
     plan = _plan(E.queries()["pack_sequences"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    for node in ("FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"Python boundary reintroduced: {node}"
+    assert "collect_list" in plan  # the per-block fold input
 
 
 def test_semantic_dedup_single_cell_keyed_exchange(spark):
