@@ -284,13 +284,38 @@ def simhash(
     # corrupting the adjacent lane's count.
     # shiftright+bitwiseAND on a long is exact for h < 2^32.
     zero = F.lit(0).cast("long")
-    _LANE = 20  # bits per packed count lane (3 lanes < 63 bits)
     hashed = docs.select(
         F.col(id_col).alias("id"),
         F.transform(
             toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         ).alias("_hs"),
     )
+    n_expr, pk_expr, isnull_expr, sig = _simhash_exprs(bits)
+    packed = hashed.select(
+        "id",
+        n_expr.alias("_n"),
+        pk_expr.alias("_pk"),
+        # NULL text must propagate NULL: without the guard every
+        # per-bit when(NULL).otherwise(0) yields 0, silently making
+        # all null-text docs mutual hamming-0 near-duplicates
+        isnull_expr.alias("_isnull"),
+    )
+    return packed.select("id", sig.alias("simhash"))
+
+
+# Hoisted simhash expression trees keyed by the BITS parameter only
+# (pure code over the fixed internal columns id/_hs/_n/_pk/_isnull,
+# never data): constructing the ~11 packed 3-lane folds plus the
+# 32-bit majority extraction costs ~0.9 s of py4j round-trips per
+# call — most of the query's Python-side build phase.
+_SIMHASH_EXPRS: dict[int, tuple] = {}
+
+
+def _simhash_exprs(bits: int):
+    if bits in _SIMHASH_EXPRS:
+        return _SIMHASH_EXPRS[bits]
+    zero = F.lit(0).cast("long")
+    _LANE = 20  # bits per packed count lane (3 lanes < 63 bits)
     hcol = F.col("_hs")
 
     def packcount(group: list[int]):
@@ -308,25 +333,18 @@ def simhash(
         return F.aggregate(hcol, zero, step)
 
     groups = [list(range(p, min(p + 3, bits))) for p in range(0, bits, 3)]
-    packed = hashed.select(
-        "id",
-        F.when(
-            F.size(hcol) >= F.lit(1 << _LANE),
-            F.raise_error(
-                F.concat(
-                    F.lit("simhash: document "),
-                    F.col("id").cast("string"),
-                    F.lit(" has >= 2^20 distinct tokens — packed-lane "
-                          "counts would overflow"),
-                )
-            ).cast("int"),
-        ).otherwise(F.size(hcol)).alias("_n"),
-        F.array(*[packcount(g) for g in groups]).alias("_pk"),
-        # NULL text must propagate NULL: without the guard every
-        # per-bit when(NULL).otherwise(0) yields 0, silently making
-        # all null-text docs mutual hamming-0 near-duplicates
-        hcol.isNull().alias("_isnull"),
-    )
+    n_expr = F.when(
+        F.size(hcol) >= F.lit(1 << _LANE),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document "),
+                F.col("id").cast("string"),
+                F.lit(" has >= 2^20 distinct tokens — packed-lane "
+                      "counts would overflow"),
+            )
+        ).cast("int"),
+    ).otherwise(F.size(hcol))
+    pk_expr = F.array(*[packcount(g) for g in groups])
     sig = zero
     for gi, group in enumerate(groups):
         pk = F.col("_pk")[gi]
@@ -337,7 +355,8 @@ def simhash(
                 cnt * 2 > F.col("_n"), F.lit(1 << b).cast("long")
             ).otherwise(zero)
     sig = F.when(F.col("_isnull"), F.lit(None).cast("long")).otherwise(sig)
-    return packed.select("id", sig.alias("simhash"))
+    _SIMHASH_EXPRS[bits] = (n_expr, pk_expr, hcol.isNull(), sig)
+    return _SIMHASH_EXPRS[bits]
 
 
 def duplicate_clusters(

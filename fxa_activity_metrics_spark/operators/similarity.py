@@ -1956,6 +1956,59 @@ def jl_signs(d_in: int, d_out: int) -> list[list[int]]:
     ]
 
 
+# Hoisted JL expression trees, keyed by pure PARAMETERS (never data):
+# building the zip_with/aggregate fold per output dim costs hundreds
+# of py4j round-trips (~1 s of every ann_jl/jl_projection call went
+# to plan CONSTRUCTION, measured with cProfile — 6.9k socket round
+# trips per call). Column objects are immutable unresolved expression
+# trees over fixed internal column names ("_m"), so one construction
+# serves every later DataFrame. This memoizes CODE, not results.
+_JL_COMPS: dict[tuple[int, int], object] = {}
+_JL_BUCKET: dict[tuple[int, int], object] = {}
+
+
+def _jl_comps(d_in: int, d_out: int):
+    """(j, proj_micro) struct array over the micro-ints column "_m"."""
+    key = (d_in, d_out)
+    if key not in _JL_COMPS:
+        signs = jl_signs(d_in, d_out)
+        _JL_COMPS[key] = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _jl_fold(signs[j]).alias("proj_micro"),
+                )
+                for j in range(d_out)
+            ]
+        )
+    return _JL_COMPS[key]
+
+
+def _jl_fold(sign_row: list[int]):
+    return F.aggregate(
+        F.zip_with(
+            F.col("_m"), F.lit(sign_row), lambda x, s: x * s.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _jl_bucket(d_in: int, d_out: int):
+    """Sign-pattern bucket (bit j set iff proj_j >= 0) over "_m"."""
+    key = (d_in, d_out)
+    if key not in _JL_BUCKET:
+        signs = jl_signs(d_in, d_out)
+        projs = [_jl_fold(signs[j]) for j in range(d_out)]
+        bucket = projs[0] * F.lit(0)  # typed zero
+        for j in range(d_out):
+            bucket = bucket + F.when(
+                projs[j] >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        _JL_BUCKET[key] = bucket.cast("long")
+    return _JL_BUCKET[key]
+
+
 def jl_project(
     vectors: DataFrame,
     d_in: int,
@@ -1978,29 +2031,12 @@ def jl_project(
 
     Output: (id, j, proj_micro) — one row per output dimension.
     """
-    signs = jl_signs(d_in, d_out)
     micro = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
     )
     vecs = vectors.select(F.col(id_col).alias("id"), micro.alias("_m"))
-    comps = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_m"),
-                        F.lit(signs[j]),
-                        lambda x, s: x * s.cast("long"),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("proj_micro"),
-            )
-            for j in range(d_out)
-        ]
-    )
+    comps = _jl_comps(d_in, d_out)
     return vecs.select("id", F.explode(comps).alias("c")).select(
         "id", F.col("c.j").alias("j"), F.col("c.proj_micro").alias("proj_micro")
     )
@@ -2056,7 +2092,6 @@ def jl_topk(
     """
     if d_in is None:
         d_in = len(corpus.select(vec_col).first()[0])
-    signs = jl_signs(d_in, d_out)
 
     def prep(df: DataFrame, role: str) -> DataFrame:
         base = df.select(
@@ -2070,22 +2105,10 @@ def jl_topk(
                 lambda x: F.round(x * 1000000.0, 0).cast("long"),
             ),
         )
-        projs = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("_m"), F.lit(signs[j]), lambda x, s: x * s.cast("long")
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for j in range(d_out)
-        ]
-        bucket = projs[0] * F.lit(0)  # typed zero
-        for j in range(d_out):
-            bucket = bucket + F.when(projs[j] >= 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-        return base.withColumn("bucket", bucket.cast("long")).drop("_m")
+        # hoisted sign-pattern bucket over "_m" (see _jl_bucket)
+        return base.withColumn(
+            "bucket", _jl_bucket(d_in, d_out)
+        ).drop("_m")
 
     c = prep(corpus, "c").withColumnRenamed("c_id", "neighbor_id")
     q = prep(queries, "q").withColumnRenamed("q_id", "query_id")
