@@ -2727,10 +2727,24 @@ def _lm_model(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "lm_model")
     if key not in _INDEX_BUILT:
         docs = _docs(spark, sf_dir)
-        uni, bg = lmfilter.lm_counts(docs)
-        lake.overwrite("lm_unigrams", uni)
-        lake.overwrite("lm_bigrams", bg)
+        # Two corpus passes, not four (r14): the rollup's order-1 and
+        # order-2 slices ARE lm_counts — every token heads exactly one
+        # padded window (order-1 slice = token occurrence counts) and
+        # the order-2 slice with w2 non-null is exactly the
+        # consecutive-pair stream — so the unigram/bigram tables are
+        # derived from the PERSISTED rollup (vocabulary-scale
+        # filter+project) instead of re-exploding the corpus twice.
+        # Equality is pinned by tests/test_lmfilter.py.
         lake.overwrite("lm_rollup3", lmfilter.lm_gram_rollup(docs, 3))
+        rollup3 = lake.read("lm_rollup3")
+        lake.overwrite(
+            "lm_unigrams",
+            lmfilter.lm_gram_table(rollup3, 1, 3).withColumnRenamed("cn", "c1"),
+        )
+        lake.overwrite(
+            "lm_bigrams",
+            lmfilter.lm_gram_table(rollup3, 2, 3).withColumnRenamed("cn", "c12"),
+        )
         lake.overwrite(
             "lm_rollup3_backoff",
             lmfilter.lm_gram_rollup(docs.filter(F.col("doc_id") % 3 != 0), 3),

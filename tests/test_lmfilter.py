@@ -477,3 +477,25 @@ def test_lm_buckets_equal_slices_and_head_quality(spark):
     assert [r["bucket"] for r in ordered] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
     top3 = {r["doc_id"] for r in sorted(got, key=lambda r: -r["avg_logprob"])[:3]}
     assert {r["doc_id"] for r in got if r["bucket"] == 1} == top3
+
+
+def test_rollup_slices_equal_lm_counts(spark, docs):
+    """The r14 build derivation: lm_gram_rollup's order-1/order-2
+    slices must be row-identical to lm_counts' unigram/bigram tables
+    (every token heads exactly one padded window; order-2 rows with
+    w2 non-null are exactly the consecutive-pair stream). _lm_model
+    persists the rollup once and derives both count tables from it
+    instead of re-exploding the corpus."""
+    from fxa_activity_metrics_spark.operators.lmfilter import (
+        lm_gram_rollup,
+        lm_gram_table,
+    )
+
+    uni, bg = lm_counts(docs)
+    rollup = lm_gram_rollup(docs, 3)
+    uni2 = lm_gram_table(rollup, 1, 3).withColumnRenamed("cn", "c1")
+    bg2 = lm_gram_table(rollup, 2, 3).withColumnRenamed("cn", "c12")
+    assert sorted(map(tuple, uni.collect())) == sorted(map(tuple, uni2.collect()))
+    assert sorted(map(tuple, bg.collect())) == sorted(map(tuple, bg2.collect()))
+    assert dict(uni2.dtypes) == dict(uni.dtypes)
+    assert dict(bg2.dtypes) == dict(bg.dtypes)
