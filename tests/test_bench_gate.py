@@ -86,7 +86,10 @@ def test_bench_queries_all_registered():
     for fn in ("queries", "retired_queries"):
         m = re.search(rf"def {fn}\(\).*?return \{{(.*?)\n    \}}\n", src,
                       __import__("re").S)
-        registered |= set(re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1)))
+        if fn == "queries":
+            assert m, "queries() registry body not found"
+        if m:  # retired_queries() is `return {}` while no entry is retired
+            registered |= set(re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1)))
     from bench import BENCH_QUERIES
 
     missing = [q for q in BENCH_QUERIES if q not in registered]
