@@ -160,17 +160,18 @@ def test_pack_sequences_single_block_shuffle(spark):
 
 
 def test_semantic_dedup_single_cell_keyed_exchange(spark):
-    """SemDeDup's pair join must key on the cell — one exchange per
-    join side, hash-partitioned on cell, never a cartesian: the
-    O(sum |cell|^2) cost model depends on it (VERDICT r7 #3 pin)."""
+    """SemDeDup's within-cell pairwise stage must key on the cell —
+    ONE corpus-scale exchange hash-partitioned on cell feeding the
+    per-cell Arrow kernel (r14: GEMM prefilter + exact-fold verify
+    replaced the a×b pair join, which shuffled `assigned` on cell
+    TWICE), never a cartesian: the O(sum |cell|^2) cost model depends
+    on it (VERDICT r7 #3 pin)."""
     plan = _plan(E.queries()["semantic_dedup"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # the pair join is EQUI-KEYED on cell: shuffle-keyed at scale,
-    # broadcast at this sf (tiny corpus) — both keep the cell key
-    assert (
-        "Exchange hashpartitioning(cell" in plan
-        or "BroadcastHashJoin [cell" in plan
-    ), plan
+    # the pair stage is CELL-KEYED: exactly one hash exchange on cell
+    # routes vectors into the per-cell kernel
+    assert plan.count("Exchange hashpartitioning(cell") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_heavy_hitters_merge_input_is_summary_scale(spark):
