@@ -298,19 +298,12 @@ def png_encode(img, filter_mode: str = "mixed", level: int = 6) -> bytes:
     )
 
 
-def _png_parse(b: bytes):
-    """REAL PNG decode, stdlib+numpy only: chunk walk (CRC-verified),
-    zlib inflate of the concatenated IDATs, then per-scanline
-    unfiltering — Sub and Up vectorize fully (per-channel cumsum /
-    row add); Average and Paeth carry an intra-row data dependency by
-    design, so they walk pixels with 3-wide numpy ops. 8-bit only;
-    color types 0 (gray, replicated), 2 (RGB), 6 (RGBA, alpha
-    dropped); non-interlaced. Returns (w, h, 255, h×w×3 uint8) — the
-    same contract as ``_ppm_parse`` so every downstream kernel is
-    format-blind."""
+def _png_chunks(b: bytes):
+    """Container half of the PNG decode: chunk walk (CRC-verified),
+    header validation, zlib inflate of the concatenated IDATs.
+    Returns (w, h, channels, ctype, stream) for the unfilter stage —
+    shared by the single-image and batched decoders."""
     import zlib
-
-    import numpy as np
 
     if not b.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
@@ -340,50 +333,116 @@ def _png_parse(b: bytes):
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
     stream = zlib.decompress(b"".join(idat))
-    rowbytes = w * channels
-    if len(stream) != h * (rowbytes + 1):
+    if len(stream) != h * (w * channels + 1):
         raise ValueError("PNG pixel stream length mismatch")
-    sl = np.frombuffer(stream, dtype=np.uint8).reshape(h, rowbytes + 1)
-    recon = np.zeros((h, rowbytes), dtype=np.uint8)
-    bpp = channels
-    for r in range(h):
-        f, raw = int(sl[r, 0]), sl[r, 1:]
-        prior = recon[r - 1] if r else np.zeros(rowbytes, dtype=np.uint8)
-        if f == 0:
-            recon[r] = raw
-        elif f == 1:  # Sub: per-channel prefix sum mod 256
-            recon[r] = (
-                np.cumsum(raw.reshape(w, bpp).astype(np.int64), axis=0) & 0xFF
-            ).astype(np.uint8).reshape(rowbytes)
-        elif f == 2:  # Up
-            recon[r] = raw + prior  # uint8 wraps mod 256
-        elif f == 3:  # Average — intra-row dependency, walk pixels
-            row = recon[r]
-            left = np.zeros(bpp, dtype=np.int32)
-            for x in range(0, rowbytes, bpp):
-                px = (
-                    raw[x : x + bpp]
-                    + ((left + prior[x : x + bpp].astype(np.int32)) >> 1)
-                ) & 0xFF
-                row[x : x + bpp] = px
-                left = px.astype(np.int32)
-        elif f == 4:  # Paeth — intra-row dependency, walk pixels
-            row = recon[r]
-            left = np.zeros(bpp, dtype=np.uint8)
-            ul = np.zeros(bpp, dtype=np.uint8)
-            for x in range(0, rowbytes, bpp):
-                up = prior[x : x + bpp]
-                px = raw[x : x + bpp] + _paeth(left, up, ul).astype(np.uint8)
-                row[x : x + bpp] = px
-                left, ul = px, up
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-    px = recon.reshape(h, w, channels)
-    if ctype == 0:
-        px = np.repeat(px, 3, axis=2)
-    elif ctype == 6:
-        px = px[:, :, :3]
-    return w, h, 255, np.ascontiguousarray(px)
+    return w, h, channels, ctype, stream
+
+
+def _png_parse_batch(blobs):
+    """Batched REAL PNG decode, stdlib+numpy only: the container walk
+    runs per image (streams differ), but same-shape images unfilter
+    TOGETHER — each scanline's filter subsets are applied across the
+    whole (n, rowbytes) stack, so the per-pixel Average/Paeth walks
+    (intra-row data dependency, irreducible along x) cost one
+    (n, bpp)-wide numpy op per pixel step instead of a 3-wide op per
+    image (guide §4.2: batch the kernel, don't loop rows). Identical
+    arithmetic to the historical per-image loop — same dtypes, same
+    wraparound (uint8 add mod 256, int32 average >> 1, int64 cumsum
+    & 0xFF) — so decoded pixels are bit-identical. Returns a list of
+    (w, h, 255, h×w×3 uint8) in input order."""
+    import numpy as np
+
+    metas = [_png_chunks(b) for b in blobs]
+    out: list = [None] * len(blobs)
+    groups: dict = {}
+    for i, (w, h, ch, _ct, _st) in enumerate(metas):
+        groups.setdefault((w, h, ch), []).append(i)
+    for (w, h, bpp), idxs in groups.items():
+        rowbytes = w * bpp
+        n = len(idxs)
+        sl = np.stack(
+            [
+                np.frombuffer(metas[i][4], dtype=np.uint8).reshape(
+                    h, rowbytes + 1
+                )
+                for i in idxs
+            ]
+        )
+        recon = np.zeros((n, h, rowbytes), dtype=np.uint8)
+        zero_row = np.zeros((n, rowbytes), dtype=np.uint8)
+        for r in range(h):
+            f = sl[:, r, 0]
+            if np.any(f > 4):
+                bad = int(f[f > 4][0])
+                raise ValueError(f"PNG filter type {bad} invalid")
+            raw = sl[:, r, 1:]
+            prior = recon[:, r - 1] if r else zero_row
+            m = f == 0
+            if m.any():
+                recon[m, r] = raw[m]
+            m = f == 1  # Sub: per-channel prefix sum mod 256
+            if m.any():
+                recon[m, r] = (
+                    (
+                        np.cumsum(
+                            raw[m].reshape(-1, w, bpp).astype(np.int64),
+                            axis=1,
+                        )
+                        & 0xFF
+                    )
+                    .astype(np.uint8)
+                    .reshape(-1, rowbytes)
+                )
+            m = f == 2  # Up
+            if m.any():
+                recon[m, r] = raw[m] + prior[m]  # uint8 wraps mod 256
+            m = f == 3  # Average — intra-row dependency, walk pixels
+            if m.any():
+                rm = raw[m].astype(np.int32)
+                pm = prior[m].astype(np.int32)
+                row = np.empty((rm.shape[0], rowbytes), dtype=np.uint8)
+                left = np.zeros((rm.shape[0], bpp), dtype=np.int32)
+                for x in range(0, rowbytes, bpp):
+                    px = (rm[:, x : x + bpp] + ((left + pm[:, x : x + bpp]) >> 1)) & 0xFF
+                    row[:, x : x + bpp] = px
+                    left = px
+                recon[m, r] = row
+            m = f == 4  # Paeth — intra-row dependency, walk pixels
+            if m.any():
+                rm = raw[m]
+                pm = prior[m]
+                row = np.empty((rm.shape[0], rowbytes), dtype=np.uint8)
+                left = np.zeros((rm.shape[0], bpp), dtype=np.uint8)
+                ul = np.zeros((rm.shape[0], bpp), dtype=np.uint8)
+                for x in range(0, rowbytes, bpp):
+                    up = pm[:, x : x + bpp]
+                    px = rm[:, x : x + bpp] + _paeth(left, up, ul).astype(np.uint8)
+                    row[:, x : x + bpp] = px
+                    left, ul = px, up
+                recon[m, r] = row
+        for j, i in enumerate(idxs):
+            ctype = metas[i][3]
+            px = recon[j].reshape(h, w, bpp)
+            if ctype == 0:
+                px = np.repeat(px, 3, axis=2)
+            elif ctype == 6:
+                px = px[:, :, :3]
+            out[i] = (w, h, 255, np.ascontiguousarray(px))
+    return out
+
+
+def _png_parse(b: bytes):
+    """REAL PNG decode, stdlib+numpy only: chunk walk (CRC-verified),
+    zlib inflate of the concatenated IDATs, then per-scanline
+    unfiltering — Sub and Up vectorize fully (per-channel cumsum /
+    row add); Average and Paeth carry an intra-row data dependency by
+    design, so they walk pixels with numpy ops. 8-bit only; color
+    types 0 (gray, replicated), 2 (RGB), 6 (RGBA, alpha dropped);
+    non-interlaced. Returns (w, h, 255, h×w×3 uint8) — the same
+    contract as ``_ppm_parse`` so every downstream kernel is
+    format-blind. (Thin wrapper over the batch-of-one decode so the
+    single-image API and the batched kernels share one code path.)"""
+    return _png_parse_batch([b])[0]
 
 
 def _bmp_parse(b: bytes):
@@ -1342,31 +1401,60 @@ def phash_batch(blobs: pd.Series) -> pd.DataFrame:
     import numpy as np
 
     q = np.array(_phash_dct_table(), dtype=np.int64)  # 8 × 16
-    rows = []
-    for b in blobs:
-        b = maybe_decompress(bytes(b))
-        w, h, _maxval, data = _image_parse(b)
+    raws = [maybe_decompress(bytes(b)) for b in blobs]
+    n = len(raws)
+    # Decode: PNGs batch (the per-pixel Average/Paeth unfilter walks
+    # amortize across same-shape images); other containers are cheap
+    # header-and-slice parses, decoded per image.
+    decoded: list = [None] * n
+    png_idx = [i for i, b in enumerate(raws) if b.startswith(PNG_MAGIC)]
+    if png_idx:
+        for i, parsed in zip(
+            png_idx, _png_parse_batch([raws[i] for i in png_idx])
+        ):
+            decoded[i] = parsed
+    for i, b in enumerate(raws):
+        if decoded[i] is None:
+            decoded[i] = _image_parse(b)
+    # Hash: everything after decode is shape-uniform linear algebra —
+    # stack same-shape images and run ONE batched resize/luma/DCT/
+    # median/bitpack instead of ~30 tiny numpy calls per image
+    # (guide §4.2). All-integer int64 arithmetic: the batched matmuls
+    # sum the same integers, so hashes are bit-identical to the
+    # historical per-image loop.
+    hashes = np.zeros(n, dtype=np.uint64)
+    groups: dict = {}
+    for i, (w, h, _mv, _data) in enumerate(decoded):
+        groups.setdefault((h, w), []).append(i)
+    for (h, w), idxs in groups.items():
         ys = (np.arange(16) * h) // 16
         xs = (np.arange(16) * w) // 16
-        img = data[ys][:, xs].astype(np.int64)
-        luma = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
-        # C[u][v] = Σ_x Σ_y luma[y][x] · q[u][x] · q[v][y]
-        coef = (q @ (q @ luma).T).flatten()  # idx = u*8 + v, DC at 0
-        med = int(np.sort(np.delete(coef, 0))[31])
-        bits = coef > med
-        bits[0] = False
-        h_int = 0
-        for i in range(64):
-            if bits[i]:
-                h_int |= 1 << i
-        rows.append(
-            {
-                "phash": f"{h_int:016x}",
-                "phash_hi": h_int >> 32,
-                "phash_lo": h_int & 0xFFFFFFFF,
-            }
-        )
-    return pd.DataFrame(rows, columns=["phash", "phash_hi", "phash_lo"])
+        stack = np.stack([decoded[i][3] for i in idxs])  # (k, h, w, 3)
+        img = stack[:, ys][:, :, xs].astype(np.int64)  # (k, 16, 16, 3)
+        luma = (
+            299 * img[..., 0] + 587 * img[..., 1] + 114 * img[..., 2]
+        )  # (k, 16, 16) indexed [y, x]
+        # C[u][v] = Σ_x Σ_y luma[y][x] · q[u][x] · q[v][y], idx = u*8+v
+        tmp = np.matmul(q, luma)  # (k, 8, 16): Σ_y q[v,y]·luma[y,x]
+        coef = (
+            np.matmul(tmp, q.T).transpose(0, 2, 1).reshape(len(idxs), 64)
+        )  # [k, u, v]
+        med = np.sort(coef[:, 1:], axis=1)[:, 31]  # 32nd-smallest AC
+        bits = coef > med[:, None]
+        bits[:, 0] = False
+        b8 = np.packbits(bits, axis=1, bitorder="little")  # (k, 8) uint8
+        hv = np.zeros(len(idxs), dtype=np.uint64)
+        for byte in range(8):
+            hv |= b8[:, byte].astype(np.uint64) << np.uint64(8 * byte)
+        hashes[idxs] = hv
+    return pd.DataFrame(
+        {
+            "phash": [f"{int(v):016x}" for v in hashes],
+            "phash_hi": (hashes >> np.uint64(32)).astype(np.int64),
+            "phash_lo": (hashes & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        },
+        columns=["phash", "phash_hi", "phash_lo"],
+    )
 
 
 def phash_images(

@@ -423,6 +423,42 @@ def test_png_crc_corruption_raises():
         mm._png_parse(bytes(b))
 
 
+def test_phash_batch_matches_per_image_across_mixed_batches():
+    """The r14 batched kernel contract: one heterogeneous batch
+    (PPM + PNG mixed-filter + zlib-wrapped, several image shapes,
+    interleaved) hashes identically to batches of one — the
+    shape-grouped stacking and the batched PNG unfilter must neither
+    reorder rows nor perturb a single integer."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    rng = np.random.default_rng(11)
+    blobs = []
+    for d in range(40):
+        img = mm._synth_pixels(d, xx, yy, 50, 24, 24)
+        blobs.append(b"P6\n24 24\n255\n" + img.tobytes())
+        blobs.append(mm.png_encode(img, filter_mode="mixed"))
+    for h, w in [(1, 1), (3, 7), (17, 33)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blobs.append(mm.png_encode(img, filter_mode="mixed"))
+        blobs.append(b"P6\n%d %d\n255\n" % (w, h) + img.tobytes())
+    blobs.append(mm.ZLIB_MAGIC + zlib.compress(blobs[1]))
+    batched = mm.phash_batch(pd.Series(blobs))
+    singly = pd.concat(
+        [mm.phash_batch(pd.Series([b])) for b in blobs], ignore_index=True
+    )
+    assert batched["phash"].tolist() == singly["phash"].tolist()
+    assert [int(v) for v in batched["phash_hi"]] == [
+        int(v) for v in singly["phash_hi"]
+    ]
+    assert [int(v) for v in batched["phash_lo"]] == [
+        int(v) for v in singly["phash_lo"]
+    ]
+
+
 def test_phash_png_equals_phash_ppm_through_spark(spark):
     """The graded contract: the PNG-encoded twin corpus (mixed
     scanline filters) hashes IDENTICALLY to the PPM corpus — pixel
