@@ -204,38 +204,57 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "fxa-lsh") -> list[list[flo
     return planes
 
 
+# Hoisted LSH bucket expression trees, keyed by (vec_col, planes) —
+# the same CODE-memoization as the JL/simhash hoists: F.lit of a
+# nested plane list expands to one py4j literal call PER FLOAT
+# (~64·n_planes round-trips), so constructing the fold cost ~1-2 s of
+# every embedding_neardup_lsh / ann_lsh / ann_filtered call (measured
+# with cProfile: 5.7-7.7k socket round-trips per build, 0.8-1.2k of
+# them lit()). Planes are deterministic functions of (dim, n_planes,
+# seed) — pure parameters, never data — and Column objects are
+# immutable unresolved trees over the fixed ``vec_col`` name, so one
+# construction serves every later DataFrame.
+_BUCKET_EXPRS: dict[tuple, object] = {}
+
+
 def bucket_ids(
     df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "bucket"
 ) -> DataFrame:
     """n-bit LSH bucket: bit p = (dot(vec, plane_p) > 0).
 
-    Planes go in as ONE nested-array literal (single py4j call,
-    constant-folded) and the bit-sum is a single fold — not a chain of
-    per-plane expressions, each carrying its own literal array.
+    Planes go in as one nested-array literal and the bit-sum is a
+    single fold — not a chain of per-plane expressions, each carrying
+    its own literal array; the whole expression tree is memoized per
+    (vec_col, planes) so its py4j construction cost is paid once per
+    process, not per call.
 
     ``vec_col`` must already be array<double> (every caller projects
     the cast once per row): a cast HERE would sit inside the plane
     lambda and re-materialize the array once per plane per row."""
-    planes_lit = F.lit([list(p) for p in planes])
-    v = F.col(vec_col)
-    zero = F.lit(0).cast("long")
-    bucket = F.aggregate(
-        F.transform(
-            planes_lit,
-            lambda p, i: F.when(
-                dot(v, p) > 0,
-                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
-            ).otherwise(zero),
-        ),
-        zero,
-        lambda acc, b: acc + b,
-    )
-    # coalesce forces the column NON-NULLABLE (the fold never yields
-    # null, but aggregate() reports nullable) so a downstream join's
-    # inferred isnotnull(bucket) folds away instead of being pushed to
-    # the scan with the whole plane-fold substituted — which would
-    # compute every bucket twice (the pushdown-duplication trap).
-    return df.withColumn(out_col, F.coalesce(bucket, zero))
+    key = (vec_col, tuple(tuple(p) for p in planes))
+    if key not in _BUCKET_EXPRS:
+        planes_lit = F.lit([list(p) for p in planes])
+        v = F.col(vec_col)
+        zero = F.lit(0).cast("long")
+        bucket = F.aggregate(
+            F.transform(
+                planes_lit,
+                lambda p, i: F.when(
+                    dot(v, p) > 0,
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+                ).otherwise(zero),
+            ),
+            zero,
+            lambda acc, b: acc + b,
+        )
+        # coalesce forces the column NON-NULLABLE (the fold never
+        # yields null, but aggregate() reports nullable) so a
+        # downstream join's inferred isnotnull(bucket) folds away
+        # instead of being pushed to the scan with the whole
+        # plane-fold substituted — which would compute every bucket
+        # twice (the pushdown-duplication trap).
+        _BUCKET_EXPRS[key] = F.coalesce(bucket, zero)
+    return df.withColumn(out_col, _BUCKET_EXPRS[key])
 
 
 def embedding_neardup_pairs(
