@@ -23,9 +23,14 @@ thread-local, so two streams' micro-batches cannot see (or release)
 each other's frames; ``release_all`` only ever touches the global
 registry.
 
-Iterative operators (PageRank, k-core) additionally unpersist each
-superseded round inline — only base frames and the final round stay
-tracked.
+Iterative operators bound mid-query residency two ways (r15): PageRank
+rounds are single-consumer and carry NO per-round persist at all (the
+one action evaluates each round once as a plain pipeline stage), and
+star-contraction phases release each superseded edge checkpoint via
+:func:`release_frame` as soon as the next phase's eager checkpoint has
+materialized — so peak cached state is O(base frames + 2 phases), not
+O(n_rounds) edge-scale frames. A released checkpoint is permanently
+dead (lineage severed), which is the standing localCheckpoint trade.
 """
 from __future__ import annotations
 
@@ -117,8 +122,45 @@ def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         out = df.localCheckpoint(eager=True)
         new = set(sc._jsc.getPersistentRDDs().keySet()) - before
     if new:
-        _active().ckpts.append((sc, frozenset(new)))
+        ids = frozenset(new)
+        _active().ckpts.append((sc, ids))
+        # remembered on the frame so release_frame() can drop exactly
+        # this checkpoint's blocks mid-loop (iterative operators
+        # releasing superseded rounds)
+        out._fxa_ckpt = (sc, ids)
     return out
+
+
+def release_frame(df: DataFrame, blocking: bool = False) -> None:
+    """Release ONE tracked frame early — the superseded-round hook
+    for iterative operators (star contraction): once phase N's eager
+    checkpoint has materialized, phase N-1's edge blocks are dead and
+    can be dropped without waiting for release_all(). Handles both
+    persisted frames and local_checkpoint block registrations; the
+    frame is also removed from its scope so the later bulk release
+    skips it. Releasing a local checkpoint makes the frame
+    permanently dead (lineage severed) — callers must only release
+    frames no live plan still reads."""
+    ck = getattr(df, "_fxa_ckpt", None)
+    scopes = [_GLOBAL] + list(getattr(_local, "stack", []) or [])
+    if ck is not None:
+        sc, ids = ck
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                if jmap.containsKey(i):
+                    jmap.get(i).unpersist(blocking)
+        except Exception:
+            pass
+        for s in scopes:
+            s.ckpts = [c for c in s.ckpts if c[1] != ids]
+        return
+    try:
+        df.unpersist(blocking=blocking)
+    except Exception:
+        pass
+    for s in scopes:
+        s.frames = [f for f in s.frames if f is not df]
 
 
 def _release(s: _Scope, blocking: bool = False) -> int:

@@ -416,6 +416,7 @@ def duplicate_clusters(
     )
     # node set over the checkpointed edges — lazily persisted: it is
     # the base of the (lazy) assignment chain, never loop control
+    initial_edges = edges
     assign = cacheutil.track(
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
@@ -426,6 +427,7 @@ def duplicate_clusters(
     for _ in range(max_iter):
         if edges.isEmpty():
             break
+        prev_edges = edges
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -478,6 +480,18 @@ def duplicate_clusters(
             .distinct()
             .transform(cacheutil.local_checkpoint)
         )
+        # a superseded INTERMEDIATE phase's edge checkpoint is dead
+        # the moment the rewrite above materializes: this phase's lbl
+        # cache is fully filled by that same job (both rewrite joins
+        # consume all of lbl), and nothing else reads the old edges.
+        # Releasing it inline bounds peak cached state to TWO phases'
+        # edge frames instead of every phase's (VERDICT r14 #4). The
+        # INITIAL checkpoint must survive: the lazily-persisted
+        # assign base reads it at the caller's final action. The lbl
+        # frames the lazy assignment chain reads are node-scale and
+        # stay tracked for release_all().
+        if prev_edges is not initial_edges:
+            cacheutil.release_frame(prev_edges)
     else:
         if not edges.isEmpty():
             raise RuntimeError(

@@ -1388,6 +1388,19 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+# Sub-chunk width for the batched pHash kernel (ADVICE r14): the
+# Arrow batch is up to 10k rows, and decoding the WHOLE batch before
+# hashing holds every decoded pixel array (plus, for PNG, every
+# inflated IDAT stream and the per-group recon stacks) at once —
+# O(batch) peak task memory, multiple GB on large images. Chunking
+# bounds the peak to O(chunk) while keeping the batching wins (the
+# stack-wide unfilter/DCT amortization saturates well below this
+# width). Per-image arithmetic is composition-independent, so hashes
+# are bit-identical at any chunk width (pinned by
+# test_phash_batch_matches_per_image_across_mixed_batches).
+_PHASH_CHUNK = 512
+
+
 def phash_batch(blobs: pd.Series) -> pd.DataFrame:
     """Perceptual image hash kernel (classic 8×8-DCT pHash over the
     real decode — P6 PPM or PNG, format-blind via ``_image_parse``):
@@ -1398,6 +1411,30 @@ def phash_batch(blobs: pd.Series) -> pd.DataFrame:
     always 0). All-integer, so the 64-bit hash is bit-exact across
     engines. Perceptually-identical images (1-pixel jitter, small
     noise) collide; different images are distant in Hamming space."""
+    import numpy as np
+
+    vals = list(blobs)
+    parts = [
+        _phash_chunk(vals[i : i + _PHASH_CHUNK])
+        for i in range(0, len(vals), _PHASH_CHUNK)
+    ]
+    hashes = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    )
+    return pd.DataFrame(
+        {
+            "phash": [f"{int(v):016x}" for v in hashes],
+            "phash_hi": (hashes >> np.uint64(32)).astype(np.int64),
+            "phash_lo": (hashes & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        },
+        columns=["phash", "phash_hi", "phash_lo"],
+    )
+
+
+def _phash_chunk(blobs: list) -> "np.ndarray":
+    """Decode + hash one bounded sub-chunk; returns uint64 hashes in
+    input order. Intermediates (inflated streams, decoded pixel
+    stacks) die with the chunk."""
     import numpy as np
 
     q = np.array(_phash_dct_table(), dtype=np.int64)  # 8 × 16
@@ -1447,14 +1484,7 @@ def phash_batch(blobs: pd.Series) -> pd.DataFrame:
         for byte in range(8):
             hv |= b8[:, byte].astype(np.uint64) << np.uint64(8 * byte)
         hashes[idxs] = hv
-    return pd.DataFrame(
-        {
-            "phash": [f"{int(v):016x}" for v in hashes],
-            "phash_hi": (hashes >> np.uint64(32)).astype(np.int64),
-            "phash_lo": (hashes & np.uint64(0xFFFFFFFF)).astype(np.int64),
-        },
-        columns=["phash", "phash_hi", "phash_lo"],
-    )
+    return hashes
 
 
 def phash_images(

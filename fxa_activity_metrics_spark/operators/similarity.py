@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -214,7 +215,16 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "fxa-lsh") -> list[list[flo
 # seed) — pure parameters, never data — and Column objects are
 # immutable unresolved trees over the fixed ``vec_col`` name, so one
 # construction serves every later DataFrame.
-_BUCKET_EXPRS: dict[tuple, object] = {}
+#
+# Bounded (ADVICE r14): the key embeds the full plane matrix (exact —
+# a digest key could alias two distinct matrices onto one expression
+# tree), so the memo is a small LRU rather than an unbounded dict:
+# distinct (dim, n_planes, seed) combinations stop retaining their
+# large key tuples + py4j Column trees forever. The working set here
+# is a handful of fixed parameterizations per process; 16 slots keeps
+# every hot entry resident while capping retention.
+_BUCKET_EXPRS: "OrderedDict[tuple, object]" = OrderedDict()
+_BUCKET_EXPRS_CAP = 16
 
 
 def bucket_ids(
@@ -253,7 +263,11 @@ def bucket_ids(
         # instead of being pushed to the scan with the whole
         # plane-fold substituted — which would compute every bucket
         # twice (the pushdown-duplication trap).
+        while len(_BUCKET_EXPRS) >= _BUCKET_EXPRS_CAP:
+            _BUCKET_EXPRS.popitem(last=False)
         _BUCKET_EXPRS[key] = F.coalesce(bucket, zero)
+    else:
+        _BUCKET_EXPRS.move_to_end(key)
     return df.withColumn(out_col, _BUCKET_EXPRS[key])
 
 
